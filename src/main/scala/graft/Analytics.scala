@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OLAP block over the TPC-H-ish tables (SURVEY.md §2 "Analytics").
+  *
+  * These are the bench headliners: pure declarative DataFrame plans so
+  * Catalyst gets pushdown/pruning/join-reorder for free, dimension
+  * joins explicitly broadcast, and all money sums carried in
+  * DECIMAL(38,6) so results are bit-identical to the DuckDB oracle.
+  */
+object Analytics {
+
+  /** Exact cross-engine sum: per-row double math (IEEE, identical in
+    * both engines), then DECIMAL(38,6) accumulation (exact in both). */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)"))
+  private def r4(c: Column): Column = round(c, 4)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r4(dsum(col("l_quantity"))).as("sum_qty"),
+          r4(dsum(col("l_extendedprice"))).as("sum_base_price"),
+          r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q3_topk" -> { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      li.join(broadcast(cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    "q5_join5" -> { (s, d) =>
+      // revenue per nation: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+      // region/nation are tiny → broadcast; the orders⋈lineitem join
+      // shuffles once on orderkey, the c_custkey join reuses AQE planning.
+      val nat = Tables.nation(s, d)
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    "q6_filter" -> { (s, d) =>
+      // Selective scan-filter-agg: all three predicates reach the
+      // parquet reader as PushedFilters.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(r4(dsum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "q7_window" -> { (s, d) =>
+      // Top-3 orders per customer by totalprice (rank over partition).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r4(col("o_totalprice").cast("decimal(38,6)")).as("totalprice"),
+          col("rk"))
+        .orderBy("o_custkey", "rk")
+    },
+
+    "q8_rollup" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(r4(dsum(col("o_totalprice"))).as("sum_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    "q9_exists" -> { (s, d) =>
+      // Customers with ≥1 order (semi) minus those with any F order
+      // (anti) — EXISTS / NOT EXISTS as left_semi / left_anti joins.
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+      val withOrders = cust.join(ord.select("o_custkey"),
+        cust("c_custkey") === col("o_custkey"), "left_semi")
+      val fCust = ord.filter(col("o_orderstatus") === "F").select("o_custkey")
+      withOrders.join(fCust, withOrders("c_custkey") === fCust("o_custkey"),
+          "left_anti")
+        .select(col("c_custkey"), col("c_name"),
+          r4(col("c_acctbal").cast("decimal(38,6)")).as("acctbal"))
+        .orderBy("c_custkey")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(CAST(l_quantity AS DECIMAL(38,6))), 4) AS sum_qty,
+         round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS sum_base_price,
+         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_topk" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1995-03-15'
+           AND l_shipdate > TIMESTAMP '1995-03-15'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_join5" ->
+      """SELECT n_name,
+         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem, orders, customer, nation
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q6_filter" ->
+      """SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 4) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+           AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q7_window" ->
+      """SELECT o_custkey, o_orderkey,
+         round(CAST(o_totalprice AS DECIMAL(38,6)), 4) AS totalprice, rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q8_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS sum_price,
+         count(*) AS n_orders
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q9_exists" ->
+      """SELECT c_custkey, c_name,
+         round(CAST(c_acctbal AS DECIMAL(38,6)), 4) AS acctbal
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey"""
+  )
+}
