@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{Algorithms, GraphBuilder, Traversal}
+import graft.index.TypedIndexes
+import graft.search.Search
+import graft.functions.Registry
+
+/** The egraph-semantics block of SURVEY.md §2: node/link model,
+  * typed index probes, traversal, and the generic search surface.
+  *
+  * Oracle notes: node ids are xxhash64 (not reproducible in the
+  * oracle engine) so verified outputs address nodes by `key_data`;
+  * the id mapping itself is pinned by GraphSpec.
+  */
+object EgraphQueries {
+
+  /** Shared oracle SQL fragment: the link table derived from
+    * orders ⋈ lineitem, exactly as GraphBuilder.edges builds it. */
+  private val edgesSql =
+    """SELECT 'c:' || o_custkey AS src_key, 's:' || l_suppkey AS dst_key,
+       count(*) AS n_items,
+       round(sum(CAST(l_quantity AS DECIMAL(38,6))), 4) AS sum_qty
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY 1, 2"""
+
+  private val undirectedSql =
+    s"""SELECT DISTINCT a, b FROM (
+        SELECT src_key AS a, dst_key AS b FROM ($edgesSql)
+        UNION ALL
+        SELECT dst_key AS a, src_key AS b FROM ($edgesSql))"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n_nodes_build" -> { (s, d) =>
+      GraphBuilder.nodes(s, d).select("key_data", "details")
+        .orderBy("key_data")
+    },
+
+    "n_node_lookup" -> { (s, d) =>
+      GraphBuilder.nodes(s, d)
+        .filter(col("key_data") === "c:1")
+        .select("key_data", "details")
+    },
+
+    "i_index_build" -> { (s, d) =>
+      TypedIndexes.build(s, d)
+        .orderBy("index_name", "key_type", "key_str", "node_key")
+    },
+
+    "i_lookup_text" -> { (s, d) =>
+      TypedIndexes.probeExact(TypedIndexes.build(s, d),
+          "mktsegment", "text", "BUILDING")
+        .orderBy("node_key")
+    },
+
+    "i_lookup_int" -> { (s, d) =>
+      TypedIndexes.probeExact(TypedIndexes.build(s, d), "nationkey", "int", "5")
+        .orderBy("node_key")
+    },
+
+    "i_range_double" -> { (s, d) =>
+      TypedIndexes.probeRangeDouble(TypedIndexes.build(s, d),
+          "acctbal", 1000.0, 2000.0)
+        .orderBy("node_key")
+    },
+
+    "i_range_date" -> { (s, d) =>
+      TypedIndexes.probeDateRange(s, d, "1995-01-01", "1995-04-01")
+        .orderBy("o_orderkey")
+    },
+
+    "i_geo_radius" -> { (s, d) =>
+      TypedIndexes.geoRadius(s, d, 10.5, 20.5, 40.0).orderBy("node_key")
+    },
+
+    "l_links_from" -> { (s, d) =>
+      GraphBuilder.edges(s, d)
+        .filter(col("src_key") === "c:1")
+        .orderBy("dst_key")
+    },
+
+    "l_link_pair" -> { (s, d) =>
+      GraphBuilder.edges(s, d)
+        .filter(col("src_key") === "c:1" && col("dst_key") === "s:13")
+    },
+
+    "g_degrees" -> { (s, d) =>
+      Algorithms.degrees(GraphBuilder.edges(s, d)).orderBy("node")
+    },
+
+    "g_neighbors_d2" -> { (s, d) =>
+      Traversal.bfsLevels(
+          GraphBuilder.undirected(GraphBuilder.edges(s, d)), Seq("c:1"), 2)
+        .orderBy("node")
+    },
+
+    "g_bfs_levels" -> { (s, d) =>
+      Traversal.bfsLevels(
+          GraphBuilder.undirected(GraphBuilder.edges(s, d)), Seq("c:1"), 4)
+        .orderBy("node")
+    },
+
+    "g_dfs_path" -> { (s, d) =>
+      Traversal.pathBetween(
+        GraphBuilder.undirected(GraphBuilder.edges(s, d)), "c:1", "s:5")
+    },
+
+    "g_triangles" -> { (s, d) =>
+      Algorithms.triangleCount(GraphBuilder.undirected(GraphBuilder.edges(s, d)))
+    },
+
+    "g_pagerank" -> { (s, d) =>
+      Algorithms.pageRank(GraphBuilder.undirected(GraphBuilder.edges(s, d)),
+          iters = 5)
+        .select(col("node"), round(col("rank"), 4).as("rank"))
+        .orderBy("node")
+    },
+
+    "g_connected_components" -> { (s, d) =>
+      Algorithms.connectedComponents(
+          GraphBuilder.undirected(GraphBuilder.edges(s, d)))
+        .orderBy("node")
+    },
+
+    "g_sssp_weighted" -> { (s, d) =>
+      val e = GraphBuilder.edges(s, d)
+      val und = e.select(col("src_key").as("a"), col("dst_key").as("b"),
+          lit(1.0).as("w"))
+        .unionByName(e.select(col("dst_key").as("a"), col("src_key").as("b"),
+          lit(1.0).as("w")))
+      Traversal.shortestPathsWeighted(und, "c:1")
+        .select(col("node"), round(col("dist"), 4).as("dist"))
+        .orderBy("node")
+    },
+
+    "s_search_or" -> { (s, d) =>
+      import Search._
+      val ev = Tables.events(s, d)
+      val q = SearchQuery(
+        any = Seq(
+          Exact(col("event_type"), "signup"),
+          Range(col("value"), 100.0, 110.0),
+          Exact(jsonPath(col("props"), "k").cast("int"), 87)),
+        filters = Seq(
+          Range(col("ts"), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+            java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))),
+        selectedPaths = Map(
+          "event_id" -> col("event_id"),
+          "etype" -> col("event_type"),
+          "k" -> jsonPath(col("props"), "k").cast("int")))
+      Search.run(ev, q).orderBy("event_id")
+    },
+
+    "j_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          Search.jsonPath(col("props"), "k").cast("int").as("k"),
+          col("event_type"))
+        .filter(col("k") > 80)
+        .orderBy("event_id")
+    },
+
+    "f_stored_fn" -> { (s, d) =>
+      Registry.registerAll(s)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(sum(Registry.revenue(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(38,6)")), 4).as("fn_revenue"))
+        .orderBy("l_returnflag")
+    },
+
+    "z_compress_roundtrip" -> { (s, d) =>
+      Registry.registerAll(s)
+      // deflate → inflate must restore the document exactly; the
+      // oracle checks the roundtripped lengths against the raw table.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(Registry.inflate(Registry.deflate(col("text")))
+            .cast("string")).as("n_roundtrip_chars"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "n_nodes_build" ->
+      """SELECT key_data, details FROM (
+         SELECT 'c:' || c_custkey AS key_data,
+           to_json(struct_pack(
+             name := c_name, nationkey := c_nationkey,
+             acctbal := CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+             mktsegment := c_mktsegment)) AS details
+         FROM customer
+         UNION ALL
+         SELECT 's:' || s_suppkey,
+           to_json(struct_pack(
+             name := s_name, nationkey := s_nationkey,
+             acctbal := CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS VARCHAR)))
+         FROM supplier)
+         ORDER BY key_data""",
+    "n_node_lookup" ->
+      """SELECT 'c:' || c_custkey AS key_data,
+         to_json(struct_pack(
+           name := c_name, nationkey := c_nationkey,
+           acctbal := CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+           mktsegment := c_mktsegment)) AS details
+         FROM customer WHERE c_custkey = 1""",
+    "i_index_build" ->
+      """SELECT index_name, key_type, key_str, node_key FROM (
+         SELECT 'name' AS index_name, 'text' AS key_type,
+                c_name AS key_str, 'c:' || c_custkey AS node_key FROM customer
+         UNION ALL
+         SELECT 'mktsegment', 'text', c_mktsegment, 'c:' || c_custkey FROM customer
+         UNION ALL
+         SELECT 'mktsegment_lc__', 'text', lower(c_mktsegment),
+                'c:' || c_custkey FROM customer
+         UNION ALL
+         SELECT 'nationkey', 'int', CAST(c_nationkey AS VARCHAR),
+                'c:' || c_custkey FROM customer
+         UNION ALL
+         SELECT 'acctbal', 'double',
+                CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+                'c:' || c_custkey FROM customer)
+         ORDER BY index_name, key_type, key_str, node_key""",
+    "i_lookup_text" ->
+      """SELECT 'c:' || c_custkey AS node_key FROM customer
+         WHERE c_mktsegment = 'BUILDING' ORDER BY node_key""",
+    "i_lookup_int" ->
+      """SELECT 'c:' || c_custkey AS node_key FROM customer
+         WHERE c_nationkey = 5 ORDER BY node_key""",
+    "i_range_double" ->
+      """SELECT 'c:' || c_custkey AS node_key,
+         CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE) AS key_val
+         FROM customer
+         WHERE CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS DOUBLE)
+               BETWEEN 1000.0 AND 2000.0
+         ORDER BY node_key""",
+    "i_range_date" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+           AND o_orderdate < TIMESTAMP '1995-04-01'
+         ORDER BY o_orderkey""",
+    "i_geo_radius" ->
+      """SELECT 'c:' || c_custkey AS node_key,
+         CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,
+         CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+         FROM customer
+         WHERE pow(CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 - 10.5, 2)
+             + pow(CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 - 20.5, 2)
+             <= 40.0 * 40.0
+         ORDER BY node_key""",
+    "l_links_from" ->
+      s"""SELECT * FROM ($edgesSql) WHERE src_key = 'c:1' ORDER BY dst_key""",
+    "l_link_pair" ->
+      s"""SELECT * FROM ($edgesSql)
+          WHERE src_key = 'c:1' AND dst_key = 's:13'""",
+    "g_degrees" ->
+      s"""WITH e AS ($edgesSql),
+          o AS (SELECT src_key AS node, count(*) AS out_deg FROM e GROUP BY 1),
+          i AS (SELECT dst_key AS node, count(*) AS in_deg FROM e GROUP BY 1)
+          SELECT coalesce(o.node, i.node) AS node,
+            coalesce(out_deg, 0) AS out_deg, coalesce(in_deg, 0) AS in_deg
+          FROM o FULL OUTER JOIN i ON o.node = i.node
+          ORDER BY node""",
+    "g_neighbors_d2" ->
+      s"""WITH RECURSIVE ue AS ($undirectedSql),
+          bfs(node, depth) AS (
+            SELECT 'c:1', 0
+            UNION
+            SELECT ue.b, bfs.depth + 1 FROM bfs JOIN ue ON ue.a = bfs.node
+            WHERE bfs.depth < 2)
+          SELECT node, CAST(MIN(depth) AS INT) AS depth FROM bfs
+          GROUP BY node ORDER BY node""",
+    "g_bfs_levels" ->
+      s"""WITH RECURSIVE ue AS ($undirectedSql),
+          bfs(node, depth) AS (
+            SELECT 'c:1', 0
+            UNION
+            SELECT ue.b, bfs.depth + 1 FROM bfs JOIN ue ON ue.a = bfs.node
+            WHERE bfs.depth < 4)
+          SELECT node, CAST(MIN(depth) AS INT) AS depth FROM bfs
+          GROUP BY node ORDER BY node""",
+    "g_triangles" ->
+      s"""WITH ue AS ($undirectedSql), e AS (SELECT a, b FROM ue WHERE a < b)
+          SELECT count(*) AS n_triangles
+          FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+            ON e3.a = e1.a AND e3.b = e2.b""",
+    "s_search_or" ->
+      """SELECT event_id, event_type AS etype,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events
+         WHERE (event_type = 'signup' OR value BETWEEN 100.0 AND 110.0
+                OR CAST(json_extract_string(props, '$.k') AS INT) = 87)
+           AND ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'
+                      AND TIMESTAMP '2024-01-08 00:00:00'
+         ORDER BY event_id""",
+    "j_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INT) > 80
+         ORDER BY event_id""",
+    "f_stored_fn" ->
+      """SELECT l_returnflag,
+         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4)
+           AS fn_revenue
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "z_compress_roundtrip" ->
+      """SELECT doc_id, length(text) AS n_roundtrip_chars
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -18,8 +18,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries
+    Analytics.queries ++ EgraphQueries.queries
 
   def oracleSql: Map[String, String] =
-    Analytics.oracles
+    Analytics.oracles ++ EgraphQueries.oracles
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deflate/inflate of detail blobs as native Catalyst expressions —
+  * the columnar analog of the reference's zlib detail compression
+  * (`src/egraph_compression_util.erl`, `src/egraph_zlib_util.erl`).
+  * No dictionary support yet (the reference's dictionary table is
+  * an optimization over the same codec).
+  */
+object Compression {
+
+  private[functions] def deflate(bytes: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(bytes); d.finish()
+    val out = new ByteArrayOutputStream(math.max(32, bytes.length / 4))
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private[functions] def inflate(bytes: Array[Byte]): Array[Byte] = {
+    val i = new Inflater()
+    i.setInput(bytes)
+    val out = new ByteArrayOutputStream(math.max(32, bytes.length * 4))
+    val buf = new Array[Byte](8192)
+    while (!i.finished()) out.write(buf, 0, i.inflate(buf))
+    i.end()
+    out.toByteArray
+  }
+
+  case class DeflateExpr(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any = v match {
+      case s: UTF8String => deflate(s.getBytes)
+      case b: Array[Byte] => deflate(b)
+    }
+    override protected def withNewChildInternal(c: Expression): DeflateExpr = copy(c)
+  }
+
+  case class InflateExpr(child: Expression) extends UnaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(v: Any): Any =
+      inflate(v.asInstanceOf[Array[Byte]])
+    override protected def withNewChildInternal(c: Expression): InflateExpr = copy(c)
+  }
+}

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.call_function
+
+/** Named-function registry — the Spark analog of the reference's
+  * stored-function table (`models/egraph_function_model.erl`,
+  * `src/egraph_compiler.erl`): functions are registered by name
+  * into the session's FunctionRegistry and callable from any query
+  * (SQL or Column API) in that session.
+  *
+  * Registered as native Catalyst expressions, not Scala UDFs, so
+  * they stay inside codegen'd plans wherever possible.
+  */
+object Registry {
+
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_deflate",
+      exprs => Compression.DeflateExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_inflate",
+      exprs => Compression.InflateExpr(exprs.head), "built-in")
+    // Business function of the kind the reference stores per-name:
+    // net revenue of a line item.
+    reg.createOrReplaceTempFunction("graft_revenue",
+      exprs => org.apache.spark.sql.catalyst.expressions.Multiply(
+        exprs(0),
+        org.apache.spark.sql.catalyst.expressions.Subtract(
+          org.apache.spark.sql.catalyst.expressions.Literal(1.0), exprs(1))),
+      "built-in")
+  }
+
+  def deflate(c: Column): Column = call_function("graft_deflate", c)
+  def inflate(c: Column): Column = call_function("graft_inflate", c)
+  def revenue(price: Column, discount: Column): Column =
+    call_function("graft_revenue", price, discount)
+}

@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over the edge DataFrame — the batch-scale
+  * path for the reference's "massively scalable" graph vision
+  * (README "Vision"). All DataFrame-iterative: each round is a
+  * bounded number of shuffles, lineage truncated by localCheckpoint,
+  * so rounds stay O(1) cost at any depth.
+  */
+object Algorithms {
+
+  /** Out/in degree per node over the directed link table
+    * (reference link query surface: egraph_link_model.erl). */
+  def degrees(edges: DataFrame): DataFrame = {
+    val out = edges.groupBy(col("src_key").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst_key").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+  }
+
+  /** Global triangle count over an undirected (a, b) adjacency.
+    * Node-ordered wedge join: each triangle counted exactly once as
+    * a < b < c. Two shuffles (the two self-joins); at scale the
+    * ordered edge list halves the join input vs naive adjacency.
+    */
+  def triangleCount(undirectedEdges: DataFrame): DataFrame = {
+    val e = undirectedEdges.filter(col("a") < col("b")).localCheckpoint()
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y2"), col("b").as("z"))
+    val wedges = e1.join(e2, col("y") === col("y2"))
+      .select(col("x"), col("y"), col("z"))
+    val e3 = e.select(col("a").as("x2"), col("b").as("z2"))
+    wedges.join(e3, col("x") === col("x2") && col("z") === col("z2"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** PageRank with uniform teleport; `iters` fixed rounds, one
+    * shuffle per round (contribution group-by). Dangling-node mass
+    * is redistributed uniformly each round so ranks sum to n. */
+  def pageRank(undirectedEdges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val nodes = undirectedEdges.select(col("a").as("node")).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val outDeg = undirectedEdges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = undirectedEdges
+        .join(ranks.join(outDeg, Seq("node")), col("a") === col("node"))
+        .select(col("b").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy("node").agg(sum("c").as("csum"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("csum"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Connected components by min-label propagation: every node takes
+    * the minimum label in its closed neighborhood until fixpoint.
+    * Converges in O(component diameter) rounds; each round is one
+    * aggregation shuffle. Returns (node, component) with the
+    * component named by its lexicographically smallest member. */
+  def connectedComponents(undirectedEdges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    var labels = undirectedEdges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      iter += 1
+      val next = undirectedEdges
+        .join(labels, col("a") === col("node"))
+        .select(col("b").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+}

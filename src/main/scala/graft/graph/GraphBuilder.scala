@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Builds the property graph (nodes + links) from the raw tables.
+  *
+  * Mirrors the reference's data model — nodes are JSON documents
+  * addressed by `xxhash64(key_data)` and links are
+  * (source, destination, details) rows — re-expressed as two
+  * DataFrames (reference: `models/egraph_detail_model.erl`,
+  * `models/egraph_link_model.erl`,
+  * `sql/egraph_table_creation.sql:168-198`).
+  *
+  * Node identity uses Spark's built-in `xxhash64`, the same hash
+  * family the reference uses for `key_data → id`
+  * (`src/egraph_util.erl`, `src/egraph_shard_util.erl`). At 100 TB
+  * the id doubles as the shuffle/bucket key, exactly like the
+  * reference's "last 11 bits of source" shard routing.
+  */
+object GraphBuilder {
+
+  /** Customer + supplier nodes: (key_data, id, details-JSON).
+    *
+    * `details` carries only exactly-representable JSON scalars
+    * (strings / ints / decimal(12,2)) so the rendered text is
+    * byte-identical across engines.
+    */
+  def nodes(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      concat(lit("c:"), col("c_custkey").cast("string")).as("key_data"),
+      to_json(struct(
+        col("c_name").as("name"),
+        col("c_nationkey").as("nationkey"),
+        col("c_acctbal").cast("decimal(12,2)").cast("string").as("acctbal"),
+        col("c_mktsegment").as("mktsegment"))).as("details"))
+    val supp = Tables.supplier(s, dir).select(
+      concat(lit("s:"), col("s_suppkey").cast("string")).as("key_data"),
+      to_json(struct(
+        col("s_name").as("name"),
+        col("s_nationkey").as("nationkey"),
+        col("s_acctbal").cast("decimal(12,2)").cast("string").as("acctbal"))).as("details"))
+    cust.unionByName(supp)
+      .withColumn("id", xxhash64(col("key_data")))
+  }
+
+  /** Customer→supplier links derived from orders ⋈ lineitem, with
+    * per-pair aggregates as the link details. The orderkey join is
+    * the only shuffle; the group-by runs on the join's output
+    * partitioning via partial (map-side) aggregation.
+    */
+  def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_quantity"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(
+        concat(lit("c:"), col("o_custkey").cast("string")).as("src_key"),
+        concat(lit("s:"), col("l_suppkey").cast("string")).as("dst_key"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast("decimal(38,6)")), 4).as("sum_qty"))
+
+  /** Undirected, deduplicated (a, b) adjacency — both directions
+    * materialized, like the reference's two-rows-per-bidirectional-link
+    * convention (`sql/egraph_table_creation.sql:183` comment). */
+  def undirected(edges: DataFrame): DataFrame = {
+    val ab = edges.select(col("src_key").as("a"), col("dst_key").as("b"))
+    ab.unionByName(ab.select(col("b").as("a"), col("a").as("b"))).distinct()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Frontier-based traversals over an undirected adjacency DataFrame
+  * `(a, b)` — the Spark re-expression of the reference's N-depth
+  * expansion (`models/egraph_fquery_model.erl:100-110`) and DFS
+  * path search (`src/egraph_dfs_algo.erl:36-99`).
+  *
+  * Scale notes (100 TB contract, SURVEY.md §5): each level is one
+  * `frontier ⋈ edges` shuffle; the frontier is broadcast while it
+  * stays under [[broadcastLimit]] rows, and every level is
+  * `localCheckpoint`ed so lineage (and thus re-execution cost on
+  * failure) stays O(1) in depth, not O(depth).
+  */
+object Traversal {
+
+  /** Frontiers below this row count are broadcast into the edge join. */
+  val broadcastLimit = 4000000L
+
+  /** All nodes within `maxDepth` hops of the seeds, with their
+    * minimum depth (seeds at depth 0). */
+  def bfsLevels(edges: DataFrame, seeds: Seq[String], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var visited = seeds.toDF("node").withColumn("depth", lit(0)).localCheckpoint()
+    var frontier = visited.select("node")
+    var frontierSize = seeds.size.toLong
+    var depth = 0
+    while (depth < maxDepth && frontierSize > 0) {
+      depth += 1
+      val f = if (frontierSize <= broadcastLimit) broadcast(frontier) else frontier
+      val next = edges.join(f, edges("a") === f("node"))
+        .select(col("b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("depth", lit(depth))
+        .localCheckpoint()
+      frontierSize = next.count()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select("node")
+    }
+    visited
+  }
+
+  /** One seed→destination path, reference DFS semantics ("a path,
+    * not necessarily shortest" — egraph_dfs_algo.erl:63-66). The
+    * distributed form runs level-synchronous parent discovery
+    * (deterministic min-parent tie-break), then walks parent
+    * pointers back — path reconstruction is inherently sequential
+    * and touches only path-length many tiny lookups.
+    *
+    * Returns (step, node) rows, step 0 = source.
+    */
+  def pathBetween(edges: DataFrame, source: String, destination: String,
+      maxDepth: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (source == destination)
+      return Seq((0, source)).toDF("step", "node")
+    var frontier = Seq(source).toDF("node").localCheckpoint()
+    var visited = frontier
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var found = false
+    var depth = 0
+    while (!found && depth < maxDepth && frontier.count() > 0) {
+      depth += 1
+      val parents = edges.join(broadcast(frontier), edges("a") === col("node"))
+        .groupBy(col("b").as("child")).agg(min(col("a")).as("parent"))
+        .join(visited, col("child") === col("node"), "left_anti")
+        .localCheckpoint()
+      levels += parents
+      visited = visited.unionByName(parents.select(col("child").as("node")))
+        .localCheckpoint()
+      frontier = parents.select(col("child").as("node")).localCheckpoint()
+      found = parents.filter(col("child") === destination).count() > 0
+    }
+    if (!found) return spark.emptyDataFrame.selectExpr("0 as step", "'' as node").limit(0)
+    // walk back: levels(i) maps child -> parent at depth i+1
+    var path = List(destination)
+    var current = destination
+    var level = levels.size - 1
+    while (level >= 0) {
+      val p = levels(level).filter(col("child") === current)
+        .select("parent").collect()
+      if (p.nonEmpty) { current = p.head.getString(0); path = current :: path }
+      level -= 1
+    }
+    path.zipWithIndex.map { case (n, i) => (i, n) }.toDF("step", "node")
+  }
+
+  /** Weighted single-source shortest distances by iterative edge
+    * relaxation (Bellman-Ford rounds; converges in ≤ diameter
+    * rounds, each one shuffle). Edges: (a, b, w). */
+  def shortestPathsWeighted(edges: DataFrame, source: String,
+      maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((source, 0.0)).toDF("node", "dist").localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      iter += 1
+      val relaxed = edges.join(dist, edges("a") === dist("node"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist.select("node", "dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      changed = relaxed.join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .limit(1).count() > 0
+      dist = relaxed
+    }
+    dist
+  }
+}

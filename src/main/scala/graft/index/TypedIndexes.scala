@@ -1,0 +1,81 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Typed secondary indexes: the Spark re-expression of the
+  * reference's per-type lookup shard tables
+  * (`sql/egraph_table_creation.sql:56-160`,
+  * `models/egraph_index_model.erl`) — `int | double | text | geo |
+  * date | datetime` entries mapping an index key to a node id.
+  *
+  * Here an index is one DataFrame `(index_name, key_type, key_str,
+  * node_key)`. At 100 TB it is written
+  * `partitionBy(index_name, key_type)` so a probe prunes to a single
+  * directory and pushes the key predicate into the parquet scan —
+  * the moral equivalent of the reference's table-per-index sharding.
+  */
+object TypedIndexes {
+
+  /** Typed index rows for the customer nodes, including the
+    * `_lc__`-suffixed lowercase variant the reference derives
+    * automatically (README "lowercase_indexes"). Keys are carried
+    * as strings (numerics via DECIMAL casts) so one frame holds all
+    * types, mirroring key_data blobs. */
+  def build(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val key = concat(lit("c:"), col("c_custkey").cast("string"))
+    def entry(name: String, typ: String, k: Column) =
+      c.select(lit(name).as("index_name"), lit(typ).as("key_type"),
+        k.cast("string").as("key_str"), key.as("node_key"))
+    entry("name", "text", col("c_name"))
+      .unionByName(entry("mktsegment", "text", col("c_mktsegment")))
+      .unionByName(entry("mktsegment_lc__", "text", lower(col("c_mktsegment"))))
+      .unionByName(entry("nationkey", "int", col("c_nationkey")))
+      .unionByName(entry("acctbal", "double",
+        col("c_acctbal").cast("decimal(12,2)")))
+  }
+
+  /** Write the index partitioned for probe-time pruning (scale path;
+    * the query gate probes the in-plan frame instead). */
+  def write(ix: DataFrame, path: String): Unit =
+    ix.write.mode("overwrite").partitionBy("index_name", "key_type").parquet(path)
+
+  /** Exact probe — index_name + key → node keys. */
+  def probeExact(ix: DataFrame, name: String, typ: String, key: String): DataFrame =
+    ix.filter(col("index_name") === name && col("key_type") === typ &&
+        col("key_str") === key)
+      .select("node_key")
+
+  /** Range probe `[lo, hi]` on a numeric index (README's
+    * two-element-array condition form). */
+  def probeRangeDouble(ix: DataFrame, name: String, lo: Double, hi: Double): DataFrame =
+    ix.filter(col("index_name") === name && col("key_type") === "double" &&
+        col("key_str").cast("double").between(lo, hi))
+      .select(col("node_key"), col("key_str").cast("double").as("key_val"))
+
+  /** Datetime-range probe over orders (reference datetime index
+    * type), mapping to the order ids in range. */
+  def probeDateRange(s: SparkSession, dir: String, lo: String, hi: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+        col("o_orderdate") < lit(hi).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"))
+
+  /** Geo probe: nodes within `radius` (planar degree metric) of a
+    * point — the reference's spatial index surface
+    * (`egraph_lookup_geo_base`). Coordinates are synthesized
+    * deterministically from the key so the oracle can reproduce
+    * them; all arithmetic is exact in IEEE doubles. */
+  def geoRadius(s: SparkSession, dir: String, lat0: Double, lon0: Double,
+      radius: Double): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .withColumn("lat", (col("c_custkey") % 180).cast("double") - 90.0 + 0.5)
+      .withColumn("lon", ((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5)
+    c.filter(pow(col("lat") - lat0, 2) + pow(col("lon") - lon0, 2)
+        <= radius * radius)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node_key"),
+        col("lat"), col("lon"))
+  }
+}
