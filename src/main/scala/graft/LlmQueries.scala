@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ann.Knn
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+
+/** LLM-training-data pipeline + streaming blocks of SURVEY.md §2. */
+object LlmQueries {
+
+  private val dim = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("n_copies") > 1)
+        .orderBy("fp")
+    },
+
+    "d_jaccard_pairs" -> { (s, d) =>
+      // exact token-set Jaccard over consecutive-id pairs (the
+      // verification kernel of the LSH pipeline, oracle-checkable)
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
+      t.as("x").join(t.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          round(Dedup.jaccard(col("x.toks"), col("y.toks")), 4).as("j"))
+        .filter(col("j") >= 0.5)
+        .orderBy("a")
+    },
+
+    "d_dedup_minhash" -> { (s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("a", "b")
+    },
+
+    "d_dedup_simhash" -> { (s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy("a", "b")
+    },
+
+    "d_neardup_embedding" -> { (s, d) =>
+      Knn.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim, threshold = 0.35)
+        .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+        .orderBy("a", "b")
+    },
+
+    "e_knn_brute" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+
+    "e_knn_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Knn.lshTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+
+    "t_token_stats" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          size(TextAnalysis.wsTokens(col("text"))).as("n_ws_tokens"),
+          size(TextAnalysis.bpeishTokens(col("text"))).as("n_re_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    "t_quality" -> { (s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "t_langid" -> { (s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "t_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    "m_multimodal_meta" -> { (s, d) =>
+      Multimodal.decodeFeatures(
+          Multimodal.attachMedia(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")
+    },
+
+    "s_window_agg" -> { (s, d) =>
+      EventStreams.windowAggBatch(Tables.events(s, d))
+        .orderBy("window_start", "event_type")
+    },
+
+    "s_sessionize" -> { (s, d) =>
+      EventStreams.sessionizeBatch(Tables.events(s, d))
+        .orderBy("user_id", "event_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d_dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+         count(*) AS n_copies, min(doc_id) AS keeper
+         FROM documents GROUP BY fp HAVING count(*) > 1 ORDER BY fp""",
+    "d_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           round(len(list_intersect(x.toks, y.toks))::DOUBLE
+                 / len(list_distinct(list_concat(x.toks, y.toks))), 4) AS j
+         FROM t x JOIN t y ON y.doc_id = x.doc_id + 1
+         WHERE round(len(list_intersect(x.toks, y.toks))::DOUBLE
+                 / len(list_distinct(list_concat(x.toks, y.toks))), 4) >= 0.5
+         ORDER BY a""",
+    "d_neardup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings)
+         SELECT x.vec_id AS a, y.vec_id AS b,
+           round(
+             list_sum(list_transform(range(1, 65),
+               i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))), 4) AS sim
+         FROM e x JOIN e y ON x.vec_id < y.vec_id
+         WHERE list_sum(list_transform(range(1, 65),
+               i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))))
+               >= 0.35
+         ORDER BY a, b""",
+    "e_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                    WHERE vec_id < 10),
+         sims AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS sim
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rk
+           FROM sims)
+         SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim
+         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    "t_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re_tokens,
+         length(text) AS n_chars
+         FROM documents ORDER BY doc_id""",
+    "t_quality" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+             string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id, n_chars, len(toks) AS n_tokens,
+           round((n_chars - (len(toks) - 1))::DOUBLE / len(toks), 4)
+             AS avg_token_len,
+           round(len(list_filter(toks, x -> x IN
+             ('the','a','of','to','and','in','is','that')))::DOUBLE
+             / len(toks), 4) AS stopword_ratio
+         FROM t ORDER BY doc_id""",
+    "s_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS n_events,
+         round(sum(CAST(value AS DECIMAL(38,6))), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "s_sessionize" ->
+      """SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_seq
+         FROM (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL THEN 1
+                  WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) > 1800 THEN 1
+                  ELSE 0 END AS new_session
+           FROM events)
+         ORDER BY user_id, event_id"""
+  )
+}

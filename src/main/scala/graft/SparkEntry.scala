@@ -18,8 +18,8 @@ object SparkEntry {
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ EgraphQueries.queries
+    Analytics.queries ++ EgraphQueries.queries ++ LlmQueries.queries
 
   def oracleSql: Map[String, String] =
-    Analytics.oracles ++ EgraphQueries.oracles
+    Analytics.oracles ++ EgraphQueries.oracles ++ LlmQueries.oracles
 }

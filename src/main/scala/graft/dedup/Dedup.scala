@@ -1,0 +1,124 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for document corpora (SURVEY.md §2
+  * "LLM-training-data pipeline"). Everything is built from
+  * codegen'd built-in higher-order functions — no UDFs — so the
+  * whole pipeline stays inside WholeStageCodegen and scales by
+  * partitioning alone:
+  *
+  *  - exact: hash-groupBy on a normalized content fingerprint;
+  *  - MinHash+LSH: shingle → k minhashes → banded bucket join —
+  *    the only shuffle is the band-bucket groupBy, never an n² join;
+  *  - SimHash: 64-bit sign-aggregated token-hash fingerprint;
+  *  - exact n-gram Jaccard for candidate-pair verification.
+  */
+object Dedup {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Bag-of-words content fingerprint: md5 of the sorted distinct
+    * token set. Exact dedup = groupBy on this. */
+  def bowFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(tokenSet(text))))
+
+  /** Exact-duplicate groups: fingerprint → (n_copies, keeper id). */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(bowFingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
+
+  /** Word n-grams (default 3) as space-joined strings. */
+  def ngrams(toks: Column, n: Int = 3): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** Exact Jaccard similarity of two string sets. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** k MinHash values over a shingle set: min over shingles of
+    * xxhash64(shingle, seed). One pass, map-side only. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+
+  /** Banded LSH bucket keys: `b` bands of `r` signature rows each,
+    * emitted as (band, bucket-hash) structs for the explode+groupBy. */
+  def lshBands(sig: Column, b: Int, r: Int): Column =
+    transform(sequence(lit(0), lit(b - 1)),
+      j => struct(j.as("band"),
+        xxhash64(concat_ws(",", slice(sig, j * r + 1, lit(r))), j).as("bucket")))
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification.
+    *
+    * Shuffles: one groupBy on (band, bucket) realized as a
+    * self-join, then the verification join back to the shingle
+    * sets. The bucket join's fan-in is bounded by the LSH bands —
+    * at 100 TB the candidate set stays ~linear in true near-dups,
+    * never the n² cross product.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val r = numHashes / bands
+    val withSets = docs.select(col(idCol).as("id"),
+      tokenSet(col(textCol)).as("sh"))
+    val sigs = withSets
+      .withColumn("bands", lshBands(minhashSignature(col("sh"), numHashes), bands, r))
+      .select(col("id"), explode(col("bands")).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    cands
+      .join(withSets.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(withSets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        round(jaccard(col("sha"), col("shb")), 4).as("j"))
+      .filter(col("j") >= threshold)
+  }
+
+  /** 64-bit SimHash over the token multiset: bit b of the result is
+    * set iff more token-hashes have bit b set than clear. */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc.bitwiseOR(
+        when(size(filter(hashes,
+          h => h.bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0L)) * 2
+          > size(hashes), call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into four
+    * 16-bit blocks (two equal blocks ⇒ hamming ≤ 32 guaranteed
+    * candidate recall at small distances), verify by true hamming
+    * distance ≤ maxHamming. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val withSim = docs.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("sim"))
+    val banded = withSim.select(col("id"), col("sim"),
+        explode(transform(sequence(lit(0), lit(3)),
+          j => struct(j.as("band"),
+            call_function("shiftright", col("sim"), lit(16) * j.cast("int"))
+              .bitwiseAND(lit(0xFFFFL)).as("block")))).as("bb"))
+      .select(col("id"), col("sim"), col("bb.band"), col("bb.block"))
+    val hamming = {
+      val x = col("x.sim").bitwiseXOR(col("y.sim"))
+      bit_count(x)
+    }
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.block") === col("y.block") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming.as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Compression {
 
-  private[functions] def deflate(bytes: Array[Byte]): Array[Byte] = {
+  def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.BEST_SPEED)
     d.setInput(bytes); d.finish()
     val out = new ByteArrayOutputStream(math.max(32, bytes.length / 4))
@@ -26,7 +26,7 @@ object Compression {
     out.toByteArray
   }
 
-  private[functions] def inflate(bytes: Array[Byte]): Array[Byte] = {
+  def inflate(bytes: Array[Byte]): Array[Byte] = {
     val i = new Inflater()
     i.setInput(bytes)
     val out = new ByteArrayOutputStream(math.max(32, bytes.length * 4))

@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with typed metadata, and decode /
+  * feature-extraction runs batched per partition.
+  *
+  * The decode itself is STUBBED (no media libraries in this
+  * environment) with a deterministic fake that derives pixel
+  * dimensions and a checksum from the payload bytes — the Spark
+  * plumbing around it (schema, binary transport, per-partition
+  * batching, output shape) is real and spec-tested, and swapping
+  * the stub for a JNI/codec call changes nothing structural.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], media_type: String)
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+    width: Int, height: Int, checksum: Long)
+
+  /** Attach a synthetic binary media column to the documents table
+    * (payload = utf-8 text bytes standing in for encoded media). */
+  def attachMedia(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        concat(lit("image/fake-"), col("lang")).as("media_type"))
+      .as[MediaRow]
+  }
+
+  /** STUB decode: stands in for an image decoder. Deterministic
+    * dimensions/checksum from the bytes; processes each partition
+    * in batches of `batchSize` the way a vectorized decoder would. */
+  def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64)
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would hand `batch` to the codec in one call
+        batch.map { r =>
+          val n = r.media.length
+          var cs = 0L
+          var i = 0
+          while (i < n) { cs = cs * 31 + (r.media(i) & 0xFF); i += 1 }
+          MediaFeatures(r.doc_id, r.media_type, n,
+            width = 16 + (n % 64), height = 16 + ((n / 64) % 64), checksum = cs)
+        }
+      }
+    }
+  }
+}

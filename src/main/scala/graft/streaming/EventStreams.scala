@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators. Each has a batch form (driver-verifiable
+  * against SQL) and a Structured Streaming form (state bounded by
+  * watermark / per-key state, pinned by StreamingSpec).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type (batch form —
+    * identical expression works under readStream). */
+  def windowAggBatch(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(38,6)")), 4).as("sum_value"))
+
+  /** Session assignment with a 30-minute inactivity gap: a new
+    * session starts when the gap from the previous event of the
+    * same user exceeds the threshold. Batch form = lag + running
+    * sum over the per-user window. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+    events
+      .withColumn("new_session",
+        when(gap.isNull || gap > gapMinutes * 60L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("user_id"), col("event_id"), col("session_seq"))
+  }
+
+  /** Streaming windowed aggregation with a watermark bounding state. */
+  def windowAggStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+  case class SessionState(lastTs: Long, seq: Long)
+  case class SessionOut(user_id: Long, event_id: Long, session_seq: Long)
+
+  /** Streaming sessionization: per-user state via
+    * flatMapGroupsWithState — state size scales with active users,
+    * not event volume. Assumes per-user event-time order within a
+    * batch (enforced by sorting each group's batch slice). */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val newSession = st.lastTs == Long.MinValue ||
+              e.ts.getTime - st.lastTs > gapMinutes * 60000L
+            st = SessionState(e.ts.getTime, if (newSession) st.seq + 1 else st.seq)
+            SessionOut(user, e.event_id, st.seq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

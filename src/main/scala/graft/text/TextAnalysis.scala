@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation (SURVEY.md §2):
+  * token counting, quality scoring, heuristic language ID, and
+  * rolling-hash fingerprinting. All built-in expressions — the per-
+  * document work is embarrassingly parallel and codegen'd.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space corpus convention). */
+  def wsTokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single
+    * non-alphanumeric marks. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  /** Small multilingual stopword table for the heuristic scorer. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de" -> Seq("der", "die", "das", "und", "in", "ein", "ist", "zu"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** (n_tokens, n_chars, avg_token_len, stopword_ratio) per doc —
+    * the length/punct/stopword quality features. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    df.select(col(idCol),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      round((length(col(textCol)) - (size(toks) - 1))
+        .cast("double") / size(toks), 4).as("avg_token_len"),
+      round(countIn(toks, stopwords("en")).cast("double") / size(toks), 4)
+        .as("stopword_ratio"))
+  }
+
+  /** Heuristic language ID: argmax over per-language stopword hit
+    * ratios; ties broken by language code. Returns (id, pred_lang,
+    * score). */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(round(countIn(toks, words).cast("double") / size(toks), 6).as("score"),
+        lit(lang).as("lang"))
+    }
+    df.select(col(idCol),
+      greatest(scored: _*).getField("lang").as("pred_lang"),
+      greatest(scored: _*).getField("score").as("score"))
+  }
+
+  /** Order-sensitive rolling polynomial hash over the token-hash
+    * sequence (multiplier 1000003, masked to 32 bits each step so
+    * the multiply never overflows a long under ANSI mode) — the
+    * document fingerprint. Distinguishes permuted documents, unlike
+    * the bag-of-words fingerprint. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(wsTokens(text), lit(0L),
+      (acc, t) => (acc * 1000003L + xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))
+        .bitwiseAND(lit(0xFFFFFFFFL)))
+}

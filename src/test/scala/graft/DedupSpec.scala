@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val docs = Tables.documents(spark, sfDir).cache()
+
+  test("minhash LSH near-dups: full precision, high recall vs exact") {
+    val t = docs.select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
+    val exact = t.as("x").join(t.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        round(Dedup.jaccard(col("x.toks"), col("y.toks")), 4).as("j"))
+      .filter(col("j") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified candidates must satisfy the threshold")
+    val recall = lsh.size.toDouble / exact.size.max(1)
+    assert(recall >= 0.8, s"recall $recall (lsh=${lsh.size}, exact=${exact.size})")
+  }
+
+  test("simhash is order-invariant and hamming bound holds") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),
+      (3L, "totally different words here entirely")).toDF("doc_id", "text")
+    val sims = df.select(col("doc_id"), Dedup.simhash64(Dedup.tokens(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L), "bag-of-words simhash must ignore order")
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .agg(max("hamming"), min("hamming")).head()
+    assert(pairs.getInt(0) <= 8)
+  }
+
+  test("exact groups partition the corpus") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(g.agg(sum("n_copies")).head().getLong(0) == docs.count())
+  }
+}

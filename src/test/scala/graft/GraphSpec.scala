@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.{Algorithms, GraphBuilder, Traversal}
+
+class GraphSpec extends AnyFunSuite with SparkFixture {
+
+  private def und(pairs: (String, String)*) = {
+    import spark.implicits._
+    val e = pairs.toDF("src_key", "dst_key")
+    GraphBuilder.undirected(e)
+  }
+
+  test("node ids are distinct xxhash64 values keyed by key_data") {
+    val n = GraphBuilder.nodes(spark, sfDir)
+    assert(n.count() == n.select("id").distinct().count())
+    val one = n.filter(col("key_data") === "c:1")
+      .select(col("id") === xxhash64(col("key_data"))).head().getBoolean(0)
+    assert(one)
+  }
+
+  test("connected components on a two-component graph") {
+    val cc = Algorithms.connectedComponents(und("a" -> "b", "b" -> "c", "d" -> "e"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d", "e" -> "d"))
+  }
+
+  test("bfs levels gives min depth") {
+    val lv = Traversal.bfsLevels(und("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "d"),
+        Seq("a"), 5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(lv == Map("a" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
+  }
+
+  test("pathBetween returns a valid edge path on real data") {
+    val edges = GraphBuilder.undirected(GraphBuilder.edges(spark, sfDir))
+      .cache()
+    val path = Traversal.pathBetween(edges, "c:1", "s:5")
+      .orderBy("step").collect().map(_.getString(1))
+    assert(path.head == "c:1" && path.last == "s:5")
+    val pairs = path.sliding(2).map(p => (p(0), p(1))).toSeq
+    val valid = pairs.forall { case (a, b) =>
+      edges.filter(col("a") === a && col("b") === b).count() == 1 }
+    assert(valid, s"non-edge step in ${path.mkString("->")}")
+  }
+
+  test("triangle count on known graphs") {
+    def n(e: org.apache.spark.sql.DataFrame) =
+      Algorithms.triangleCount(e).head().getLong(0)
+    assert(n(und("a" -> "b", "b" -> "c", "a" -> "c")) == 1)
+    assert(n(und("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d")) == 1)
+    assert(n(und("a" -> "b", "b" -> "c")) == 0)
+  }
+
+  test("pagerank mass is conserved and hubs rank higher") {
+    val star = und("hub" -> "x1", "hub" -> "x2", "hub" -> "x3", "x1" -> "x2")
+    val pr = Algorithms.pageRank(star, iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 4.0) < 0.05, s"mass drifted: $pr")
+    assert(pr("hub") > pr("x3"))
+  }
+
+  test("weighted sssp matches hand-computed distances") {
+    import spark.implicits._
+    val e = Seq(("a", "b", 1.0), ("b", "c", 2.0), ("a", "c", 5.0), ("c", "d", 1.0))
+      .toDF("a", "b", "w")
+    val both = e.unionByName(e.select(col("b").as("a"), col("a").as("b"), col("w")))
+    val d = Traversal.shortestPathsWeighted(both, "a")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d == Map("a" -> 0.0, "b" -> 1.0, "c" -> 3.0, "d" -> 4.0))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Compression, Registry}
+import graft.multimodal.Multimodal
+
+class MiscSpec extends AnyFunSuite with SparkFixture {
+
+  test("deflate/inflate roundtrips exactly, including unicode") {
+    import spark.implicits._
+    Registry.registerAll(spark)
+    val df = Seq("plain ascii", "ünïcødé — 中文 🚀", "", "a" * 10000)
+      .toDF("s")
+    val rt = df.select(col("s"),
+      Registry.inflate(Registry.deflate(col("s"))).cast("string").as("r"))
+    assert(rt.filter(col("s") =!= col("r")).count() == 0)
+    // repetitive payloads must actually compress
+    val sizes = df.filter(length(col("s")) === 10000)
+      .select(length(col("s").cast("binary")),
+        length(Registry.deflate(col("s")))).head()
+    assert(sizes.getInt(1) < sizes.getInt(0) / 10)
+  }
+
+  test("deflate bytes match java.util.zip reference") {
+    val raw = "reference payload".getBytes("UTF-8")
+    assert(java.util.Arrays.equals(
+      Compression.inflate(Compression.deflate(raw)), raw))
+  }
+
+  test("multimodal decode plumbing: deterministic, batch-size invariant") {
+    val media = Multimodal.attachMedia(Tables.documents(spark, sfDir))
+    val f1 = Multimodal.decodeFeatures(media, batchSize = 1)
+      .collect().map(f => f.doc_id -> f).toMap
+    val f64 = Multimodal.decodeFeatures(media, batchSize = 64)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(f1.keySet == f64.keySet && f1.keySet.nonEmpty)
+    assert(f1.forall { case (k, v) => f64(k) == v })
+    val sample = f1.values.head
+    assert(sample.width >= 16 && sample.width < 80)
+    assert(sample.n_bytes > 0)
+  }
+
+  test("stored function registry: revenue matches inline expression") {
+    Registry.registerAll(spark)
+    val li = Tables.lineitem(spark, sfDir)
+    val diff = li.select(
+      (Registry.revenue(col("l_extendedprice"), col("l_discount")) -
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0)
+  }
+}
