@@ -1,15 +1,19 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Registry
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Cosine similarity is computed as an explicit left-to-right fold
-  * in double precision — `aggregate(sequence(…))` — so the result
-  * is bit-identical across engines (the oracle uses the same fold)
-  * and stays inside codegen.
+  * Cosine similarity = `graft_dot(a,b) / (norm_a · norm_b)` where
+  * `graft_dot` is a native expression doing the double-precision
+  * left-to-right fold in a tight loop — the same arithmetic as the
+  * SQL oracle (`list_sum(list_transform(…))`), ~100× faster than
+  * the interpreted higher-order-function form. Norms are computed
+  * once per vector (O(n)), never per pair (O(n²)).
   *
   * Brute force = broadcast(queries) ⨯ one scan of the corpus — the
   * scalable baseline when the query set is small. The LSH variant
@@ -19,27 +23,29 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Σ a[i]·b[i] over `dim` elements, double-precision left fold. */
-  def dot(a: Column, b: Column, dim: Int): Column =
-    aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-      (acc, i) => acc +
-        element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+  def dot(a: Column, b: Column): Column = Registry.dotProduct(a, b)
 
-  def cosine(a: Column, b: Column, dim: Int): Column =
-    dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def withNorm(df: DataFrame, idAs: String, vecAs: String,
+      normAs: String, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      sqrt(dot(col(vecCol), col(vecCol))).as(normAs))
 
   /** Exact top-k cosine neighbors of each query vector.
     * `queries` must be small (it is broadcast). Self-pairs excluded. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    Registry.registerAll(corpus.sparkSession)
+    val q = withNorm(queries, "query_id", "qv", "qn", idCol, vecCol)
+    val c = withNorm(corpus, "neighbor_id", "cv", "cn", idCol, vecCol)
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv"), dim).as("sim"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
@@ -47,40 +53,49 @@ object Knn {
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup). */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    Registry.registerAll(corpus.sparkSession)
+    val a = withNorm(corpus, "a", "va", "na", idCol, vecCol)
+    val b = withNorm(corpus, "b", "vb", "nb", idCol, vecCol)
     a.join(b, col("a") < col("b"))
-      .select(col("a"), col("b"), cosine(col("va"), col("vb"), dim).as("sim"))
+      .select(col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
+  /** Deterministic ±1 hyperplanes for the sign-LSH bucketing (fixed
+    * hash-derived pattern, no stored model). */
+  private[graft] def hyperplanes(dim: Int, bits: Int): Seq[Array[Double]] =
+    (0 until bits).map { j =>
+      Array.tabulate(dim) { i =>
+        if ((XXH64.hashLong((j.toLong << 32) | i.toLong, 7L) & 1L) == 1L) 1.0
+        else -1.0
+      }
+    }
+
   /** Random-hyperplane LSH bucket id: `bits` sign bits packed into a
-    * long. Hyperplane j's i-th component is ±1 by the parity of
-    * xxhash64(i, j) — deterministic, no stored model. */
+    * long. Each bit is one native dot product against a literal
+    * hyperplane — O(bits·dim) tight-loop work per row. */
   def lshBucket(v: Column, dim: Int, bits: Int): Column =
-    aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
-      (acc, j) => acc.bitwiseOR(
-        when(aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-          (s, i) => s + element_at(v, i).cast("double") *
-            (xxhash64(i, j).bitwiseAND(lit(1L)) * 2L - 1L).cast("double"))
-          > 0.0,
-          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)))
+    hyperplanes(dim, bits).zipWithIndex.map { case (hp, j) =>
+      when(dot(v, typedlit(hp.toSeq)) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Approximate top-k: candidates limited to the query's LSH bucket
     * (single probe), ranked by exact cosine. Trades recall for a
     * bucket-local join; measured against brute force in AnnSpec. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, k: Int, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), dim, bits).as("bucket"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), dim, bits).as("bucket"))
+    Registry.registerAll(corpus.sparkSession)
+    val c = withNorm(corpus, "neighbor_id", "cv", "cn", idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("cv"), dim, bits))
+    val q = withNorm(queries, "query_id", "qv", "qn", idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("qv"), dim, bits))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv"), dim).as("sim"))
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }

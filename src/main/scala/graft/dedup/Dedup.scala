@@ -41,11 +41,10 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** k MinHash values over a shingle set: min over shingles of
-    * xxhash64(shingle, seed). One pass, map-side only. */
+  /** k MinHash values over a shingle set in one native pass (one
+    * byte-hash per shingle + k long re-hashes). Map-side only. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+    graft.functions.Registry.minhashSig(shingles, lit(k))
 
   /** Banded LSH bucket keys: `b` bands of `r` signature rows each,
     * emitted as (band, bucket-hash) structs for the explode+groupBy. */
@@ -64,6 +63,7 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    graft.functions.Registry.registerAll(docs.sparkSession)
     val r = numHashes / bands
     val withSets = docs.select(col(idCol).as("id"),
       tokenSet(col(textCol)).as("sh"))
@@ -75,26 +75,31 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    // verification: token sets are tiny relative to the candidate
+    // set — broadcast them; |A∪B| = |A|+|B|−|A∩B| avoids a second
+    // array pass; the size-ratio guard kills impossible pairs
+    // before any array work (J ≥ t ⇒ min/max sizes ≥ t).
+    val sets = broadcast(withSets
+      .select(col("id"), col("sh"), size(col("sh")).as("sz")))
     cands
-      .join(withSets.select(col("id").as("a"), col("sh").as("sha")), "a")
-      .join(withSets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"),
+        col("sz").as("sza")), "a")
+      .join(sets.select(col("id").as("b"), col("sh").as("shb"),
+        col("sz").as("szb")), "b")
+      .filter(least(col("sza"), col("szb")).cast("double")
+        / greatest(col("sza"), col("szb")) >= threshold)
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
       .select(col("a"), col("b"),
-        round(jaccard(col("sha"), col("shb")), 4).as("j"))
+        round(col("inter").cast("double")
+          / (col("sza") + col("szb") - col("inter")), 4).as("j"))
       .filter(col("j") >= threshold)
   }
 
   /** 64-bit SimHash over the token multiset: bit b of the result is
-    * set iff more token-hashes have bit b set than clear. */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc.bitwiseOR(
-        when(size(filter(hashes,
-          h => h.bitwiseAND(call_function("shiftleft", lit(1L), b.cast("int"))) =!= 0L)) * 2
-          > size(hashes), call_function("shiftleft", lit(1L), b.cast("int"))).otherwise(0L)))
-  }
+    * set iff more token-hashes (xxhash64, seed 42) have bit b set
+    * than clear. Native single-pass expression. */
+  def simhash64(toks: Column): Column =
+    graft.functions.Registry.simhash(toks)
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit blocks (two equal blocks ⇒ hamming ≤ 32 guaranteed
@@ -102,6 +107,7 @@ object Dedup {
     * distance ≤ maxHamming. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
+    graft.functions.Registry.registerAll(docs.sparkSession)
     val withSim = docs.select(col(idCol).as("id"),
       simhash64(tokens(col(textCol))).as("sim"))
     val banded = withSim.select(col("id"), col("sim"),

@@ -16,6 +16,13 @@ object Registry {
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => VectorExpressions.DotProductExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_sig",
+      exprs => VectorExpressions.MinHashSigExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => VectorExpressions.SimHash64Expr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate",
       exprs => Compression.DeflateExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_inflate",
@@ -34,4 +41,8 @@ object Registry {
   def inflate(c: Column): Column = call_function("graft_inflate", c)
   def revenue(price: Column, discount: Column): Column =
     call_function("graft_revenue", price, discount)
+  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def minhashSig(tokens: Column, k: Column): Column =
+    call_function("graft_minhash_sig", tokens, k)
+  def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
 }

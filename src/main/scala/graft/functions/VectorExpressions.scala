@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the vector/fingerprint hot paths.
+  *
+  * The built-in higher-order-function formulations
+  * (`aggregate(sequence(…))`) are interpreted per element per row —
+  * at n² pair counts that dominates the runtime. These expressions
+  * do the same arithmetic in a tight loop. DotProductExpr
+  * accumulates left-to-right in double precision, bit-identical to
+  * the SQL-oracle fold it replaces.
+  */
+object VectorExpressions {
+
+  /** Σ a[i]·b[i], double accumulation, ascending index order. */
+  case class DotProductExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+
+    private def isFloat(e: Expression): Boolean =
+      e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    private lazy val lf = isFloat(left)
+    private lazy val rf = isFloat(right)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+        s += x * y
+        i += 1
+      }
+      s
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DotProductExpr = copy(l, r)
+  }
+
+  /** k MinHash values of a string array in one pass: per token one
+    * xxhash64 of the bytes, then k cheap long re-hashes. O(n·k)
+    * long mixing instead of O(n·k) string hashing. */
+  case class MinHashSigExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      val n = arr.numElements()
+      var t = 0
+      while (t < n) {
+        val s = arr.getUTF8String(t)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashLong(base, i.toLong)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        t += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash of a string array: bit b set iff more token
+    * hashes (xxhash64, seed 42) have bit b set than clear. */
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val n = arr.numElements()
+      var t = 0
+      while (t < n) {
+        val s = arr.getUTF8String(t)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        t += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (2 * counts(b) > n) out |= (1L << b)
+        b += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64Expr =
+      copy(child = c)
+  }
+}

@@ -43,13 +43,14 @@ object Algorithms {
   /** PageRank with uniform teleport; `iters` fixed rounds, one
     * shuffle per round (contribution group-by). Dangling-node mass
     * is redistributed uniformly each round so ranks sum to n. */
-  def pageRank(undirectedEdges: DataFrame, iters: Int = 10,
+  def pageRank(undirectedEdges0: DataFrame, iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
+    val undirectedEdges = undirectedEdges0.localCheckpoint()
     val nodes = undirectedEdges.select(col("a").as("node")).distinct()
       .localCheckpoint()
     val n = nodes.count()
     val outDeg = undirectedEdges.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contribs = undirectedEdges
@@ -70,8 +71,9 @@ object Algorithms {
     * Converges in O(component diameter) rounds; each round is one
     * aggregation shuffle. Returns (node, component) with the
     * component named by its lexicographically smallest member. */
-  def connectedComponents(undirectedEdges: DataFrame,
+  def connectedComponents(undirectedEdges0: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    val undirectedEdges = undirectedEdges0.localCheckpoint()
     var labels = undirectedEdges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var changed = true

@@ -21,9 +21,11 @@ object Traversal {
 
   /** All nodes within `maxDepth` hops of the seeds, with their
     * minimum depth (seeds at depth 0). */
-  def bfsLevels(edges: DataFrame, seeds: Seq[String], maxDepth: Int): DataFrame = {
-    val spark = edges.sparkSession
+  def bfsLevels(edges0: DataFrame, seeds: Seq[String], maxDepth: Int): DataFrame = {
+    val spark = edges0.sparkSession
     import spark.implicits._
+    // materialize the adjacency once — every level joins against it
+    val edges = edges0.localCheckpoint()
     var visited = seeds.toDF("node").withColumn("depth", lit(0)).localCheckpoint()
     var frontier = visited.select("node")
     var frontierSize = seeds.size.toLong
@@ -52,12 +54,13 @@ object Traversal {
     *
     * Returns (step, node) rows, step 0 = source.
     */
-  def pathBetween(edges: DataFrame, source: String, destination: String,
+  def pathBetween(edges0: DataFrame, source: String, destination: String,
       maxDepth: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
+    val spark = edges0.sparkSession
     import spark.implicits._
     if (source == destination)
       return Seq((0, source)).toDF("step", "node")
+    val edges = edges0.localCheckpoint()
     var frontier = Seq(source).toDF("node").localCheckpoint()
     var visited = frontier
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -92,10 +95,11 @@ object Traversal {
   /** Weighted single-source shortest distances by iterative edge
     * relaxation (Bellman-Ford rounds; converges in ≤ diameter
     * rounds, each one shuffle). Edges: (a, b, w). */
-  def shortestPathsWeighted(edges: DataFrame, source: String,
+  def shortestPathsWeighted(edges0: DataFrame, source: String,
       maxIter: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
+    val spark = edges0.sparkSession
     import spark.implicits._
+    val edges = edges0.localCheckpoint()
     var dist = Seq((source, 0.0)).toDF("node", "dist").localCheckpoint()
     var changed = true
     var iter = 0

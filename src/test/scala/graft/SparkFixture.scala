@@ -20,6 +20,7 @@ object SparkFixture {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.Registry.registerAll(s)
     s
   }
 }
