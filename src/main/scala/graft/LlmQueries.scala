@@ -60,6 +60,16 @@ object LlmQueries {
         .orderBy("query_id", "rk")
     },
 
+    "e_knn_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = ann.Ivf.train(emb, "vec_id", "embedding", dim, k = 16)
+      ann.Ivf.topK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim, k = 5, model, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+
     "e_knn_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Knn.lshTopK(emb, emb.filter(col("vec_id") < 10),

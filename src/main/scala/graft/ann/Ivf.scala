@@ -1,0 +1,100 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Registry
+
+/** IVF (inverted-file) approximate nearest neighbor: a coarse
+  * k-means quantizer splits the corpus into cells; a query probes
+  * only its `nprobe` nearest cells, so the search join is
+  * cell-local instead of corpus-wide.
+  *
+  * The quantizer is trained with a few Lloyd rounds entirely in
+  * DataFrames (assignment = argmax dot against broadcast-literal
+  * centroids; update = per-dimension mean via posexplode), and only
+  * the k·dim centroid matrix is ever collected — the model is
+  * driver-sized, the data never is. At 100 TB the cell id becomes
+  * the partition/bucket key so each probe reads `nprobe/k` of the
+  * corpus.
+  */
+object Ivf {
+
+  /** Normalized centroids, id → unit vector. */
+  final case class Model(centroids: Seq[(Int, Seq[Double])], dim: Int) {
+    /** Cell of a vector: argmax cosine over centroids (centroids are
+      * unit, so dot = cosine up to the vector's own norm). */
+    def cellExpr(v: Column): Column =
+      array_max(array(centroids.map { case (id, c) =>
+        struct(Knn.dot(v, typedlit(c)).as("score"), lit(id).as("cid"))
+      }: _*)).getField("cid")
+
+    /** The query's `nprobe` best cells, as an array column. */
+    def probeCellsExpr(v: Column, nprobe: Int): Column =
+      transform(
+        slice(reverse(array_sort(array(centroids.map { case (id, c) =>
+          struct(Knn.dot(v, typedlit(c)).as("score"), lit(id).as("cid"))
+        }: _*))), 1, nprobe),
+        s => s.getField("cid"))
+  }
+
+  private def normalize(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Train the coarse quantizer: deterministic seeding (first k
+    * vectors by id), `iters` Lloyd rounds. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int = 2): Model = {
+    Registry.registerAll(corpus.sparkSession)
+    val seeds = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)
+      }.toSeq
+    var model = Model(seeds, dim)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        model.cellExpr(col(vecCol)).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
+        .collect()
+        .map { r =>
+          val byPos = r.getMap[Int, Double](1)
+          r.getInt(0) -> normalize((0 until dim).map(i => byPos.getOrElse(i, 0.0)))
+        }.toSeq
+      // empty cells keep their previous centroid
+      val kept = model.centroids.toMap ++ means.toMap
+      model = Model(kept.toSeq.sortBy(_._1), dim)
+    }
+    model
+  }
+
+  /** Approximate top-k: per query, exact cosine rank over the
+    * vectors in its `nprobe` best cells. */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, model: Model,
+      nprobe: Int = 4): DataFrame = {
+    Registry.registerAll(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(Knn.dot(col(vecCol), col(vecCol))).as("cn"),
+      model.cellExpr(col(vecCol)).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(Knn.dot(col(vecCol), col(vecCol))).as("qn"),
+        model.probeCellsExpr(col(vecCol), nprobe).as("cells"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(col("cells")).as("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expressions for the vector/fingerprint hot paths.
   *
@@ -17,9 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorExpressions {
 
-  /** Σ a[i]·b[i], double accumulation, ascending index order. */
+  /** Σ a[i]·b[i], double accumulation, ascending index order.
+    * Implements doGenCode so surrounding projections keep their
+    * WholeStageCodegen span (a CodegenFallback here would split it). */
   case class DotProductExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
 
     private def isFloat(e: Expression): Boolean =
@@ -42,6 +43,21 @@ object VectorExpressions {
       }
       s
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val getL = if (lf) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+        val getR = if (rf) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+        s"""
+           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double acc = 0.0;
+           |for (int i = 0; i < n; i++) {
+           |  acc += $getL * $getR;
+           |}
+           |${ev.value} = acc;
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): DotProductExpr = copy(l, r)
   }

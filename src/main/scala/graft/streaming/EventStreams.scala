@@ -36,6 +36,14 @@ object EventStreams {
       .select(col("user_id"), col("event_id"), col("session_seq"))
   }
 
+  /** Streaming exact dedup: drop events whose dedup key was already
+    * seen, with the watermark bounding the dedup state (the
+    * streaming form of the corpus exact-dedup operator). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Streaming windowed aggregation with a watermark bounding state. */
   def windowAggStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")

@@ -25,6 +25,32 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(r1.join(mx, "query_id").filter(col("top") =!= col("mx")).count() == 0)
   }
 
+  test("ivf knn: neighbors come from probed cells, recall beats single-cell") {
+    import graft.ann.Ivf
+    val model = Ivf.train(emb, "vec_id", "embedding", dim, k = 8, iters = 2)
+    assert(model.centroids.size == 8)
+    val queries = emb.filter(col("vec_id") < 20)
+    val ivf = Ivf.topK(emb, queries, "vec_id", "embedding", dim, k = 5,
+      model, nprobe = 3).cache()
+    // every neighbor must live in one of the query's probed cells
+    val cells = emb.select(col("vec_id").as("neighbor_id"),
+      model.cellExpr(col("embedding")).as("ncell"))
+    val probed = queries.select(col("vec_id").as("query_id"),
+      model.probeCellsExpr(col("embedding"), 3).as("qcells"))
+    val bad = ivf.join(cells, "neighbor_id").join(probed, "query_id")
+      .filter(!array_contains(col("qcells"), col("ncell")))
+    assert(bad.count() == 0)
+    // recall@5 vs brute force, nprobe=3 of 8 cells: must find a
+    // decent share (and strictly more than zero)
+    val brute = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", dim, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall > 0.2, s"ivf recall@5 = $recall")
+  }
+
   test("lsh knn: every neighbor shares the query's bucket and sims are exact") {
     val lsh = Knn.lshTopK(emb, emb.filter(col("vec_id") < 5),
       "vec_id", "embedding", dim, k = 5).cache()

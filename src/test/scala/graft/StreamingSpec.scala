@@ -34,6 +34,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val deduped = EventStreams.dedupStream(
+      stream.toDS().toDF(), Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val e = eventsSample.head
+    val dup = Seq(e, e.copy(event_id = e.event_id + 1000000),
+      e.copy(event_id = e.event_id + 2000000, event_type = "other"))
+    stream.addData(dup)
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 2, "same (user, type, ts) must be emitted once")
+  }
+
   test("streaming windowed agg with watermark produces rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
