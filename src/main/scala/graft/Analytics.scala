@@ -89,6 +89,17 @@ object Analytics {
         .orderBy("o_custkey", "rk")
     },
 
+    "q7_topk_native" -> { (s, d) =>
+      // same result as q7_window minus the rank column, produced by
+      // the custom TopKPerKeyExec operator (bounded heap per key,
+      // no partition sort) — see graft.plans.TopKPerKey
+      graft.plans.TopK.perKey(Tables.orders(s, d), Seq("o_custkey"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          r4(col("o_totalprice").cast("decimal(38,6)")).as("totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     "q8_rollup" -> { (s, d) =>
       Tables.orders(s, d)
         .rollup("o_orderstatus", "o_orderpriority")
@@ -156,6 +167,14 @@ object Analytics {
                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
                FROM orders)
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q7_topk_native" ->
+      """SELECT o_custkey, o_orderkey,
+         round(CAST(o_totalprice AS DECIMAL(38,6)), 4) AS totalprice
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders)
+         WHERE rk <= 3 ORDER BY o_custkey, o_orderkey""",
     "q8_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
          round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS sum_price,
