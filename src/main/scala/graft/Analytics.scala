@@ -109,6 +109,20 @@ object Analytics {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    "q10_percentiles" -> { (s, d) =>
+      // exact interpolated percentiles (both engines do linear
+      // interpolation over the sorted values) + exact distinct count
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)").cast("decimal(38,6)"), 4)
+            .as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)").cast("decimal(38,6)"), 4)
+            .as("p90"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy("o_orderstatus")
+    },
+
     "q9_exists" -> { (s, d) =>
       // Customers with ≥1 order (semi) minus those with any F order
       // (anti) — EXISTS / NOT EXISTS as left_semi / left_anti joins.
@@ -181,6 +195,12 @@ object Analytics {
          count(*) AS n_orders
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q10_percentiles" ->
+      """SELECT o_orderstatus,
+         round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(38,6)), 4) AS p50,
+         round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(38,6)), 4) AS p90,
+         count(DISTINCT o_custkey) AS n_custs
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q9_exists" ->
       """SELECT c_custkey, c_name,
          round(CAST(c_acctbal AS DECIMAL(38,6)), 4) AS acctbal

@@ -27,6 +27,10 @@ object Registry {
       exprs => Compression.DeflateExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_inflate",
       exprs => Compression.InflateExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_deflate_dict",
+      exprs => Compression.DeflateDictExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_inflate_dict",
+      exprs => Compression.InflateDictExpr(exprs(0), exprs(1)), "built-in")
     // Business function of the kind the reference stores per-name:
     // net revenue of a line item.
     reg.createOrReplaceTempFunction("graft_revenue",
@@ -41,6 +45,10 @@ object Registry {
   def inflate(c: Column): Column = call_function("graft_inflate", c)
   def revenue(price: Column, discount: Column): Column =
     call_function("graft_revenue", price, discount)
+  def deflateDict(data: Column, dict: Column): Column =
+    call_function("graft_deflate_dict", data, dict)
+  def inflateDict(data: Column, dict: Column): Column =
+    call_function("graft_inflate_dict", data, dict)
   def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def minhashSig(tokens: Column, k: Column): Column =
     call_function("graft_minhash_sig", tokens, k)

@@ -57,6 +57,9 @@ object Algorithms {
         .join(ranks.join(outDeg, Seq("node")), col("a") === col("node"))
         .select(col("b").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("csum"))
+      // checkpoint every round: the next round joins ranks against
+      // the full edge list, so recomputing chained rounds (lazier
+      // cadences) costs more than the materialization job
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("csum"), lit(0.0)))

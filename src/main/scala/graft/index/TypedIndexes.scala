@@ -63,6 +63,30 @@ object TypedIndexes {
         col("o_orderdate") < lit(hi).cast("timestamp"))
       .select(col("o_orderkey"), col("o_orderdate"))
 
+  /** Great-circle distance in km between two (lat, lon) points —
+    * the metric a production geo index uses; the oracle-checked
+    * probe uses the planar metric because trig libm results differ
+    * across engines in the last ulp. */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = lit(6371.0088)
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    r * lit(2.0) * asin(sqrt(a))
+  }
+
+  /** Geo probe with the haversine metric (spec-checked). */
+  def geoRadiusKm(s: SparkSession, dir: String, lat0: Double, lon0: Double,
+      radiusKm: Double): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .withColumn("lat", (col("c_custkey") % 180).cast("double") - 90.0 + 0.5)
+      .withColumn("lon", ((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5)
+    c.filter(haversineKm(col("lat"), col("lon"), lit(lat0), lit(lon0)) <= radiusKm)
+      .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node_key"),
+        col("lat"), col("lon"))
+  }
+
   /** Geo probe: nodes within `radius` (planar degree metric) of a
     * point — the reference's spatial index surface
     * (`egraph_lookup_geo_base`). Coordinates are synthesized

@@ -22,6 +22,37 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
     assert(sizes.getInt(1) < sizes.getInt(0) / 10)
   }
 
+  test("dictionary compression roundtrips and beats plain deflate on short blobs") {
+    import spark.implicits._
+    Registry.registerAll(spark)
+    // short JSON-ish blobs sharing structure with the dictionary,
+    // like the reference's per-dictionary detail compression
+    val dict = """{"name":"","nationkey":,"acctbal":"","mktsegment":""}"""
+    val df = (1 to 50).map(i =>
+        s"""{"name":"Customer#$i","nationkey":$i,"acctbal":"$i.00","mktsegment":"BUILDING"}""")
+      .toDF("s").withColumn("dict", lit(dict))
+    val rt = df.select(col("s"),
+      Registry.inflateDict(Registry.deflateDict(col("s"), col("dict")),
+        col("dict")).cast("string").as("r"))
+    assert(rt.filter(col("s") =!= col("r")).count() == 0)
+    val sizes = df.select(
+      sum(length(Registry.deflateDict(col("s"), col("dict")))).as("with_dict"),
+      sum(length(Registry.deflate(col("s")))).as("plain")).head()
+    assert(sizes.getLong(0) < sizes.getLong(1),
+      s"dictionary should help: ${sizes.getLong(0)} vs ${sizes.getLong(1)}")
+  }
+
+  test("haversine distance matches known city pair") {
+    import spark.implicits._
+    import graft.index.TypedIndexes
+    // Paris (48.8566, 2.3522) to London (51.5074, -0.1278) ≈ 343.5 km
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278))
+      .toDF("la1", "lo1", "la2", "lo2")
+      .select(TypedIndexes.haversineKm(col("la1"), col("lo1"),
+        col("la2"), col("lo2")).as("km")).head().getDouble(0)
+    assert(math.abs(d - 343.5) < 1.0, s"got $d")
+  }
+
   test("deflate bytes match java.util.zip reference") {
     val raw = "reference payload".getBytes("UTF-8")
     assert(java.util.Arrays.equals(
