@@ -23,6 +23,8 @@ object Registry {
         exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",
       exprs => VectorExpressions.SimHash64Expr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaccard_sorted",
+      exprs => VectorExpressions.JaccardSortedExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate",
       exprs => Compression.DeflateExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_inflate",
@@ -53,4 +55,6 @@ object Registry {
   def minhashSig(tokens: Column, k: Column): Column =
     call_function("graft_minhash_sig", tokens, k)
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
+  def jaccardSorted(a: Column, b: Column): Column =
+    call_function("graft_jaccard_sorted", a, b)
 }

@@ -62,6 +62,31 @@ object VectorExpressions {
         l: Expression, r: Expression): DotProductExpr = copy(l, r)
   }
 
+  /** Jaccard similarity of two SORTED string arrays by merge walk —
+    * O(n+m) comparisons, no per-row hash set like array_intersect.
+    * |A∪B| is derived as |A|+|B|−|A∩B| (inputs must be distinct). */
+  case class JaccardSortedExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val m = b.numElements()
+      var i = 0; var j = 0; var inter = 0
+      while (i < n && j < m) {
+        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (c == 0) { inter += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      val union = n + m - inter
+      if (union == 0) 1.0 else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): JaccardSortedExpr = copy(l, r)
+  }
+
   /** k MinHash values of a string array in one pass: per token one
     * xxhash64 of the bytes, then k cheap long re-hashes. O(n·k)
     * long mixing instead of O(n·k) string hashing. */
