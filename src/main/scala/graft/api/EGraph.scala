@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{Algorithms, GraphBuilder, Traversal}
+import graft.search.Search
+
+/** Facade exposing the reference's operation surface as batch
+  * verbs over the three frames. A user of the reference maps each
+  * HTTP endpoint onto one method here:
+  *
+  *   POST /detail            → sources.DocumentIngest.nodes/indexes
+  *   GET  /detail/<key>      → [[node]]
+  *   GET  /index/<key>       → [[indexLookup]]
+  *   POST /link              → sources.DocumentIngest.links
+  *   GET  /link/<src>        → [[linksFrom]] / [[link]]
+  *   GET  /v1/search/<key>?maxdepth=N          → [[neighbors]]
+  *   GET  /v1/search/<key>?destination&dfs     → [[path]]
+  *   POST /v1/search (any/filters/selected)    → [[search]]
+  */
+final class EGraph(
+    val nodes: DataFrame,
+    val edges: DataFrame,
+    val indexes: DataFrame) {
+
+  private lazy val undirected = GraphBuilder.undirected(edges).localCheckpoint()
+
+  def node(key: String): DataFrame =
+    nodes.filter(col("key_data") === key)
+
+  def indexLookup(name: String, keyType: String, key: String): DataFrame =
+    indexes.filter(col("index_name") === name &&
+      col("key_type") === keyType && col("key_str") === key)
+      .select("node_key")
+
+  def indexRange(name: String, keyType: String, lo: Double, hi: Double): DataFrame =
+    indexes.filter(col("index_name") === name && col("key_type") === keyType &&
+      col("key_str").try_cast("double").between(lo, hi))
+      .select("node_key")
+
+  def linksFrom(key: String): DataFrame =
+    edges.filter(col("src_key") === key)
+
+  def link(src: String, dst: String): DataFrame =
+    edges.filter(col("src_key") === src && col("dst_key") === dst)
+
+  def neighbors(key: String, maxDepth: Int): DataFrame =
+    Traversal.bfsLevels(undirected, Seq(key), maxDepth)
+
+  def path(src: String, dst: String, maxDepth: Int = 20): DataFrame =
+    Traversal.pathBetween(undirected, src, dst, maxDepth)
+
+  def search(q: Search.SearchQuery): DataFrame = Search.run(nodes, q)
+
+  def degrees: DataFrame = Algorithms.degrees(edges)
+  def pageRank(iters: Int = 10): DataFrame = Algorithms.pageRank(undirected, iters)
+  def connectedComponents(): DataFrame = Algorithms.connectedComponents(undirected)
+  def triangles(): DataFrame = Algorithms.triangleCount(undirected)
+}
+
+object EGraph {
+
+  /** The demo graph over the test tables (customers ⋈ suppliers). */
+  def fromTables(spark: SparkSession, dir: String): EGraph =
+    new EGraph(
+      GraphBuilder.nodes(spark, dir),
+      GraphBuilder.edges(spark, dir),
+      graft.index.TypedIndexes.build(spark, dir))
+
+  /** Re-open a graph persisted by sources.GraphStore. */
+  def fromStore(spark: SparkSession, root: String): EGraph =
+    new EGraph(
+      graft.sources.GraphStore.loadNodes(spark, root),
+      graft.sources.GraphStore.loadEdges(spark, root),
+      graft.sources.GraphStore.loadIndexes(spark, root))
+}

@@ -51,9 +51,12 @@ object TypedIndexes {
   /** Range probe `[lo, hi]` on a numeric index (README's
     * two-element-array condition form). */
   def probeRangeDouble(ix: DataFrame, name: String, lo: Double, hi: Double): DataFrame =
+    // try_cast: under ANSI mode the cast can be evaluated as a common
+    // subexpression BEFORE the index_name conjunct short-circuits, so
+    // a plain cast throws on entries of other (non-numeric) indexes
     ix.filter(col("index_name") === name && col("key_type") === "double" &&
-        col("key_str").cast("double").between(lo, hi))
-      .select(col("node_key"), col("key_str").cast("double").as("key_val"))
+        col("key_str").try_cast("double").between(lo, hi))
+      .select(col("node_key"), col("key_str").try_cast("double").as("key_val"))
 
   /** Datetime-range probe over orders (reference datetime index
     * type), mapping to the order ids in range. */

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.EGraph
+import graft.sources.{DocumentIngest, GraphStore}
+import graft.sources.DocumentIngest.IndexSpec
+
+class ApiSpec extends AnyFunSuite with SparkFixture {
+
+  private val store = "/tmp/graft-test-store"
+
+  test("json ingestion: nodes, typed indexes with lowercase variants, links") {
+    import spark.implicits._
+    // country documents shaped like the reference README examples
+    val docs = Seq(
+      ("india", """{"name":"India","capital":"New Delhi","economy":{"currency":"INR"},"geography":{"water_percent":9.6}}"""),
+      ("usa", """{"name":"USA","capital":"Washington","economy":{"currency":"USD"},"geography":{"water_percent":6.97}}"""),
+      ("japan", """{"name":"Japan","capital":"Tokyo","economy":{"currency":"JPY"},"geography":{"water_percent":3.55}}"""))
+      .toDF("key", "doc")
+    val nodes = DocumentIngest.nodes(docs, "key", "doc")
+    assert(nodes.count() == 3 &&
+      nodes.select("id").distinct().count() == 3)
+    val ix = DocumentIngest.indexes(nodes, Seq(
+      IndexSpec("currency", "text", Seq("economy", "currency")),
+      IndexSpec("capital", "text", Seq("capital"), lowercase = true),
+      IndexSpec("water_percent", "double", Seq("geography", "water_percent"))))
+    // README's probe: currency=INR → india; capital_lc__=tokyo → japan
+    assert(ix.filter(col("index_name") === "currency" &&
+      col("key_str") === "INR").select("node_key")
+      .collect().map(_.getString(0)).toSeq == Seq("india"))
+    assert(ix.filter(col("index_name") === "capital_lc__" &&
+      col("key_str") === "tokyo").select("node_key")
+      .collect().map(_.getString(0)).toSeq == Seq("japan"))
+    // range probe on the double index: [1.0, 50.0] covers all three
+    assert(ix.filter(col("index_name") === "water_percent" &&
+      col("key_str").try_cast("double").between(1.0, 50.0)).count() == 3)
+    val links = DocumentIngest.links(
+      Seq(("india", "usa", """{"yearly_tourists":1100000}"""))
+        .toDF("source", "destination", "details"),
+      "source", "destination", "details", bidirectional = true)
+    assert(links.count() == 2)
+  }
+
+  test("graph store roundtrips and prunes partitions on probes") {
+    val g = EGraph.fromTables(spark, sfDir)
+    GraphStore.saveNodes(g.nodes, store)
+    GraphStore.saveEdges(g.edges, store)
+    GraphStore.saveIndexes(g.indexes, store)
+    val re = EGraph.fromStore(spark, store)
+    assert(re.nodes.count() == g.nodes.count())
+    assert(re.edges.count() == g.edges.count())
+    // index probe prunes to one (index_name, key_type) directory
+    val probe = GraphStore.probeStored(spark, store, "mktsegment", "text",
+      "BUILDING")
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("index_name"), scan)
+    assert(probe.count() ==
+      g.indexLookup("mktsegment", "text", "BUILDING").count())
+    // node point-lookup prunes on the shard partition
+    val one = GraphStore.nodeByKey(spark, store, "c:1")
+    assert(one.count() == 1)
+  }
+
+  test("facade verbs match the underlying operators") {
+    val g = EGraph.fromTables(spark, sfDir)
+    assert(g.node("c:1").count() == 1)
+    assert(g.linksFrom("c:1").count() > 0)
+    val n2 = g.neighbors("c:1", 2)
+    assert(n2.filter(col("depth") === 2).count() > 0)
+    val p = g.path("c:1", "s:5").orderBy("step").collect()
+    assert(p.head.getString(1) == "c:1" && p.last.getString(1) == "s:5")
+  }
+}
