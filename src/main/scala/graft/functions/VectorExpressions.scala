@@ -46,15 +46,21 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val getL = if (lf) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-        val getR = if (rf) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+        // freshName: fixed identifiers collide when two dot products
+        // land in one projection (cosine = three of them) and the
+        // whole projection silently falls back to interpreted mode
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val getL = if (lf) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+        val getR = if (rf) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double acc = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  acc += $getL * $getR;
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $getL * $getR;
            |}
-           |${ev.value} = acc;
+           |${ev.value} = $acc;
          """.stripMargin
       })
 

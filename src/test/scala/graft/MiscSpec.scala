@@ -42,6 +42,20 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
       s"dictionary should help: ${sizes.getLong(0)} vs ${sizes.getLong(1)}")
   }
 
+  test("repeated dot products compile in one codegen projection") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    import graft.functions.VectorExpressions.DotProductExpr
+    val a = BoundReference(0, ArrayType(FloatType), nullable = true)
+    val b = BoundReference(1, ArrayType(FloatType), nullable = true)
+    // cosine = three dots in one projection; generate (unlike
+    // UnsafeProjection.create) throws instead of silently falling
+    // back to interpreted mode if the generated code won't compile
+    GenerateUnsafeProjection.generate(
+      Seq(DotProductExpr(a, b), DotProductExpr(a, a), DotProductExpr(b, b)))
+  }
+
   test("haversine distance matches known city pair") {
     import spark.implicits._
     import graft.index.TypedIndexes
