@@ -40,33 +40,39 @@ object Algorithms {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** PageRank with uniform teleport; `iters` fixed rounds, one
-    * shuffle per round (contribution group-by). Dangling-node mass
-    * is redistributed uniformly each round so ranks sum to n. */
+  /** PageRank with uniform teleport; `iters` fixed rounds. Round =
+    * edges ⋈ rank-state + contribution group-by + base left-join:
+    * two joins and one aggregation. The adjacency is pre-partitioned
+    * on the join key `a` so the big side is never re-exchanged, and
+    * the rank state carries `share` = rank/deg so out-degree is not
+    * re-joined every round. */
   def pageRank(undirectedEdges0: DataFrame, iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val undirectedEdges = undirectedEdges0.localCheckpoint()
-    val nodes = undirectedEdges.select(col("a").as("node")).distinct()
+    val undirectedEdges = undirectedEdges0.repartition(col("a"))
       .localCheckpoint()
-    val n = nodes.count()
-    val outDeg = undirectedEdges.groupBy(col("a").as("node"))
+    // base: (node, deg) — every node of an undirected adjacency has
+    // at least one edge, so the group-by covers all nodes
+    val base = undirectedEdges.groupBy(col("a").as("node"))
       .agg(count(lit(1)).as("deg")).localCheckpoint()
-    var ranks = nodes.withColumn("rank", lit(1.0))
+    var ranks = base.select(col("node"), lit(1.0).as("rank"),
+      (lit(1.0) / col("deg")).as("share")).localCheckpoint()
     for (_ <- 1 to iters) {
       val contribs = undirectedEdges
-        .join(ranks.join(outDeg, Seq("node")), col("a") === col("node"))
-        .select(col("b").as("node"), (col("rank") / col("deg")).as("c"))
-        .groupBy("node").agg(sum("c").as("csum"))
+        .join(ranks.select(col("node"), col("share")), col("a") === col("node"))
+        .select(col("b").as("node"), col("share"))
+        .groupBy("node").agg(sum("share").as("csum"))
       // checkpoint every round: the next round joins ranks against
       // the full edge list, so recomputing chained rounds (lazier
       // cadences) costs more than the materialization job
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      ranks = base.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("csum"), lit(0.0)))
-            .as("rank"))
+            .as("rank"), col("deg"))
+        .withColumn("share", col("rank") / col("deg"))
+        .drop("deg")
         .localCheckpoint()
     }
-    ranks
+    ranks.select("node", "rank")
   }
 
   /** Connected components by min-label propagation: every node takes
@@ -76,22 +82,26 @@ object Algorithms {
     * component named by its lexicographically smallest member. */
   def connectedComponents(undirectedEdges0: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val undirectedEdges = undirectedEdges0.localCheckpoint()
+    val undirectedEdges = undirectedEdges0.repartition(col("a"))
+      .localCheckpoint()
     var labels = undirectedEdges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
       iter += 1
+      // self rows carry the previous label in `old` (each node has
+      // exactly one), so convergence falls out of the same
+      // aggregation — no second join-the-frames job per round
       val next = undirectedEdges
         .join(labels, col("a") === col("node"))
-        .select(col("b").as("node"), col("label"))
-        .unionByName(labels)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("b").as("node"), col("label"),
+          lit(null).cast("string").as("old"))
+        .unionByName(labels.withColumn("old", col("label")))
+        .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = next.select("node", "label")
     }
     labels.withColumnRenamed("label", "component")
   }

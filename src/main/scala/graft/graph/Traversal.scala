@@ -66,7 +66,8 @@ object Traversal {
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var found = false
     var depth = 0
-    while (!found && depth < maxDepth && frontier.count() > 0) {
+    var frontierSize = 1L
+    while (!found && depth < maxDepth && frontierSize > 0) {
       depth += 1
       val parents = edges.join(broadcast(frontier), edges("a") === col("node"))
         .groupBy(col("b").as("child")).agg(min(col("a")).as("parent"))
@@ -76,7 +77,11 @@ object Traversal {
       visited = visited.unionByName(parents.select(col("child").as("node")))
         .localCheckpoint()
       frontier = parents.select(col("child").as("node")).localCheckpoint()
-      found = parents.filter(col("child") === destination).count() > 0
+      // one scan of the checkpointed level yields both loop signals
+      val agg = parents.agg(count(lit(1)),
+        count(when(col("child") === destination, 1))).head()
+      frontierSize = agg.getLong(0)
+      found = agg.getLong(1) > 0
     }
     if (!found) return spark.emptyDataFrame.selectExpr("0 as step", "'' as node").limit(0)
     // walk back: levels(i) maps child -> parent at depth i+1
@@ -99,21 +104,25 @@ object Traversal {
       maxIter: Int = 20): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val edges = edges0.localCheckpoint()
+    val edges = edges0.repartition(col("a")).localCheckpoint()
     var dist = Seq((source, 0.0)).toDF("node", "dist").localCheckpoint()
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
       iter += 1
+      // self rows carry the previous distance in `old`; a node
+      // improved iff its new min beats min(old) (null = newly
+      // reached), so convergence needs no second join job
       val relaxed = edges.join(dist, edges("a") === dist("node"))
-        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist.select("node", "dist"))
-        .groupBy("node").agg(min("dist").as("dist"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"),
+          lit(null).cast("double").as("old"))
+        .unionByName(dist.select(col("node"), col("dist"),
+          col("dist").as("old")))
+        .groupBy("node").agg(min("dist").as("dist"), min("old").as("old"))
         .localCheckpoint()
-      changed = relaxed.join(dist.withColumnRenamed("dist", "old"), Seq("node"), "left")
-        .filter(col("old").isNull || col("dist") < col("old"))
+      changed = relaxed.filter(col("old").isNull || col("dist") < col("old"))
         .limit(1).count() > 0
-      dist = relaxed
+      dist = relaxed.select("node", "dist")
     }
     dist
   }
