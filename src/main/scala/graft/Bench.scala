@@ -13,6 +13,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: absorb executor spin-up, codegen and JIT so the
+    // first timed query isn't charged for session startup
+    locally {
+      val r = spark.range(0, 1000000).selectExpr("id", "id % 97 AS k")
+      r.join(r.groupBy("k").count(), "k").agg(Map("count" -> "sum")).count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
