@@ -163,10 +163,19 @@ object EgraphQueries {
 
     "f_stored_fn" -> { (s, d) =>
       Registry.registerAll(s)
+      // exercise the runtime-compile path too: one natively
+      // registered function, one defined from source at runtime
+      // (the reference's egraph_compiler flow), both inlined
+      Registry.define(s, "user_discounted", Seq("price", "disc"),
+        "price * (1.0 - disc)")
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(round(sum(Registry.revenue(col("l_extendedprice"), col("l_discount"))
-          .cast("decimal(38,6)")), 4).as("fn_revenue"))
+        .agg(
+          round(sum(Registry.revenue(col("l_extendedprice"), col("l_discount"))
+            .cast("decimal(38,6)")), 4).as("fn_revenue"),
+          round(sum(call_function("user_discounted",
+              col("l_extendedprice"), col("l_discount"))
+            .cast("decimal(38,6)")), 4).as("fn_revenue2"))
         .orderBy("l_returnflag")
     },
 
@@ -303,7 +312,9 @@ object EgraphQueries {
     "f_stored_fn" ->
       """SELECT l_returnflag,
          round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4)
-           AS fn_revenue
+           AS fn_revenue,
+         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4)
+           AS fn_revenue2
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "z_compress_roundtrip" ->
       """SELECT doc_id, length(text) AS n_roundtrip_chars

@@ -43,6 +43,32 @@ object Registry {
       "built-in")
   }
 
+  /** Runtime-compiled named function — the analog of the reference's
+    * stored-function compile path (`src/egraph_compiler.erl`: users
+    * POST function source, it is compiled once and then callable by
+    * name). Here the body is a SQL expression over the named
+    * parameters, parsed once at definition time; each call site
+    * substitutes its argument expressions for the parameter
+    * references, so the function inlines into the caller's plan and
+    * stays inside codegen.
+    */
+  def define(spark: SparkSession, name: String, params: Seq[String],
+      body: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val parsed = spark.sessionState.sqlParser.parseExpression(body)
+    val lowered = params.map(_.toLowerCase)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      exprs => {
+        require(exprs.length == params.length,
+          s"$name expects ${params.length} arguments, got ${exprs.length}")
+        parsed.transformUp {
+          case a: UnresolvedAttribute
+              if lowered.contains(a.name.toLowerCase) =>
+            exprs(lowered.indexOf(a.name.toLowerCase))
+        }
+      }, "sql_udf")
+  }
+
   def deflate(c: Column): Column = call_function("graft_deflate", c)
   def inflate(c: Column): Column = call_function("graft_inflate", c)
   def revenue(price: Column, discount: Column): Column =

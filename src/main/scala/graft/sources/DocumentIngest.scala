@@ -50,6 +50,28 @@ object DocumentIngest {
     }.reduce(_ unionByName _)
   }
 
+  /** Latest-wins upsert — the batch form of the reference's node
+    * update endpoint (`PUT /detail`): rows in `updates` replace
+    * current rows with the same key, new keys append. One anti-join
+    * shuffle; no window or global sort, so it scales by key
+    * partitioning alone. */
+  def upsertNodes(current: DataFrame, updates: DataFrame): DataFrame =
+    current.join(updates.select("key_data"), Seq("key_data"), "left_anti")
+      .unionByName(updates)
+
+  /** Delete by key — the reference's `DELETE /detail`. */
+  def deleteNodes(current: DataFrame, keys: DataFrame): DataFrame =
+    current.join(keys.select("key_data"), Seq("key_data"), "left_anti")
+
+  /** Incremental reindex after an upsert: drop index rows of the
+    * touched keys, append freshly extracted rows — the reference's
+    * per-node reindex, not a full rebuild. */
+  def upsertIndexes(currentIx: DataFrame, updatedNodes: DataFrame,
+      specs: Seq[IndexSpec]): DataFrame =
+    currentIx.join(updatedNodes.select(col("key_data").as("node_key")),
+        Seq("node_key"), "left_anti")
+      .unionByName(indexes(updatedNodes, specs))
+
   /** Links frame from (source, destination, details) rows —
     * the `POST /link` surface (`models/egraph_link_model.erl`).
     * `bidirectional = true` stores both directions, the reference's

@@ -63,6 +63,57 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(one.count() == 1)
   }
 
+  test("upsert/delete semantics: latest wins, indexes follow incrementally") {
+    import spark.implicits._
+    val docs = Seq(
+      ("india", """{"capital":"New Delhi"}"""),
+      ("usa", """{"capital":"Washington"}"""))
+      .toDF("key", "doc")
+    val specs = Seq(IndexSpec("capital", "text", Seq("capital")))
+    val nodes = DocumentIngest.nodes(docs, "key", "doc")
+    val ix = DocumentIngest.indexes(nodes, specs)
+    // update india's capital, insert japan
+    val updates = DocumentIngest.nodes(Seq(
+      ("india", """{"capital":"Delhi"}"""),
+      ("japan", """{"capital":"Tokyo"}""")).toDF("key", "doc"), "key", "doc")
+    val merged = DocumentIngest.upsertNodes(nodes, updates)
+    assert(merged.count() == 3)
+    assert(merged.filter(col("key_data") === "india")
+      .select("details").head().getString(0).contains("\"Delhi\""))
+    val ix2 = DocumentIngest.upsertIndexes(ix, updates, specs)
+    assert(ix2.filter(col("key_str") === "Delhi").count() == 1 &&
+      ix2.filter(col("key_str") === "New Delhi").count() == 0 &&
+      ix2.filter(col("key_str") === "Tokyo").count() == 1)
+    // incremental reindex equals a full rebuild
+    val full = DocumentIngest.indexes(merged, specs)
+    assert(ix2.unionByName(full).distinct().count() == full.count())
+    val afterDelete = DocumentIngest.deleteNodes(merged,
+      Seq("usa").toDF("key_data"))
+    assert(afterDelete.count() == 2 &&
+      afterDelete.filter(col("key_data") === "usa").count() == 0)
+  }
+
+  test("runtime-defined stored functions inline into query plans") {
+    import spark.implicits._
+    import graft.functions.Registry
+    Registry.define(spark, "user_margin", Seq("price", "disc"),
+      "price * (1.0 - disc) - price * 0.07")
+    val df = Seq((100.0, 0.1), (50.0, 0.0)).toDF("p", "d")
+    val got = df.selectExpr("round(user_margin(p, d), 4) AS m")
+      .orderBy("m").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(46.5, 83.0))
+    // the function body inlines: no UDF node in the optimized plan
+    val plan = df.selectExpr("user_margin(p, d) AS m")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    // redefinition replaces the previous body, like the reference's
+    // function update path
+    Registry.define(spark, "user_margin", Seq("price", "disc"),
+      "price * (1.0 - disc)")
+    assert(df.selectExpr("user_margin(p, d) AS m").orderBy("m")
+      .collect().map(_.getDouble(0)).toSeq == Seq(50.0, 90.0))
+  }
+
   test("facade verbs match the underlying operators") {
     val g = EGraph.fromTables(spark, sfDir)
     assert(g.node("c:1").count() == 1)
