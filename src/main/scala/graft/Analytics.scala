@@ -36,8 +36,11 @@ object Analytics {
         .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-      li.join(broadcast(cust.join(ord, cust("c_custkey") === ord("o_custkey"))
-          .select("o_orderkey", "o_orderdate", "o_orderpriority")),
+      // no broadcast hint: customer⋈orders is fact-sized at scale, so
+      // the orderkey join must be free to shuffle; AQE still picks a
+      // broadcast join at runtime when the filtered side is small
+      li.join(cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+          .select("o_orderkey", "o_orderdate", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
@@ -48,14 +51,15 @@ object Analytics {
 
     "q5_join5" -> { (s, d) =>
       // revenue per nation: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
-      // region/nation are tiny → broadcast; the orders⋈lineitem join
-      // shuffles once on orderkey, the c_custkey join reuses AQE planning.
+      // nation is a true dim (25 rows at any SF) → broadcast hint;
+      // customer grows with SF, so its join gets no hint — statically
+      // or via AQE Spark still broadcasts it while it fits
       val nat = Tables.nation(s, d)
       val cust = Tables.customer(s, d)
       val ord = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))

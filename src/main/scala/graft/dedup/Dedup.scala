@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Corpora up to this many documents broadcast their token sets
+    * into the MinHash verification joins; above it they shuffle. */
+  val setsBroadcastLimit = 2000000L
+
   def tokens(text: Column): Column = split(text, " ")
 
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
@@ -86,7 +90,10 @@ object Dedup {
       .filter(least(col("x.sz"), col("y.sz")).cast("double")
         / greatest(col("x.sz"), col("y.sz")) >= threshold)
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    val sets = broadcast(withSets)
+    // broadcast the token sets only while the corpus is small enough
+    // — at 100 TB the verification joins must shuffle on id instead
+    val sets =
+      if (docs.count() <= setsBroadcastLimit) broadcast(withSets) else withSets
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")

@@ -69,7 +69,8 @@ object Traversal {
     var frontierSize = 1L
     while (!found && depth < maxDepth && frontierSize > 0) {
       depth += 1
-      val parents = edges.join(broadcast(frontier), edges("a") === col("node"))
+      val f = if (frontierSize <= broadcastLimit) broadcast(frontier) else frontier
+      val parents = edges.join(f, edges("a") === col("node"))
         .groupBy(col("b").as("child")).agg(min(col("a")).as("parent"))
         .join(visited, col("child") === col("node"), "left_anti")
         .localCheckpoint()
