@@ -51,9 +51,10 @@ object Analytics {
 
     "q5_join5" -> { (s, d) =>
       // revenue per nation: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
-      // nation is a true dim (25 rows at any SF) → broadcast hint;
-      // customer grows with SF, so its join gets no hint — statically
-      // or via AQE Spark still broadcasts it while it fits
+      // nation/region are true dims (25/5 rows at any SF) → broadcast
+      // hints; customer grows with SF, so its join gets no hint —
+      // statically or via AQE Spark still broadcasts it while it fits
+      val reg = Tables.region(s, d)
       val nat = Tables.nation(s, d)
       val cust = Tables.customer(s, d)
       val ord = Tables.orders(s, d)
@@ -61,6 +62,7 @@ object Analytics {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
           .as("revenue"),
@@ -166,9 +168,9 @@ object Analytics {
       """SELECT n_name,
          round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS revenue,
          count(*) AS n_items
-         FROM lineitem, orders, customer, nation
+         FROM lineitem, orders, customer, nation, region
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
-           AND c_nationkey = n_nationkey
+           AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
          GROUP BY n_name ORDER BY n_name""",
     "q6_filter" ->
       """SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 4) AS revenue,

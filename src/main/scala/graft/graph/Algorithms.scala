@@ -25,18 +25,34 @@ object Algorithms {
   }
 
   /** Global triangle count over an undirected (a, b) adjacency.
-    * Node-ordered wedge join: each triangle counted exactly once as
-    * a < b < c. Two shuffles (the two self-joins); at scale the
-    * ordered edge list halves the join input vs naive adjacency.
+    * Degree-ordered orientation (each edge points from its
+    * lower-(degree, id) endpoint), then a wedge self-join checked
+    * against the oriented edge list. Every triangle has exactly one
+    * node with two out-edges under this orientation, so each is
+    * counted once; wedge volume is Σ outdeg², which orientation
+    * bounds by O(m^1.5) even on skewed graphs — the id-ordered
+    * variant degenerates to hub-degree² wedges on power-law graphs.
     */
   def triangleCount(undirectedEdges: DataFrame): DataFrame = {
-    val e = undirectedEdges.filter(col("a") < col("b")).localCheckpoint()
-    val e1 = e.select(col("a").as("x"), col("b").as("y"))
-    val e2 = e.select(col("a").as("y2"), col("b").as("z"))
-    val wedges = e1.join(e2, col("y") === col("y2"))
-      .select(col("x"), col("y"), col("z"))
-    val e3 = e.select(col("a").as("x2"), col("b").as("z2"))
-    wedges.join(e3, col("x") === col("x2") && col("z") === col("z2"))
+    val deg = undirectedEdges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    // node key = (deg, id): one total order drives both the edge
+    // orientation and the wedge canonicalization, so the closing
+    // join is a pure equi-join
+    val e = undirectedEdges.filter(col("a") < col("b"))
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        least(struct(col("da").as("d"), col("a").as("n")),
+          struct(col("db").as("d"), col("b").as("n"))).as("u"),
+        greatest(struct(col("da").as("d"), col("a").as("n")),
+          struct(col("db").as("d"), col("b").as("n"))).as("v"))
+      .localCheckpoint()
+    val wedges = e.select(col("u"), col("v").as("w1"))
+      .join(e.select(col("u"), col("v").as("w2")), "u")
+      .filter(col("w1") < col("w2"))
+    wedges.join(e.select(col("u").as("w1"), col("v").as("w2")),
+        Seq("w1", "w2"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
