@@ -51,6 +51,17 @@ object LlmQueries {
         .orderBy("a", "b")
     },
 
+    "d_neardup_lsh" -> { (s, d) =>
+      // scale path of d_neardup_embedding: banded sign-LSH candidates
+      // + exact verification instead of the n² pair join; recall vs
+      // the exact pairs is pinned in AnnSpec (rows-only here — the
+      // candidate set is hash-dependent)
+      Knn.nearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim, threshold = 0.35, bands = 12, bitsPerBand = 3)
+        .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
+        .orderBy("a", "b")
+    },
+
     "e_knn_brute" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),

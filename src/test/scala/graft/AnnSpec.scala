@@ -25,6 +25,33 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(r1.join(mx, "query_id").filter(col("top") =!= col("mx")).count() == 0)
   }
 
+  test("lsh near-dup pairs: exact precision, high recall vs the n^2 join") {
+    import spark.implicits._
+    // the fixture embeddings are near-random (max pairwise cosine
+    // 0.48), so build a clustered corpus where near-dups exist: 150
+    // bases + a perturbed copy of every third one (cosine ≈ 0.95+)
+    val rnd = new scala.util.Random(42)
+    val bases = Seq.tabulate(150)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = bases.zipWithIndex.collect { case ((id, v), i) if i % 3 == 0 =>
+      (1000L + id, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (bases ++ dups).toDF("vec_id", "embedding")
+    val th = 0.9
+    val exact = Knn.nearDupPairs(corpus, "vec_id", "embedding", dim, th)
+      .select("a", "b").cache()
+    val lsh = Knn.nearDupPairsLsh(corpus, "vec_id", "embedding", dim, th)
+      .cache()
+    // precision is exact by construction: every emitted pair is
+    // verified, so lsh ⊆ exact
+    assert(lsh.select("a", "b").exceptAll(exact).count() == 0)
+    assert(lsh.filter(col("sim") < th).count() == 0)
+    val nExact = exact.count()
+    assert(nExact >= 40, s"fixture must contain near-dup pairs, got $nExact")
+    val recall = lsh.count().toDouble / nExact
+    assert(recall >= 0.8, s"recall $recall below 0.8 ($nExact exact pairs)")
+  }
+
   test("ivf knn: neighbors come from probed cells, recall beats single-cell") {
     import graft.ann.Ivf
     val model = Ivf.train(emb, "vec_id", "embedding", dim, k = 8, iters = 2)
