@@ -79,13 +79,23 @@ object TypedIndexes {
     r * lit(2.0) * asin(sqrt(a))
   }
 
-  /** Geo probe with the haversine metric (spec-checked). */
+  /** Geo probe with the haversine metric (spec-checked). A sargable
+    * bounding box (lat/lon BETWEEN) prefilters before the exact
+    * trig — at scale the box reaches the scan as a pushed range
+    * predicate (or prunes geohash partitions), and haversine runs
+    * only on rows inside it. */
   def geoRadiusKm(s: SparkSession, dir: String, lat0: Double, lon0: Double,
       radiusKm: Double): DataFrame = {
+    val dLat = math.toDegrees(radiusKm / 6371.0088)
+    // the lon span widens toward the poles; past 89° the box wraps
+    val dLon = if (math.abs(lat0) >= 89.0) 180.0
+      else dLat / math.cos(math.toRadians(lat0))
     val c = Tables.customer(s, dir)
       .withColumn("lat", (col("c_custkey") % 180).cast("double") - 90.0 + 0.5)
       .withColumn("lon", ((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5)
-    c.filter(haversineKm(col("lat"), col("lon"), lit(lat0), lit(lon0)) <= radiusKm)
+    c.filter(col("lat").between(lat0 - dLat, lat0 + dLat) &&
+        col("lon").between(lon0 - dLon, lon0 + dLon))
+      .filter(haversineKm(col("lat"), col("lon"), lit(lat0), lit(lon0)) <= radiusKm)
       .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node_key"),
         col("lat"), col("lon"))
   }
@@ -100,7 +110,11 @@ object TypedIndexes {
     val c = Tables.customer(s, dir)
       .withColumn("lat", (col("c_custkey") % 180).cast("double") - 90.0 + 0.5)
       .withColumn("lon", ((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5)
-    c.filter(pow(col("lat") - lat0, 2) + pow(col("lon") - lon0, 2)
+    // sargable bounding box first (pushable range predicate), exact
+    // circle test only inside it
+    c.filter(col("lat").between(lat0 - radius, lat0 + radius) &&
+        col("lon").between(lon0 - radius, lon0 + radius))
+      .filter(pow(col("lat") - lat0, 2) + pow(col("lon") - lon0, 2)
         <= radius * radius)
       .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node_key"),
         col("lat"), col("lon"))
