@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api.EGraph
-import graft.sources.{DocumentIngest, GraphStore}
+import graft.sources.{DocumentIngest, GraphStore, StreamingIngest}
 import graft.sources.DocumentIngest.IndexSpec
 
 class ApiSpec extends AnyFunSuite with SparkFixture {
@@ -112,6 +112,50 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       "price * (1.0 - disc)")
     assert(df.selectExpr("user_margin(p, d) AS m").orderBy("m")
       .collect().map(_.getDouble(0)).toSeq == Seq(50.0, 90.0))
+  }
+
+  test("streaming ingest: micro-batches upsert the store, indexes stay consistent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = "/tmp/graft-test-stream-store"
+    val ckpt = "/tmp/graft-test-stream-ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val specs = Seq(IndexSpec("capital", "text", Seq("capital")))
+    val ms = MemoryStream[(String, String, Timestamp)]
+    val stream = ms.toDF().toDF("key", "doc", "ts")
+    def runOnce(): Unit = {
+      val q = StreamingIngest.start(stream, "key", "doc", "ts", specs,
+        root, ckpt, availableNow = true)
+      q.awaitTermination()
+    }
+    // batch 1: two docs, one key written twice (last version wins)
+    ms.addData(
+      ("india", """{"capital":"Calcutta"}""", Timestamp.valueOf("2020-01-01 00:00:00")),
+      ("india", """{"capital":"New Delhi"}""", Timestamp.valueOf("2020-01-02 00:00:00")),
+      ("usa", """{"capital":"Washington"}""", Timestamp.valueOf("2020-01-01 00:00:00")))
+    runOnce()
+    val n1 = GraphStore.loadNodes(spark, root)
+    assert(n1.count() == 2)
+    assert(n1.filter(col("key_data") === "india").select("details")
+      .head().getString(0).contains("New Delhi"))
+    // batch 2: update india, insert japan; indexes must follow
+    ms.addData(
+      ("india", """{"capital":"Delhi"}""", Timestamp.valueOf("2020-02-01 00:00:00")),
+      ("japan", """{"capital":"Tokyo"}""", Timestamp.valueOf("2020-02-01 00:00:00")))
+    runOnce()
+    val n2 = GraphStore.loadNodes(spark, root)
+    assert(n2.count() == 3)
+    val ix = GraphStore.loadIndexes(spark, root)
+    assert(ix.filter(col("key_str") === "Delhi").count() == 1 &&
+      ix.filter(col("key_str") === "New Delhi").count() == 0 &&
+      ix.filter(col("key_str") === "Tokyo").count() == 1)
+    // store probe still prunes and agrees with the nodes frame
+    assert(GraphStore.probeStored(spark, root, "capital", "text", "Tokyo")
+      .head().getString(0) == "japan")
   }
 
   test("facade verbs match the underlying operators") {
