@@ -51,20 +51,34 @@ object GraphBuilder {
     * partitioning via partial (map-side) aggregation.
     */
   def edges(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_quantity"),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy(
-        concat(lit("c:"), col("o_custkey").cast("string")).as("src_key"),
-        concat(lit("s:"), col("l_suppkey").cast("string")).as("dst_key"))
-      .agg(count(lit(1)).as("n_items"),
-        round(sum(col("l_quantity").cast("decimal(38,6)")), 4).as("sum_qty"))
+    edgeCache.getOrElseUpdate((s, dir),
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_quantity"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(
+          concat(lit("c:"), col("o_custkey").cast("string")).as("src_key"),
+          concat(lit("s:"), col("l_suppkey").cast("string")).as("dst_key"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity").cast("decimal(38,6)")), 4).as("sum_qty"))
+        .localCheckpoint())
+
+  // the adjacency is a materialized artifact (GraphStore persists it
+  // in production); memoizing the built frame per (session, dir)
+  // keeps the many graph queries from re-running the orders⋈lineitem
+  // build — the tables are immutable inputs
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val undirectedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Long), DataFrame]
 
   /** Undirected, deduplicated (a, b) adjacency — both directions
     * materialized, like the reference's two-rows-per-bidirectional-link
     * convention (`sql/egraph_table_creation.sql:183` comment). */
-  def undirected(edges: DataFrame): DataFrame = {
-    val ab = edges.select(col("src_key").as("a"), col("dst_key").as("b"))
-    ab.unionByName(ab.select(col("b").as("a"), col("a").as("b"))).distinct()
-  }
+  def undirected(edges: DataFrame): DataFrame =
+    undirectedCache.getOrElseUpdate(
+      (edges.sparkSession, edges.semanticHash().toLong), {
+        val ab = edges.select(col("src_key").as("a"), col("dst_key").as("b"))
+        ab.unionByName(ab.select(col("b").as("a"), col("a").as("b")))
+          .distinct().localCheckpoint()
+      })
 }
