@@ -38,8 +38,7 @@ object EgraphQueries {
     },
 
     "n_node_lookup" -> { (s, d) =>
-      GraphBuilder.nodes(s, d)
-        .filter(col("key_data") === "c:1")
+      GraphBuilder.nodeByKey(s, d, "c:1")
         .select("key_data", "details")
     },
 

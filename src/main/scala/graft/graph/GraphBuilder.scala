@@ -27,22 +27,43 @@ object GraphBuilder {
     * (strings / ints / decimal(12,2)) so the rendered text is
     * byte-identical across engines.
     */
-  def nodes(s: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(s, dir).select(
-      concat(lit("c:"), col("c_custkey").cast("string")).as("key_data"),
-      to_json(struct(
-        col("c_name").as("name"),
-        col("c_nationkey").as("nationkey"),
-        col("c_acctbal").cast("decimal(12,2)").cast("string").as("acctbal"),
-        col("c_mktsegment").as("mktsegment"))).as("details"))
-    val supp = Tables.supplier(s, dir).select(
-      concat(lit("s:"), col("s_suppkey").cast("string")).as("key_data"),
-      to_json(struct(
-        col("s_name").as("name"),
-        col("s_nationkey").as("nationkey"),
-        col("s_acctbal").cast("decimal(12,2)").cast("string").as("acctbal"))).as("details"))
-    cust.unionByName(supp)
+  private def custDetails(cust: DataFrame): DataFrame = cust.select(
+    concat(lit("c:"), col("c_custkey").cast("string")).as("key_data"),
+    to_json(struct(
+      col("c_name").as("name"),
+      col("c_nationkey").as("nationkey"),
+      col("c_acctbal").cast("decimal(12,2)").cast("string").as("acctbal"),
+      col("c_mktsegment").as("mktsegment"))).as("details"))
+
+  private def suppDetails(supp: DataFrame): DataFrame = supp.select(
+    concat(lit("s:"), col("s_suppkey").cast("string")).as("key_data"),
+    to_json(struct(
+      col("s_name").as("name"),
+      col("s_nationkey").as("nationkey"),
+      col("s_acctbal").cast("decimal(12,2)").cast("string").as("acctbal"))).as("details"))
+
+  def nodes(s: SparkSession, dir: String): DataFrame =
+    custDetails(Tables.customer(s, dir))
+      .unionByName(suppDetails(Tables.supplier(s, dir)))
       .withColumn("id", xxhash64(col("key_data")))
+
+  /** Point lookup on the derived node frame with the key predicate
+    * inverted onto the base table's native key column, so it reaches
+    * the scan as a pushed filter — filtering the computed
+    * `concat('c:', custkey)` key is a full scan at 100 TB. (The
+    * stored path, GraphStore.nodeByKey, prunes by shard partition
+    * instead.) */
+  def nodeByKey(s: SparkSession, dir: String, key: String): DataFrame = {
+    val base = key.split(":", 2) match {
+      case Array("c", n) if n.nonEmpty && n.forall(_.isDigit) =>
+        custDetails(Tables.customer(s, dir)
+          .filter(col("c_custkey") === n.toLong))
+      case Array("s", n) if n.nonEmpty && n.forall(_.isDigit) =>
+        suppDetails(Tables.supplier(s, dir)
+          .filter(col("s_suppkey") === n.toLong))
+      case _ => nodes(s, dir).filter(col("key_data") === key).drop("id")
+    }
+    base.withColumn("id", xxhash64(col("key_data")))
   }
 
   /** Customer→supplier links derived from orders ⋈ lineitem, with

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale contract (SURVEY.md §5)
+  * says filters reach the scan, projections prune columns, and dim
+  * joins broadcast — these specs pin that against accidental
+  * plan regressions.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q6: all four predicates pushed, scan reads only four columns") {
+    val p = executedPlan("q6_filter")
+    for (f <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.contains(s"IsNotNull($f)") || p.contains(s"GreaterThan($f") ||
+        p.contains(s"($f,"), s"predicate on $f not pushed:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_orderkey", "l_suppkey", "l_partkey")
+      .forall(c => !readSchema.contains(c)), s"unpruned column:\n$readSchema")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(readSchema.contains), readSchema)
+  }
+
+  test("q5: dims broadcast at fixture scale, no cartesian anywhere") {
+    val p = executedPlan("q5_join5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("index probe pushes the key through the union into each scan") {
+    val p = executedPlan("i_lookup_text")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo") , s"probe key not pushed:\n$p")
+  }
+
+  test("node lookup pushes the key equality to the scan") {
+    val p = executedPlan("n_node_lookup")
+    assert(p.contains("EqualTo"), s"key predicate not pushed:\n$p")
+  }
+}
