@@ -28,7 +28,13 @@ object GraphStore {
       .write.mode("overwrite").partitionBy("shard").parquet(s"$root/edges")
 
   def saveIndexes(indexes: DataFrame, root: String): Unit =
-    indexes.write.mode("overwrite")
+    indexes
+      // typed shadow column: numeric range probes push a native
+      // double predicate to the scan (a range over the string
+      // key_str cannot push, and parquet min/max stats on key_num
+      // skip whole row groups)
+      .withColumn("key_num", col("key_str").try_cast("double"))
+      .write.mode("overwrite")
       .partitionBy("index_name", "key_type").parquet(s"$root/indexes")
 
   def loadNodes(spark: SparkSession, root: String): DataFrame =
@@ -56,4 +62,15 @@ object GraphStore {
       .filter(col("index_name") === name && col("key_type") === typ &&
         col("key_str") === key)
       .select("node_key")
+
+  /** Numeric range probe `[lo, hi]` against the stored layout: the
+    * typed key_num column written by saveIndexes carries the range
+    * as a pushed native predicate (+ row-group skipping via parquet
+    * stats), on top of the (index_name, key_type) pruning. */
+  def probeStoredRange(spark: SparkSession, root: String, name: String,
+      typ: String, lo: Double, hi: Double): DataFrame =
+    loadIndexes(spark, root)
+      .filter(col("index_name") === name && col("key_type") === typ &&
+        col("key_num").between(lo, hi))
+      .select(col("node_key"), col("key_num").as("key_val"))
 }

@@ -76,6 +76,7 @@ object StreamingIngest {
         None)
     else
       (GraphStore.loadNodes(spark, root).drop("shard"),
-        Some(GraphStore.loadIndexes(spark, root)))
+        // key_num is derived; saveIndexes recomputes it on write
+        Some(GraphStore.loadIndexes(spark, root).drop("key_num")))
   }
 }

@@ -61,6 +61,15 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     // node point-lookup prunes on the shard partition
     val one = GraphStore.nodeByKey(spark, store, "c:1")
     assert(one.count() == 1)
+    // numeric range probe: pushed native predicate on key_num
+    val rng = GraphStore.probeStoredRange(spark, store, "acctbal", "double",
+      0.0, 5000.0)
+    val rngPlan = rng.queryExecution.executedPlan.toString
+    assert(rngPlan.contains("PushedFilters") &&
+      rngPlan.contains("GreaterThanOrEqual(key_num,0.0)"), rngPlan)
+    assert(rng.count() ==
+      graft.index.TypedIndexes.probeRangeDouble(g.indexes, "acctbal",
+        0.0, 5000.0).count())
   }
 
   test("upsert/delete semantics: latest wins, indexes follow incrementally") {
