@@ -110,9 +110,14 @@ object Dedup {
     graft.functions.Registry.simhash(toks)
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
-    * 16-bit blocks (two equal blocks ⇒ hamming ≤ 32 guaranteed
-    * candidate recall at small distances), verify by true hamming
-    * distance ≤ maxHamming. */
+    * 16-bit blocks; a pair is a candidate iff some block matches
+    * exactly, then candidates are verified by true hamming distance
+    * ≤ maxHamming. By pigeonhole the block match GUARANTEES recall
+    * for hamming ≤ 3; beyond that recall is heuristic (bits of real
+    * near-dups cluster, so most small-distance pairs still share a
+    * block — pinned empirically in DedupSpec). Narrower blocks would
+    * extend the guarantee but blow up bucket sizes (8-bit blocks =
+    * 256 buckets/band → ~n²/256 candidate pairs per band). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8): DataFrame = {
     graft.functions.Registry.registerAll(docs.sparkSession)
