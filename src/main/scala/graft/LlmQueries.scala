@@ -32,6 +32,20 @@ object LlmQueries {
         .orderBy("a")
     },
 
+    "d_jaccard_ngrams" -> { (s, d) =>
+      // word-3-gram Jaccard, the order-sensitive variant: this
+      // corpus's near-dups are token-shuffled, so values are near 0
+      // by design — the oracle checks the exact arithmetic, not a
+      // threshold
+      val t = Tables.documents(s, d).filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          Dedup.ngrams(Dedup.tokens(col("text")), 3).as("g"))
+      t.as("x").join(t.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          round(Dedup.jaccard(col("x.g"), col("y.g")), 4).as("j"))
+        .orderBy("a")
+    },
+
     "d_dedup_minhash" -> { (s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
@@ -145,6 +159,18 @@ object LlmQueries {
          FROM t x JOIN t y ON y.doc_id = x.doc_id + 1
          WHERE round(len(list_intersect(x.toks, y.toks))::DOUBLE
                  / len(list_distinct(list_concat(x.toks, y.toks))), 4) >= 0.5
+         ORDER BY a""",
+    "d_jaccard_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE doc_id <= 200),
+         g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gr
+               FROM t)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           round(len(list_intersect(x.gr, y.gr))::DOUBLE
+                 / len(list_distinct(list_concat(x.gr, y.gr))), 4) AS j
+         FROM g x JOIN g y ON y.doc_id = x.doc_id + 1
          ORDER BY a""",
     "d_neardup_embedding" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings)

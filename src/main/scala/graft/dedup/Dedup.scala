@@ -35,11 +35,13 @@ object Dedup {
     docs.groupBy(bowFingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper"))
 
-  /** Word n-grams (default 3) as space-joined strings. */
+  /** Word n-grams (default 3) as space-joined strings. Documents
+    * shorter than n yield their single truncated gram (try_element_at:
+    * under ANSI mode a plain element_at throws past the end). */
   def ngrams(toks: Column, n: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      i => concat_ws(" ", (0 until n).map(j => try_element_at(toks, i + j + 1)): _*)))
 
   /** Exact Jaccard similarity of two string sets. */
   def jaccard(a: Column, b: Column): Column =

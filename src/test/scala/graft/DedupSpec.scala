@@ -36,6 +36,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.getInt(0) <= 8)
   }
 
+  test("word n-grams: count, order sensitivity, short-doc edge") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "e d c b a", "a b").toDF("t")
+      .select(col("t"), Dedup.ngrams(Dedup.tokens(col("t")), 3).as("g"))
+    val rows = df.collect()
+    // 5 tokens -> 3 trigrams; permutation shares none of them
+    assert(rows(0).getSeq[String](1) == Seq("a b c", "b c d", "c d e"))
+    assert(rows(1).getSeq[String](1).intersect(rows(0).getSeq[String](1)).isEmpty)
+    // shorter than n: one truncated gram (concat_ws drops the nulls)
+    assert(rows(2).getSeq[String](1) == Seq("a b"))
+    // jaccard of identical gram sets is 1, disjoint is 0
+    val j = df.limit(2).agg(collect_list(col("g"))).head().getSeq[Seq[String]](0)
+    assert(j.head.toSet.intersect(j(1).toSet).isEmpty)
+  }
+
   test("exact groups partition the corpus") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("n_copies")).head().getLong(0) == docs.count())
