@@ -140,21 +140,21 @@ object EgraphQueries {
         any = Seq(
           Exact(col("event_type"), "signup"),
           Range(col("value"), 100.0, 110.0),
-          Exact(jsonPath(col("props"), "k").cast("int"), 87)),
+          Exact(jsonPath(col("props"), "k").try_cast("int"), 87)),
         filters = Seq(
           Range(col("ts"), java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
             java.sql.Timestamp.valueOf("2024-01-08 00:00:00"))),
         selectedPaths = Map(
           "event_id" -> col("event_id"),
           "etype" -> col("event_type"),
-          "k" -> jsonPath(col("props"), "k").cast("int")))
+          "k" -> jsonPath(col("props"), "k").try_cast("int")))
       Search.run(ev, q).orderBy("event_id")
     },
 
     "j_json_extract" -> { (s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
-          Search.jsonPath(col("props"), "k").cast("int").as("k"),
+          Search.jsonPath(col("props"), "k").try_cast("int").as("k"),
           col("event_type"))
         .filter(col("k") > 80)
         .orderBy("event_id")
