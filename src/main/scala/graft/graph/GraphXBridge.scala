@@ -44,6 +44,39 @@ object GraphXBridge {
       .toDF("node", "rank")
   }
 
+  /** GraphX triangle count (per-vertex, summed/3 for the global
+    * figure). Edges are canonicalized (srcId < dstId, deduplicated)
+    * and the graph partitioned as triangleCount requires. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = fromUndirected(edges)
+    val canonical = Graph(g.vertices,
+      g.edges.map(e => if (e.srcId < e.dstId) e
+        else Edge(e.dstId, e.srcId, e.attr)).distinct())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val tc = canonical.triangleCount()
+    spark.createDataset(
+        tc.vertices.map { case (_, n) => n.toLong }.collect().toSeq)
+      .agg((sum("value") / 3).cast("long").as("n_triangles"))
+  }
+
+  /** GraphX landmark shortest paths (unweighted hop counts) from one
+    * source key — the Pregel form of Traversal.bfsLevels. */
+  def bfsLevels(edges: DataFrame, source: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = fromUndirected(edges)
+    // same expression the vertex ids were built with
+    val srcId = spark.range(1).select(xxhash64(lit(source))).head().getLong(0)
+    val sp = org.apache.spark.graphx.lib.ShortestPaths.run(g, Seq(srcId))
+    g.vertices.join(sp.vertices)
+      .flatMap { case (_, (key, dists)) =>
+        dists.get(srcId).map(d => (key, d))
+      }
+      .toDF("node", "depth")
+  }
+
   /** GraphX connected components (Pregel), labeled like
     * [[Algorithms.connectedComponents]]: each component named by its
     * lexicographically smallest member key. */

@@ -16,6 +16,29 @@ class GraphXSpec extends AnyFunSuite with SparkFixture {
     assert(df == gx)
   }
 
+  test("GraphX triangle count agrees with the DataFrame path on a known graph") {
+    import spark.implicits._
+    // two triangles sharing edge (b, c) + a pendant edge
+    val e = Seq(("a","b"),("b","c"),("c","a"),("b","d"),("c","d"),("d","e"))
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }
+      .toDF("a", "b")
+    val df = Algorithms.triangleCount(e).head().getLong(0)
+    val gx = GraphXBridge.triangleCount(e).head().getLong(0)
+    assert(df == 2L && gx == 2L)
+  }
+
+  test("GraphX bfs levels agree with the DataFrame traversal") {
+    val edges = GraphBuilder.undirected(
+      GraphBuilder.edges(spark, sfDir)).localCheckpoint()
+    val df = graft.graph.Traversal.bfsLevels(edges, Seq("c:1"), 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val gx = GraphXBridge.bfsLevels(edges, "c:1")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // GraphX covers all reachable nodes; the frontier BFS stopped at
+    // maxDepth 10 — on this graph both reach everything
+    assert(df == gx)
+  }
+
   test("GraphX pagerank ranks the same top node as the DataFrame path") {
     import spark.implicits._
     val edges = GraphBuilder.undirected(Seq(
