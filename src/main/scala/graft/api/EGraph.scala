@@ -28,6 +28,15 @@ final class EGraph(
   def node(key: String): DataFrame =
     nodes.filter(col("key_data") === key)
 
+  /** Lookup by the xxhash64 node id — the reference's
+    * `?keytype=rawhex` addressing (`GET /detail/<hex-id>`). */
+  def nodeById(id: Long): DataFrame =
+    nodes.filter(col("id") === id)
+
+  /** Hex form, exactly as the reference prints ids. */
+  def nodeByHex(hex: String): DataFrame =
+    nodeById(java.lang.Long.parseUnsignedLong(hex, 16))
+
   def indexLookup(name: String, keyType: String, key: String): DataFrame =
     indexes.filter(col("index_name") === name &&
       col("key_type") === keyType && col("key_str") === key)

@@ -170,6 +170,11 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
   test("facade verbs match the underlying operators") {
     val g = EGraph.fromTables(spark, sfDir)
     assert(g.node("c:1").count() == 1)
+    // rawhex addressing: id → same node, hex round-trips
+    val id = g.node("c:1").select("id").head().getLong(0)
+    assert(g.nodeById(id).select("key_data").head().getString(0) == "c:1")
+    assert(g.nodeByHex(java.lang.Long.toHexString(id))
+      .select("key_data").head().getString(0) == "c:1")
     assert(g.linksFrom("c:1").count() > 0)
     val n2 = g.neighbors("c:1", 2)
     assert(n2.filter(col("depth") === 2).count() > 0)
