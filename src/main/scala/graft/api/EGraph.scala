@@ -61,6 +61,11 @@ final class EGraph(
 
   def search(q: Search.SearchQuery): DataFrame = Search.run(nodes, q)
 
+  /** The reference's POST /v1/search JSON document, verbatim —
+    * probes the typed indexes, filters details, projects paths. */
+  def search(queryJson: String): DataFrame =
+    graft.search.QueryJson.run(nodes, indexes, queryJson)
+
   def degrees: DataFrame = Algorithms.degrees(edges)
   def pageRank(iters: Int = 10): DataFrame = Algorithms.pageRank(undirected, iters)
   def connectedComponents(): DataFrame = Algorithms.connectedComponents(undirected)

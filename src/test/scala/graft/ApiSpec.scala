@@ -123,6 +123,53 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getDouble(0)).toSeq == Seq(50.0, 90.0))
   }
 
+  test("reference query.json runs verbatim against ingested documents") {
+    import spark.implicits._
+    // the README's countries, ingested with the README's indexes
+    val docs = Seq(
+      ("india", """{"name":"India","capital":"New Delhi","religions":["Hinduism","Islam"],"economy":{"currency":"INR"},"geography":{"water_percent":9.6}}"""),
+      ("usa", """{"name":"USA","capital":"Washington","economy":{"currency":"USD"},"geography":{"water_percent":6.97}}"""),
+      ("japan", """{"name":"Japan","capital":"Tokyo","economy":{"currency":"JPY"},"geography":{"water_percent":3.55}}"""))
+      .toDF("key", "doc")
+    val nodes = DocumentIngest.nodes(docs, "key", "doc")
+    val ix = DocumentIngest.indexes(nodes, Seq(
+      IndexSpec("currency", "text", Seq("economy", "currency")),
+      IndexSpec("capital", "text", Seq("capital"), lowercase = true),
+      IndexSpec("water_percent", "double", Seq("geography", "water_percent"))))
+    // the README's query.json, verbatim (capital_lc__ is the
+    // lowercase-variant name DocumentIngest derives)
+    val queryJson = """
+    {"query": {"type": "index",
+      "conditions": {
+        "any": [
+          {"key": "INR", "key_type": "text", "index_name": "currency"},
+          {"key": "tokyo", "key_type": "text", "index_name": "capital_lc__"},
+          {"key": [1.0, 50.0], "key_type": "double", "index_name": "water_percent"}],
+        "filters": [
+          {"key": "India", "key_type": "text", "index_json_path": ["details", "name"]},
+          {"key": 9.6, "key_type": "double", "index_json_path": ["details", "geography", "water_percent"]},
+          {"key": [0.6, 10.2], "key_type": "double", "index_json_path": ["details", "geography", "water_percent"]}]},
+      "selected_paths": {
+        "name": ["details", "name"],
+        "religions": ["details", "religions"],
+        "water_percent": ["details", "geography", "water_percent"]}}}
+    """
+    val g = new graft.api.EGraph(nodes, spark.emptyDataFrame, ix)
+    val res = g.search(queryJson).collect()
+    assert(res.length == 1)
+    val row = res.head
+    assert(row.getAs[String]("key_data") == "india")
+    assert(row.getAs[String]("name") == "India")
+    assert(row.getAs[String]("water_percent") == "9.6")
+    assert(row.getAs[String]("religions").contains("Hinduism"))
+    // without the name filter, the any-probes cover all three countries
+    val anyOnly = """
+    {"query": {"conditions": {"any": [
+      {"key": [1.0, 50.0], "key_type": "double", "index_name": "water_percent"}]}}}
+    """
+    assert(g.search(anyOnly).count() == 3)
+  }
+
   test("streaming ingest: micro-batches upsert the store, indexes stay consistent") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions.col
