@@ -56,6 +56,13 @@ final class EGraph(
   def neighbors(key: String, maxDepth: Int): DataFrame =
     Traversal.bfsLevels(undirected, Seq(key), maxDepth)
 
+  /** k-hop expansion with each reached node's details attached —
+    * the payload `GET /v1/search/<key>?maxdepth=N` returns. */
+  def neighborsWithDetails(key: String, maxDepth: Int): DataFrame =
+    neighbors(key, maxDepth)
+      .join(nodes, col("node") === col("key_data"), "left")
+      .select(col("node"), col("depth"), col("details"))
+
   def path(src: String, dst: String, maxDepth: Int = 20): DataFrame =
     Traversal.pathBetween(undirected, src, dst, maxDepth)
 

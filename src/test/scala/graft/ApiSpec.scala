@@ -225,6 +225,9 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     assert(g.linksFrom("c:1").count() > 0)
     val n2 = g.neighbors("c:1", 2)
     assert(n2.filter(col("depth") === 2).count() > 0)
+    val nd = g.neighborsWithDetails("c:1", 1)
+    assert(nd.count() == g.neighbors("c:1", 1).count() &&
+      nd.filter(col("details").isNull).count() == 0)
     val p = g.path("c:1", "s:5").orderBy("step").collect()
     assert(p.head.getString(1) == "c:1" && p.last.getString(1) == "s:5")
   }
