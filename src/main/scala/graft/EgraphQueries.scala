@@ -90,27 +90,27 @@ object EgraphQueries {
 
     "g_neighbors_d2" -> { (s, d) =>
       Traversal.bfsLevels(
-          GraphBuilder.undirected(GraphBuilder.edges(s, d)), Seq("c:1"), 2)
+          GraphBuilder.undirectedFor(s, d), Seq("c:1"), 2)
         .orderBy("node")
     },
 
     "g_bfs_levels" -> { (s, d) =>
       Traversal.bfsLevels(
-          GraphBuilder.undirected(GraphBuilder.edges(s, d)), Seq("c:1"), 4)
+          GraphBuilder.undirectedFor(s, d), Seq("c:1"), 4)
         .orderBy("node")
     },
 
     "g_dfs_path" -> { (s, d) =>
       Traversal.pathBetween(
-        GraphBuilder.undirected(GraphBuilder.edges(s, d)), "c:1", "s:5")
+        GraphBuilder.undirectedFor(s, d), "c:1", "s:5")
     },
 
     "g_triangles" -> { (s, d) =>
-      Algorithms.triangleCount(GraphBuilder.undirected(GraphBuilder.edges(s, d)))
+      Algorithms.triangleCount(GraphBuilder.undirectedFor(s, d))
     },
 
     "g_pagerank" -> { (s, d) =>
-      Algorithms.pageRank(GraphBuilder.undirected(GraphBuilder.edges(s, d)),
+      Algorithms.pageRank(GraphBuilder.undirectedFor(s, d),
           iters = 5)
         .select(col("node"), round(col("rank"), 4).as("rank"))
         .orderBy("node")
@@ -118,7 +118,7 @@ object EgraphQueries {
 
     "g_connected_components" -> { (s, d) =>
       Algorithms.connectedComponents(
-          GraphBuilder.undirected(GraphBuilder.edges(s, d)))
+          GraphBuilder.undirectedFor(s, d))
         .orderBy("node")
     },
 

@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Corpora up to this many documents broadcast their token sets
-    * into the MinHash verification joins; above it they shuffle. */
-  val setsBroadcastLimit = 2000000L
+    * into the MinHash verification joins; above it they shuffle.
+    * Sized for ~2 KB of sorted tokens per document → ≈200 MB
+    * broadcast at the limit; row count is the cheap proxy (an exact
+    * byte estimate would need a second pass over the text). */
+  val setsBroadcastLimit = 100000L
 
   def tokens(text: Column): Column = split(text, " ")
 

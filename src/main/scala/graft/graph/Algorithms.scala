@@ -34,8 +34,14 @@ object Algorithms {
     * variant degenerates to hub-degree² wedges on power-law graphs.
     */
   def triangleCount(undirectedEdges: DataFrame): DataFrame = {
-    val deg = undirectedEdges.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    // degree from BOTH endpoint columns: correct whether the input
+    // materializes both directions (symmetric input → 2×degree,
+    // which orders identically) or only the canonical a<b rows
+    // (where a one-column count would drop nodes never seen as `a`
+    // and the inner joins below would silently discard their edges)
+    val deg = undirectedEdges.select(col("a").as("node"))
+      .unionByName(undirectedEdges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
     // node key = (deg, id): one total order drives both the edge
     // orientation and the wedge canonicalization, so the closing
     // join is a pure equi-join

@@ -54,16 +54,23 @@ object GraphBuilder {
     * stored path, GraphStore.nodeByKey, prunes by shard partition
     * instead.) */
   def nodeByKey(s: SparkSession, dir: String, key: String): DataFrame = {
+    // invert only keys that round-trip exactly: "c:007" must NOT
+    // match custkey 7 (its canonical key is "c:7"), and all-digit
+    // strings beyond Long range must not throw — both fall back to
+    // the literal key_data filter, which correctly returns nothing
     val base = key.split(":", 2) match {
-      case Array("c", n) if n.nonEmpty && n.forall(_.isDigit) =>
-        custDetails(Tables.customer(s, dir)
-          .filter(col("c_custkey") === n.toLong))
-      case Array("s", n) if n.nonEmpty && n.forall(_.isDigit) =>
-        suppDetails(Tables.supplier(s, dir)
-          .filter(col("s_suppkey") === n.toLong))
+      case Array("c", Parsed(n)) =>
+        custDetails(Tables.customer(s, dir).filter(col("c_custkey") === n))
+      case Array("s", Parsed(n)) =>
+        suppDetails(Tables.supplier(s, dir).filter(col("s_suppkey") === n))
       case _ => nodes(s, dir).filter(col("key_data") === key).drop("id")
     }
     base.withColumn("id", xxhash64(col("key_data")))
+  }
+
+  private object Parsed {
+    def unapply(n: String): Option[Long] =
+      scala.util.Try(n.toLong).toOption.filter(_.toString == n)
   }
 
   /** Customer→supplier links derived from orders ⋈ lineitem, with
@@ -86,20 +93,24 @@ object GraphBuilder {
   // the adjacency is a materialized artifact (GraphStore persists it
   // in production); memoizing the built frame per (session, dir)
   // keeps the many graph queries from re-running the orders⋈lineitem
-  // build — the tables are immutable inputs
+  // build. Keyed ONLY by the immutable input directory — frames from
+  // mutable sources (e.g. a GraphStore that gets overwritten) never
+  // enter these caches.
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val undirectedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Long), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized undirected adjacency of the demo graph for `dir`. */
+  def undirectedFor(s: SparkSession, dir: String): DataFrame =
+    undirectedCache.getOrElseUpdate((s, dir),
+      undirected(edges(s, dir)).localCheckpoint())
 
   /** Undirected, deduplicated (a, b) adjacency — both directions
     * materialized, like the reference's two-rows-per-bidirectional-link
     * convention (`sql/egraph_table_creation.sql:183` comment). */
-  def undirected(edges: DataFrame): DataFrame =
-    undirectedCache.getOrElseUpdate(
-      (edges.sparkSession, edges.semanticHash().toLong), {
-        val ab = edges.select(col("src_key").as("a"), col("dst_key").as("b"))
-        ab.unionByName(ab.select(col("b").as("a"), col("a").as("b")))
-          .distinct().localCheckpoint()
-      })
+  def undirected(edges: DataFrame): DataFrame = {
+    val ab = edges.select(col("src_key").as("a"), col("dst_key").as("b"))
+    ab.unionByName(ab.select(col("b").as("a"), col("a").as("b"))).distinct()
+  }
 }

@@ -56,9 +56,11 @@ object GraphXBridge {
         else Edge(e.dstId, e.srcId, e.attr)).distinct())
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
     val tc = canonical.triangleCount()
-    spark.createDataset(
-        tc.vertices.map { case (_, n) => n.toLong }.collect().toSeq)
-      .agg((sum("value") / 3).cast("long").as("n_triangles"))
+    // aggregate on the executors; each triangle is counted at its
+    // three vertices
+    val total = tc.vertices.map { case (_, n) => n.toLong }
+      .fold(0L)(_ + _) / 3
+    Seq(total).toDF("n_triangles")
   }
 
   /** GraphX landmark shortest paths (unweighted hop counts) from one

@@ -86,15 +86,28 @@ object TypedIndexes {
     * only on rows inside it. */
   def geoRadiusKm(s: SparkSession, dir: String, lat0: Double, lon0: Double,
       radiusKm: Double): DataFrame = {
-    val dLat = math.toDegrees(radiusKm / 6371.0088)
-    // the lon span widens toward the poles; past 89° the box wraps
-    val dLon = if (math.abs(lat0) >= 89.0) 180.0
-      else dLat / math.cos(math.toRadians(lat0))
+    val r = radiusKm / 6371.0088 // angular radius
+    val dLat = math.toDegrees(r)
+    // exact max longitude deviation of a great-circle cap:
+    // asin(sin r / cos φ); undefined ⇔ the cap contains a pole, in
+    // which case every longitude is inside
+    val sinRatio = math.sin(r) / math.cos(math.toRadians(lat0))
+    val capHitsPole = lat0 + dLat >= 90.0 || lat0 - dLat <= -90.0 ||
+      math.abs(sinRatio) >= 1.0
+    val latBox = col("lat").between(lat0 - dLat, lat0 + dLat)
+    val box = if (capHitsPole) latBox else {
+      val dLon = math.toDegrees(math.asin(sinRatio))
+      val (lo, hi) = (lon0 - dLon, lon0 + dLon)
+      if (lo < -180.0 || hi > 180.0)
+        // antimeridian wrap: the lon interval splits in two
+        latBox && (col("lon") >= ((lo + 540.0) % 360.0) - 180.0 ||
+          col("lon") <= ((hi + 540.0) % 360.0) - 180.0)
+      else latBox && col("lon").between(lo, hi)
+    }
     val c = Tables.customer(s, dir)
       .withColumn("lat", (col("c_custkey") % 180).cast("double") - 90.0 + 0.5)
       .withColumn("lon", ((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5)
-    c.filter(col("lat").between(lat0 - dLat, lat0 + dLat) &&
-        col("lon").between(lon0 - dLon, lon0 + dLon))
+    c.filter(box)
       .filter(haversineKm(col("lat"), col("lon"), lit(lat0), lit(lon0)) <= radiusKm)
       .select(concat(lit("c:"), col("c_custkey").cast("string")).as("node_key"),
         col("lat"), col("lon"))

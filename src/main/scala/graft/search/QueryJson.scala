@@ -109,10 +109,21 @@ object QueryJson {
     * whole-query plan the reference executes per HTTP POST. */
   def run(nodes: DataFrame, indexes: DataFrame, q: IndexQuery): DataFrame = {
     require(q.any.nonEmpty, "conditions.any must have at least one probe")
+    // a store-loaded frame carries the typed key_num shadow column
+    // (GraphStore.saveIndexes): numeric probes filter it directly so
+    // the predicate pushes to the scan un-cast-wrapped
+    val numeric = Set("int", "double")
+    val hasKeyNum = indexes.columns.contains("key_num")
     val keys = q.any.map { c =>
+      val useNum = hasKeyNum && numeric(c.keyType)
+      // key_num is already double: the try_cast inside cond() is a
+      // no-op Catalyst removes, so the comparison pushes down; int
+      // keys compare exactly in double within 2^53
+      val probe =
+        if (useNum) cond(col("key_num"), "double", c.key)
+        else cond(col("key_str"), c.keyType, c.key)
       indexes.filter(col("index_name") === c.indexName &&
-          col("key_type") === c.keyType &&
-          cond(col("key_str"), c.keyType, c.key))
+          col("key_type") === c.keyType && probe)
         .select(col("node_key").as("key_data"))
     }.reduce(_ unionByName _).distinct()
     val matched = nodes.join(keys, Seq("key_data"), "left_semi")

@@ -17,6 +17,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * then merged. State lives entirely in the store — the streaming
   * query itself is stateless, so it scales with batch size, not
   * history.
+  *
+  * Crash safety: GraphStore saves are versioned (the previous good
+  * version is never deleted mid-write), and foreachBatch commits the
+  * source offset only after the batch function returns — a crash
+  * anywhere mid-batch leaves the prior store versions readable and
+  * the batch re-runs on restart, converging to the same state.
   */
 object StreamingIngest {
 

@@ -123,6 +123,28 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getDouble(0)).toSeq == Seq(50.0, 90.0))
   }
 
+  test("versioned store: crashed writes are invisible, prior state survives") {
+    import spark.implicits._
+    val root = "/tmp/graft-test-versioned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val v1 = Seq(("k1", "d1", 1L)).toDF("key_data", "details", "id")
+    GraphStore.saveNodes(v1, root)
+    val v2 = Seq(("k1", "d1", 1L), ("k2", "d2", 2L))
+      .toDF("key_data", "details", "id")
+    GraphStore.saveNodes(v2, root)
+    assert(GraphStore.loadNodes(spark, root).count() == 2)
+    // a writer that died mid-save: newer version dir, no _SUCCESS —
+    // readers must keep resolving the last complete version
+    val bogus = new java.io.File(s"$root/nodes/v9999999999999-9999")
+    assert(bogus.mkdirs())
+    assert(GraphStore.loadNodes(spark, root).count() == 2)
+    // both complete versions retained (prior state never deleted
+    // before the new one is durable)
+    val versions = new java.io.File(s"$root/nodes").listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
+    assert(versions.length == 2, versions.mkString(","))
+  }
+
   test("reference query.json runs verbatim against ingested documents") {
     import spark.implicits._
     // the README's countries, ingested with the README's indexes

@@ -51,6 +51,10 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(n(und("a" -> "b", "b" -> "c", "a" -> "c")) == 1)
     assert(n(und("a" -> "b", "b" -> "c", "a" -> "c", "c" -> "d")) == 1)
     assert(n(und("a" -> "b", "b" -> "c")) == 0)
+    // canonical one-direction list (no symmetrized rows) counts too
+    import spark.implicits._
+    val canonical = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("a", "b")
+    assert(n(canonical) == 1)
   }
 
   test("pagerank mass is conserved and hubs rank higher") {

@@ -56,6 +56,27 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
       Seq(DotProductExpr(a, b), DotProductExpr(a, a), DotProductExpr(b, b)))
   }
 
+  test("geo bounding box never drops in-radius rows") {
+    import graft.index.TypedIndexes
+    // pure haversine (no box) as ground truth, incl. antimeridian
+    // and near-pole centers where the box logic has branches
+    val cases = Seq((0.0, 179.9, 500.0), (0.0, -179.9, 500.0),
+      (85.0, 10.0, 1500.0), (-88.0, 0.0, 800.0), (60.0, 20.0, 1000.0),
+      (10.5, 20.5, 300.0))
+    for ((lat0, lon0, r) <- cases) {
+      val boxed = TypedIndexes.geoRadiusKm(spark, sfDir, lat0, lon0, r)
+        .select("node_key").collect().map(_.getString(0)).toSet
+      val truth = Tables.customer(spark, sfDir)
+        .withColumn("lat", (col("c_custkey") % 180).cast("double") - 90.0 + 0.5)
+        .withColumn("lon", ((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5)
+        .filter(TypedIndexes.haversineKm(col("lat"), col("lon"),
+          lit(lat0), lit(lon0)) <= r)
+        .select(concat(lit("c:"), col("c_custkey").cast("string")))
+        .collect().map(_.getString(0)).toSet
+      assert(boxed == truth, s"($lat0,$lon0,$r): ${truth.diff(boxed).take(5)} dropped")
+    }
+  }
+
   test("haversine distance matches known city pair") {
     import spark.implicits._
     import graft.index.TypedIndexes
