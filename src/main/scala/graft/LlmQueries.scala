@@ -122,6 +122,12 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "t_chunks" -> { (s, d) =>
+      TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
+          size = 40, overlap = 10)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     "t_fingerprint" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
           TextAnalysis.rollingFingerprint(col("text")).as("fp"))
@@ -215,6 +221,16 @@ object LlmQueries {
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re_tokens,
          length(text) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "t_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                 greatest(1, ceil((len(toks) - 10)::DOUBLE / 30)::INT) AS nc
+               FROM t)
+         SELECT doc_id, i AS chunk_id,
+           array_to_string(toks[(i*30+1)::BIGINT : (i*30+40)::BIGINT], ' ') AS chunk_text,
+           len(toks[(i*30+1)::BIGINT : (i*30+40)::BIGINT]) AS n_tokens
+         FROM c, unnest(range(0, nc)) AS u(i)
+         ORDER BY doc_id, chunk_id""",
     "t_quality" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
              string_split(text, ' ') AS toks FROM documents)

@@ -57,6 +57,29 @@ object TextAnalysis {
       greatest(scored: _*).getField("score").as("score"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the
+    * context-window preparation step of a training-data pipeline.
+    * Chunks start every `size - overlap` tokens; the last window is
+    * the trailing remainder (never empty, never past the end). One
+    * row per (doc, chunk) via posexplode; all map-side, no shuffle.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size)
+    val step = size - overlap
+    val toks = wsTokens(col(textCol))
+    val nChunks = greatest(lit(1),
+      ceil((size_(toks) - lit(overlap)).cast("double") / step).cast("int"))
+    df.select(col(idCol), toks.as("toks"), nChunks.as("nc"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("nc") - 1),
+        i => concat_ws(" ", slice(col("toks"), i * step + 1, lit(size)))))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_tokens", size_(wsTokens(col("chunk_text"))))
+  }
+
+  private def size_(c: Column): Column = size(c)
+
   /** Order-sensitive rolling polynomial hash over the token-hash
     * sequence (multiplier 1000003, masked to 32 bits each step so
     * the multiply never overflows a long under ANSI mode) — the
