@@ -122,6 +122,12 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "t_split" -> { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextAnalysis.assignSplit(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+
     "t_chunks" -> { (s, d) =>
       TextAnalysis.chunk(Tables.documents(s, d), "doc_id", "text",
           size = 40, overlap = 10)
@@ -220,6 +226,12 @@ object LlmQueries {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re_tokens,
          length(text) AS n_chars
+         FROM documents ORDER BY doc_id""",
+    "t_split" ->
+      """SELECT doc_id,
+         CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+              WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
     "t_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -57,6 +57,17 @@ object TextAnalysis {
       greatest(scored: _*).getField("score").as("score"))
   }
 
+  /** Deterministic train/val/test assignment by content-independent
+    * key hash — reproducible across runs, engines and data orders
+    * (md5 of the key, split on the first two hex chars: 'cc' ≈ 80%,
+    * 'e6' ≈ 90%). Join-free, map-side, and stable under corpus
+    * growth: a document's split never changes when others arrive. */
+  def assignSplit(idCol: Column, trainHex: String = "cc",
+      valHex: String = "e6"): Column = {
+    val h = substring(md5(idCol.cast("string")), 1, 2)
+    when(h < trainHex, "train").when(h < valHex, "val").otherwise("test")
+  }
+
   /** Fixed-size token-window chunking with overlap — the
     * context-window preparation step of a training-data pipeline.
     * Chunks start every `size - overlap` tokens; the last window is
