@@ -45,39 +45,93 @@ object GraphStore {
       .filter(v => fs.exists(new Path(dir, s"$v/_SUCCESS")))
   }
 
-  /** Newest complete version dir, or the plain dir itself for
+  /** Epoch-pinned version if a root epoch names this table, else the
+    * newest complete version dir, else the plain dir itself for
     * layouts written before versioning. */
-  private def resolve(spark: SparkSession, dir: String): String =
-    goodVersions(spark, dir).headOption.map(v => s"$dir/$v").getOrElse(dir)
+  private def resolve(spark: SparkSession, root: String,
+      table: String): String = {
+    val dir = s"$root/$table"
+    currentEpoch(spark, root).get(table)
+      .filter(v => goodVersions(spark, dir).contains(v))
+      .orElse(goodVersions(spark, dir).headOption)
+      .map(v => s"$dir/$v").getOrElse(dir)
+  }
 
-  private def pruneOld(spark: SparkSession, dir: String): Unit =
+  /** The root epoch: table → pinned version. Written atomically by
+    * [[commitEpoch]] AFTER all of a batch's table saves, so readers
+    * resolving through it always see one consistent snapshot —
+    * per-table versioning alone still exposes a window where nodes
+    * are new but indexes old. Absent for plain layouts. */
+  def currentEpoch(spark: SparkSession, root: String): Map[String, String] = {
+    val p = new Path(s"$root/_EPOCH")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+    }
+  }
+
+  /** Atomically pin (table → version) for readers: write a temp file
+    * then rename over _EPOCH — rename is atomic on POSIX and HDFS,
+    * so a reader sees either the old pinning or the new, never a
+    * torn one. Tables not named keep their previous pin. */
+  def commitEpoch(spark: SparkSession, root: String,
+      versions: Map[String, String]): Unit = {
+    val merged = currentEpoch(spark, root) ++ versions
+    val p = new Path(s"$root/_EPOCH")
+    val tmp = new Path(s"$root/._EPOCH.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // rename-with-overwrite is atomic: readers see the old pinning
+    // or the new, never a missing or torn one
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private def pruneOld(spark: SparkSession, root: String,
+      table: String): Unit =
     try {
+      val dir = s"$root/$table"
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      goodVersions(spark, dir).drop(2)
+      val pinned = currentEpoch(spark, root).get(table)
+      goodVersions(spark, dir).drop(2).filterNot(pinned.contains)
         .foreach(v => fs.delete(new Path(dir, v), true))
     } catch { case _: java.io.IOException => () } // pruning is best-effort
 
-  private def versionedSave(df: DataFrame, dir: String)(
-      write: (DataFrame, String) => Unit): Unit = {
-    write(df, s"$dir/${nextVersion()}")
-    pruneOld(df.sparkSession, dir)
+  /** Returns the version name the frame was written under, for
+    * [[commitEpoch]]. */
+  private def versionedSave(df: DataFrame, root: String, table: String)(
+      write: (DataFrame, String) => Unit): String = {
+    val v = nextVersion()
+    write(df, s"$root/$table/$v")
+    pruneOld(df.sparkSession, root, table)
+    v
   }
 
-  def saveNodes(nodes: DataFrame, root: String, shardBits: Int = 6): Unit =
-    versionedSave(nodes, s"$root/nodes") { (df, path) =>
+  def saveNodes(nodes: DataFrame, root: String, shardBits: Int = 6): String =
+    versionedSave(nodes, root, "nodes") { (df, path) =>
       df.withColumn("shard", Sharding.shardOfId(col("id"), shardBits))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     }
 
-  def saveEdges(edges: DataFrame, root: String, shardBits: Int = 6): Unit =
-    versionedSave(edges, s"$root/edges") { (df, path) =>
+  def saveEdges(edges: DataFrame, root: String, shardBits: Int = 6): String =
+    versionedSave(edges, root, "edges") { (df, path) =>
       df.withColumn("shard", Sharding.shardOfKey(col("src_key"), shardBits))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     }
 
-  def saveIndexes(indexes: DataFrame, root: String): Unit =
-    versionedSave(indexes, s"$root/indexes") { (df, path) =>
+  def saveIndexes(indexes: DataFrame, root: String): String =
+    versionedSave(indexes, root, "indexes") { (df, path) =>
       df
         // typed shadow column: numeric range probes push a native
         // double predicate to the scan (a range over the string
@@ -89,13 +143,13 @@ object GraphStore {
     }
 
   def loadNodes(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(resolve(spark, s"$root/nodes"))
+    spark.read.parquet(resolve(spark, root, "nodes"))
 
   def loadEdges(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(resolve(spark, s"$root/edges"))
+    spark.read.parquet(resolve(spark, root, "edges"))
 
   def loadIndexes(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(resolve(spark, s"$root/indexes"))
+    spark.read.parquet(resolve(spark, root, "indexes"))
 
   /** Point lookup against the stored node partitioning: computes the
     * shard from the key so the scan prunes to one directory. */

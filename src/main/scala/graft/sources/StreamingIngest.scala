@@ -19,10 +19,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * history.
   *
   * Crash safety: GraphStore saves are versioned (the previous good
-  * version is never deleted mid-write), and foreachBatch commits the
-  * source offset only after the batch function returns — a crash
-  * anywhere mid-batch leaves the prior store versions readable and
-  * the batch re-runs on restart, converging to the same state.
+  * version is never deleted mid-write) and the batch's
+  * (nodes, indexes) pair is published by one atomic epoch flip after
+  * both saves land — readers always resolve a consistent pair. A
+  * crash anywhere mid-batch leaves the previous epoch readable, and
+  * foreachBatch commits the source offset only after the batch
+  * function returns, so the batch re-runs on restart and converges.
   */
 object StreamingIngest {
 
@@ -64,12 +66,15 @@ object StreamingIngest {
       case Some(cur) => DocumentIngest.upsertIndexes(cur, latest, specs)
       case None => DocumentIngest.indexes(latest, specs)
     }
-    // materialize before overwrite: both frames read the files the
-    // write below replaces
+    // materialize once, save both tables, then flip the root epoch
+    // atomically — readers resolve through the epoch, so they see
+    // the (nodes, indexes) pair of THIS batch or the previous one,
+    // never nodes from one and indexes from the other
     val nodesOut = nodes.localCheckpoint()
     val ixOut = ix.localCheckpoint()
-    GraphStore.saveNodes(nodesOut, root)
-    GraphStore.saveIndexes(ixOut, root)
+    val nv = GraphStore.saveNodes(nodesOut, root)
+    val iv = GraphStore.saveIndexes(ixOut, root)
+    GraphStore.commitEpoch(spark, root, Map("nodes" -> nv, "indexes" -> iv))
   }
 
   private def current(spark: SparkSession, root: String)

@@ -143,6 +143,17 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     val versions = new java.io.File(s"$root/nodes").listFiles()
       .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
     assert(versions.length == 2, versions.mkString(","))
+    // epoch pinning: readers stay on the committed version even
+    // after a newer un-committed save lands
+    val pinned = versions.map(_.getName).min // the v1 save
+    GraphStore.commitEpoch(spark, root, Map("nodes" -> pinned))
+    assert(GraphStore.loadNodes(spark, root).count() == 1)
+    val v3 = Seq(("k1", "d1", 1L), ("k2", "d2", 2L), ("k3", "d3", 3L))
+      .toDF("key_data", "details", "id")
+    val v3name = GraphStore.saveNodes(v3, root)
+    assert(GraphStore.loadNodes(spark, root).count() == 1) // still pinned
+    GraphStore.commitEpoch(spark, root, Map("nodes" -> v3name))
+    assert(GraphStore.loadNodes(spark, root).count() == 3)
   }
 
   test("reference query.json runs verbatim against ingested documents") {
