@@ -44,9 +44,15 @@ object Ivf {
   }
 
   /** Train the coarse quantizer: deterministic seeding (first k
-    * vectors by id), `iters` Lloyd rounds. */
-  def train(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, iters: Int = 2): Model = {
+    * vectors by id), `iters` Lloyd rounds. `sampleFraction` < 1
+    * trains on a deterministic sample — at 100 TB the quantizer
+    * quality needs ~100·k vectors, not the corpus, and each Lloyd
+    * round otherwise scans everything. */
+  def train(corpus0: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, iters: Int = 2, sampleFraction: Double = 1.0): Model = {
+    val corpus =
+      if (sampleFraction >= 1.0) corpus0
+      else corpus0.sample(withReplacement = false, sampleFraction, seed = 42L)
     Registry.registerAll(corpus.sparkSession)
     val seeds = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
