@@ -42,23 +42,26 @@ object Algorithms {
     val deg = undirectedEdges.select(col("a").as("node"))
       .unionByName(undirectedEdges.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // node key = (deg, id): one total order drives both the edge
-    // orientation and the wedge canonicalization, so the closing
-    // join is a pure equi-join
+    // orient by the (deg, id) total order, then DROP the degree:
+    // wedge generation only needs the orientation (out-degree per u
+    // is what the ordering bounds), and the closure can canonicalize
+    // by plain node id — so every shuffle key is a single string,
+    // not a struct
+    val aFirst = struct(col("da").as("d"), col("a").as("n")) <
+      struct(col("db").as("d"), col("b").as("n"))
     val e = undirectedEdges.filter(col("a") < col("b"))
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-      .select(
-        least(struct(col("da").as("d"), col("a").as("n")),
-          struct(col("db").as("d"), col("b").as("n"))).as("u"),
-        greatest(struct(col("da").as("d"), col("a").as("n")),
-          struct(col("db").as("d"), col("b").as("n"))).as("v"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
       .localCheckpoint()
     val wedges = e.select(col("u"), col("v").as("w1"))
       .join(e.select(col("u"), col("v").as("w2")), "u")
       .filter(col("w1") < col("w2"))
-    wedges.join(e.select(col("u").as("w1"), col("v").as("w2")),
-        Seq("w1", "w2"))
+    // each edge once under id-canonical order, matching w1 < w2
+    val canon = e.select(least(col("u"), col("v")).as("w1"),
+      greatest(col("u"), col("v")).as("w2"))
+    wedges.join(canon, Seq("w1", "w2"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
