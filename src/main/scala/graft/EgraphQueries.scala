@@ -151,6 +151,25 @@ object EgraphQueries {
       Search.run(ev, q).orderBy("event_id")
     },
 
+    "s_search_json" -> { (s, d) =>
+      // the reference's POST /v1/search JSON document, end to end
+      // against the node/index frames (QueryJson; the README-literal
+      // form is spec-tested in ApiSpec)
+      graft.search.QueryJson.run(
+        GraphBuilder.nodes(s, d), TypedIndexes.build(s, d),
+        """{"query": {"type": "index",
+            "conditions": {
+              "any": [
+                {"key": "BUILDING", "key_type": "text", "index_name": "mktsegment"},
+                {"key": [1000.0, 2000.0], "key_type": "double", "index_name": "acctbal"}],
+              "filters": [
+                {"key": 5, "key_type": "int", "index_json_path": ["details", "nationkey"]}]},
+            "selected_paths": {
+              "name": ["details", "name"],
+              "acctbal": ["details", "acctbal"]}}}""")
+        .orderBy("key_data")
+    },
+
     "j_json_extract" -> { (s, d) =>
       Tables.events(s, d)
         .select(col("event_id"),
@@ -302,6 +321,15 @@ object EgraphQueries {
            AND ts BETWEEN TIMESTAMP '2024-01-01 00:00:00'
                       AND TIMESTAMP '2024-01-08 00:00:00'
          ORDER BY event_id""",
+    "s_search_json" ->
+      """SELECT 'c:' || c_custkey AS key_data,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS acctbal,
+         c_name AS name
+         FROM customer
+         WHERE (c_mktsegment = 'BUILDING'
+                OR CAST(c_acctbal AS DECIMAL(12,2)) BETWEEN 1000.0 AND 2000.0)
+           AND c_nationkey = 5
+         ORDER BY key_data""",
     "j_json_extract" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type
