@@ -50,15 +50,22 @@ object Ivf {
     * round otherwise scans everything. */
   def train(corpus0: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, iters: Int = 2, sampleFraction: Double = 1.0): Model = {
+    // materialize the sample: the seed collect and every Lloyd round
+    // read it, and an unpersisted sample is a filter over a full
+    // corpus scan each time — the very cost sampling is meant to cut
     val corpus =
       if (sampleFraction >= 1.0) corpus0
       else corpus0.sample(withReplacement = false, sampleFraction, seed = 42L)
+        .localCheckpoint()
     Registry.registerAll(corpus.sparkSession)
     val seeds = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) =>
         i -> normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)
       }.toSeq
+    require(seeds.length == k,
+      s"training set has only ${seeds.length} vectors for k=$k cells — " +
+        "raise sampleFraction (a silent short model would degrade recall)")
     var model = Model(seeds, dim)
     for (_ <- 1 to iters) {
       val assigned = corpus.select(col(vecCol).as("v"),

@@ -88,10 +88,12 @@ object EGraph {
       GraphBuilder.edges(spark, dir),
       graft.index.TypedIndexes.build(spark, dir))
 
-  /** Re-open a graph persisted by sources.GraphStore. */
-  def fromStore(spark: SparkSession, root: String): EGraph =
-    new EGraph(
-      graft.sources.GraphStore.loadNodes(spark, root),
-      graft.sources.GraphStore.loadEdges(spark, root),
-      graft.sources.GraphStore.loadIndexes(spark, root))
+  /** Re-open a graph persisted by sources.GraphStore. One epoch read
+    * resolves all three tables, so the instance is a consistent
+    * snapshot even while a streaming ingest commits concurrently. */
+  def fromStore(spark: SparkSession, root: String): EGraph = {
+    val (nodes, edges, indexes) =
+      graft.sources.GraphStore.loadSnapshot(spark, root)
+    new EGraph(nodes, edges, indexes)
+  }
 }

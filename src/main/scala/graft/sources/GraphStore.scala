@@ -45,17 +45,21 @@ object GraphStore {
       .filter(v => fs.exists(new Path(dir, s"$v/_SUCCESS")))
   }
 
-  /** Epoch-pinned version if a root epoch names this table, else the
-    * newest complete version dir, else the plain dir itself for
+  /** Epoch-pinned version if the given epoch names this table, else
+    * the newest complete version dir, else the plain dir itself for
     * layouts written before versioning. */
-  private def resolve(spark: SparkSession, root: String,
-      table: String): String = {
+  private def resolveWith(spark: SparkSession, epoch: Map[String, String],
+      root: String, table: String): String = {
     val dir = s"$root/$table"
-    currentEpoch(spark, root).get(table)
-      .filter(v => goodVersions(spark, dir).contains(v))
-      .orElse(goodVersions(spark, dir).headOption)
+    val versions = goodVersions(spark, dir)
+    epoch.get(table).filter(versions.contains)
+      .orElse(versions.headOption)
       .map(v => s"$dir/$v").getOrElse(dir)
   }
+
+  private def resolve(spark: SparkSession, root: String,
+      table: String): String =
+    resolveWith(spark, currentEpoch(spark, root), root, table)
 
   /** The root epoch: table → pinned version. Written atomically by
     * [[commitEpoch]] AFTER all of a batch's table saves, so readers
@@ -76,25 +80,39 @@ object GraphStore {
     }
   }
 
-  /** Atomically pin (table → version) for readers: write a temp file
-    * then rename over _EPOCH — rename is atomic on POSIX and HDFS,
-    * so a reader sees either the old pinning or the new, never a
-    * torn one. Tables not named keep their previous pin. */
+  /** Atomically pin (table → version) for readers: write a uniquely
+    * named temp file then rename over _EPOCH, so a reader sees the
+    * old pinning or the new, never a missing or torn one. Tables not
+    * named keep their previous pin. Single writer assumed (the
+    * reference shards writes but has one writer per shard);
+    * concurrent committers to different tables can lose each other's
+    * merge, not tear the file. */
   def commitEpoch(spark: SparkSession, root: String,
       versions: Map[String, String]): Unit = {
     val merged = currentEpoch(spark, root) ++ versions
     val p = new Path(s"$root/_EPOCH")
-    val tmp = new Path(s"$root/._EPOCH.tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // unique tmp: a concurrent committer must never truncate a tmp
+    // file someone else is about to rename
+    val tmp = new Path(s"$root/._EPOCH.${nextVersion()}.tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    // rename-with-overwrite is atomic: readers see the old pinning
-    // or the new, never a missing or torn one
-    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      // Hadoop's local AbstractFileSystem implements overwriting
+      // rename as delete-then-rename — NOT atomic: a reader between
+      // the two sees no epoch at all. java.nio ATOMIC_MOVE is.
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def pruneOld(spark: SparkSession, root: String,
@@ -108,30 +126,40 @@ object GraphStore {
         .foreach(v => fs.delete(new Path(dir, v), true))
     } catch { case _: java.io.IOException => () } // pruning is best-effort
 
-  /** Returns the version name the frame was written under, for
-    * [[commitEpoch]]. */
-  private def versionedSave(df: DataFrame, root: String, table: String)(
-      write: (DataFrame, String) => Unit): String = {
+  /** Returns the version name the frame was written under. When the
+    * root already has an epoch and `publish` is true (the default),
+    * the table's pin auto-advances — otherwise a plain save would be
+    * silently invisible behind a stale pin. Multi-table writers
+    * (StreamingIngest) pass publish = false and commit one epoch
+    * covering all their tables at the end. */
+  private def versionedSave(df: DataFrame, root: String, table: String,
+      publish: Boolean)(write: (DataFrame, String) => Unit): String = {
     val v = nextVersion()
     write(df, s"$root/$table/$v")
-    pruneOld(df.sparkSession, root, table)
+    val spark = df.sparkSession
+    if (publish && currentEpoch(spark, root).contains(table))
+      commitEpoch(spark, root, Map(table -> v))
+    pruneOld(spark, root, table)
     v
   }
 
-  def saveNodes(nodes: DataFrame, root: String, shardBits: Int = 6): String =
-    versionedSave(nodes, root, "nodes") { (df, path) =>
+  def saveNodes(nodes: DataFrame, root: String, shardBits: Int = 6,
+      publish: Boolean = true): String =
+    versionedSave(nodes, root, "nodes", publish) { (df, path) =>
       df.withColumn("shard", Sharding.shardOfId(col("id"), shardBits))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     }
 
-  def saveEdges(edges: DataFrame, root: String, shardBits: Int = 6): String =
-    versionedSave(edges, root, "edges") { (df, path) =>
+  def saveEdges(edges: DataFrame, root: String, shardBits: Int = 6,
+      publish: Boolean = true): String =
+    versionedSave(edges, root, "edges", publish) { (df, path) =>
       df.withColumn("shard", Sharding.shardOfKey(col("src_key"), shardBits))
         .write.mode("overwrite").partitionBy("shard").parquet(path)
     }
 
-  def saveIndexes(indexes: DataFrame, root: String): String =
-    versionedSave(indexes, root, "indexes") { (df, path) =>
+  def saveIndexes(indexes: DataFrame, root: String,
+      publish: Boolean = true): String =
+    versionedSave(indexes, root, "indexes", publish) { (df, path) =>
       df
         // typed shadow column: numeric range probes push a native
         // double predicate to the scan (a range over the string
@@ -141,6 +169,17 @@ object GraphStore {
         .write.mode("overwrite")
         .partitionBy("index_name", "key_type").parquet(path)
     }
+
+  /** All three tables resolved against ONE epoch read — per-table
+    * loads each re-read the epoch, so a commit landing between them
+    * could pair tables from two different batches. */
+  def loadSnapshot(spark: SparkSession, root: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val epoch = currentEpoch(spark, root)
+    def read(table: String) =
+      spark.read.parquet(resolveWith(spark, epoch, root, table))
+    (read("nodes"), read("edges"), read("indexes"))
+  }
 
   def loadNodes(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(resolve(spark, root, "nodes"))

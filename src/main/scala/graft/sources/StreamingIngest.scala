@@ -72,8 +72,8 @@ object StreamingIngest {
     // never nodes from one and indexes from the other
     val nodesOut = nodes.localCheckpoint()
     val ixOut = ix.localCheckpoint()
-    val nv = GraphStore.saveNodes(nodesOut, root)
-    val iv = GraphStore.saveIndexes(ixOut, root)
+    val nv = GraphStore.saveNodes(nodesOut, root, publish = false)
+    val iv = GraphStore.saveIndexes(ixOut, root, publish = false)
     GraphStore.commitEpoch(spark, root, Map("nodes" -> nv, "indexes" -> iv))
   }
 

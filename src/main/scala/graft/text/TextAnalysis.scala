@@ -64,6 +64,12 @@ object TextAnalysis {
     * growth: a document's split never changes when others arrive. */
   def assignSplit(idCol: Column, trainHex: String = "cc",
       valHex: String = "e6"): Column = {
+    // md5 renders lowercase hex; an uppercase or malformed bound
+    // would silently misclassify every row via string comparison
+    require(trainHex.matches("[0-9a-f]{2}") && valHex.matches("[0-9a-f]{2}")
+        && trainHex <= valHex,
+      s"bounds must be two lowercase hex chars with train <= val, " +
+        s"got ($trainHex, $valHex)")
     val h = substring(md5(idCol.cast("string")), 1, 2)
     when(h < trainHex, "train").when(h < valHex, "val").otherwise("test")
   }
@@ -84,9 +90,16 @@ object TextAnalysis {
     df.select(col(idCol), toks.as("toks"), nChunks.as("nc"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), col("nc") - 1),
-        i => concat_ws(" ", slice(col("toks"), i * step + 1, lit(size)))))
-        .as(Seq("chunk_id", "chunk_text")))
-      .withColumn("n_tokens", size_(wsTokens(col("chunk_text"))))
+        // count the slice directly rather than re-tokenizing the
+        // joined string per output row
+        i => struct(
+          concat_ws(" ", slice(col("toks"), i * step + 1, lit(size)))
+            .as("chunk_text"),
+          size_(slice(col("toks"), i * step + 1, lit(size)))
+            .as("n_tokens"))))
+        .as(Seq("chunk_id", "c")))
+      .select(col(idCol), col("chunk_id"), col("c.chunk_text"),
+        col("c.n_tokens"))
   }
 
   private def size_(c: Column): Column = size(c)

@@ -144,16 +144,22 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       .filter(f => f.isDirectory && new java.io.File(f, "_SUCCESS").exists())
     assert(versions.length == 2, versions.mkString(","))
     // epoch pinning: readers stay on the committed version even
-    // after a newer un-committed save lands
+    // after a newer unpublished save lands
     val pinned = versions.map(_.getName).min // the v1 save
     GraphStore.commitEpoch(spark, root, Map("nodes" -> pinned))
     assert(GraphStore.loadNodes(spark, root).count() == 1)
     val v3 = Seq(("k1", "d1", 1L), ("k2", "d2", 2L), ("k3", "d3", 3L))
       .toDF("key_data", "details", "id")
-    val v3name = GraphStore.saveNodes(v3, root)
+    val v3name = GraphStore.saveNodes(v3, root, publish = false)
     assert(GraphStore.loadNodes(spark, root).count() == 1) // still pinned
     GraphStore.commitEpoch(spark, root, Map("nodes" -> v3name))
     assert(GraphStore.loadNodes(spark, root).count() == 3)
+    // a default save against an epoch-bearing root publishes itself
+    // (a stale pin must not silently hide batch writes)
+    val v4 = Seq(("k9", "d9", 9L)).toDF("key_data", "details", "id")
+    GraphStore.saveNodes(v4, root)
+    assert(GraphStore.loadNodes(spark, root).count() == 1 &&
+      GraphStore.loadNodes(spark, root).head().getString(0) == "k9")
   }
 
   test("reference query.json runs verbatim against ingested documents") {
