@@ -13,6 +13,18 @@ object LlmQueries {
 
   private val dim = 64
 
+  // the verified near-dup pairs at the loosest threshold any query
+  // needs: banding makes the candidate+verification cost threshold-
+  // independent, so the pair queries and the cluster resolution share
+  // one pipeline run and re-filter on j (inputs are immutable dirs,
+  // same memoization contract as GraphBuilder's adjacency)
+  private val pairsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, d),
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8).localCheckpoint())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
@@ -47,9 +59,18 @@ object LlmQueries {
     },
 
     "d_dedup_minhash" -> { (s, d) =>
-      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-          threshold = 0.8)
-        .orderBy("a", "b")
+      minhashPairs(s, d).orderBy("a", "b")
+    },
+
+    "d_dedup_clusters" -> { (s, d) =>
+      // pairs → transitive clusters → canonical keeper per doc
+      // (rows-only: input pair set is minhash-dependent; semantics
+      // pinned in DedupSpec). Threshold 0.9: clusters decide actual
+      // removals, so they run on true duplicates, not the review-band
+      // 0.8 pairs — and the 0.8 graph on this 12%-near-dup corpus is
+      // dense enough that its closure approaches one giant component.
+      Dedup.resolveClusters(minhashPairs(s, d).filter(col("j") >= 0.9))
+        .orderBy("node")
     },
 
     "d_dedup_simhash" -> { (s, d) =>

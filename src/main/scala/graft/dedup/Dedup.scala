@@ -108,6 +108,56 @@ object Dedup {
       .filter(col("j") >= threshold)
   }
 
+  /** Resolve near-dup PAIRS into dedup decisions: connected
+    * components over the pair graph (transitive closure — if a≈b
+    * and b≈c, all three are one cluster), keeper = the smallest id
+    * of each cluster, like the reference-style canonical addressing
+    * and exactGroups' min-id keeper. Returns every clustered doc as
+    * (id, keeper); docs in no pair are implicitly their own keeper.
+    * Adaptive: union-find on the driver while the pair list fits
+    * (it is the distilled near-dup output, and dup clusters are
+    * near-cliques — the worst case for label propagation);
+    * distributed min-label CC past `driverLimit`. Both pick the
+    * min-id keeper and never materialize the transitive closure. */
+  def resolveClusters(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", driverLimit: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val und = pairs.select(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+    // the pair list is the DISTILLED near-dup output — usually orders
+    // of magnitude smaller than the corpus, and near-clique (dup
+    // clusters are dense), which is the worst case for iterative
+    // label propagation. Under the limit, union-find on the driver
+    // resolves millions of pairs in one pass; past it, fall back to
+    // the distributed fixpoint.
+    if (und.count() <= driverLimit) {
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent(c); parent(c) = r; c = next
+        }
+        r
+      }
+      und.select("a", "b").collect().foreach { row =>
+        val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
+        // union by min id so every root is its cluster's keeper
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val nodes = parent.keySet ++ parent.values
+      nodes.toSeq.map(n => (n, find(n))).toDF("node", "keeper")
+    } else
+      graft.graph.Algorithms.connectedComponents(
+          und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+            .distinct())
+        .withColumnRenamed("component", "keeper")
+  }
+
   /** 64-bit SimHash over the token multiset: bit b of the result is
     * set iff more token-hashes (xxhash64, seed 42) have bit b set
     * than clear. Native single-pass expression. */

@@ -51,6 +51,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(j.head.toSet.intersect(j(1).toSet).isEmpty)
   }
 
+  test("pair resolution clusters transitively with min-id keepers") {
+    import spark.implicits._
+    // a≈b, b≈c (one cluster via transitivity), d≈e (another)
+    val pairs = Seq(("b", "a"), ("b", "c"), ("d", "e")).toDF("a", "b")
+    val expected = Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d")
+    val got = Dedup.resolveClusters(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    // the distributed fallback (driverLimit = 0) agrees exactly
+    val gotDist = Dedup.resolveClusters(pairs, driverLimit = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(gotDist == expected)
+    // end to end: minhash pairs from the corpus resolve into
+    // clusters whose members all point at their smallest id
+    val mh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+    val clusters = Dedup.resolveClusters(mh).cache()
+    assert(clusters.filter(col("keeper") > col("node")).count() == 0)
+    assert(clusters.select("keeper").distinct().count() <
+      clusters.count())
+  }
+
   test("exact groups partition the corpus") {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("n_copies")).head().getLong(0) == docs.count())
