@@ -63,9 +63,13 @@ object Ivf {
       .zipWithIndex.map { case (r, i) =>
         i -> normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)
       }.toSeq
-    require(seeds.length == k,
-      s"training set has only ${seeds.length} vectors for k=$k cells — " +
-        "raise sampleFraction (a silent short model would degrade recall)")
+    // only guard when sampling caused the shortfall: a corpus that
+    // simply has fewer than k vectors worked before and still yields
+    // a valid (smaller) model
+    require(sampleFraction >= 1.0 || seeds.length == k,
+      s"sample yielded only ${seeds.length} vectors for k=$k cells — " +
+        "raise sampleFraction or lower k (a silent short model would " +
+        "degrade recall)")
     var model = Model(seeds, dim)
     for (_ <- 1 to iters) {
       val assigned = corpus.select(col(vecCol).as("v"),

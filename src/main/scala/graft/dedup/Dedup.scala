@@ -122,9 +122,16 @@ object Dedup {
   def resolveClusters(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", driverLimit: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
-    import spark.implicits._
-    val und = pairs.select(col(aCol).cast("string").as("a"),
-        col(bCol).cast("string").as("b"))
+    // ids keep their input type: casting Long ids to string would
+    // elect "10" over "2" as keeper (lexicographic ≠ numeric min)
+    val idType = pairs.schema(aCol).dataType
+    require(pairs.schema(bCol).dataType == idType,
+      s"pair columns must share one type, got $idType vs " +
+        pairs.schema(bCol).dataType)
+    // checkpoint: the input is typically an expensive pipeline and
+    // is read again below (count + collect, or count + self-union)
+    val und = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .localCheckpoint()
     // the pair list is the DISTILLED near-dup output — usually orders
     // of magnitude smaller than the corpus, and near-clique (dup
     // clusters are dense), which is the worst case for iterative
@@ -132,8 +139,16 @@ object Dedup {
     // resolves millions of pairs in one pass; past it, fall back to
     // the distributed fixpoint.
     if (und.count() <= driverLimit) {
-      val parent = scala.collection.mutable.HashMap.empty[String, String]
-      def find(x: String): String = {
+      import org.apache.spark.sql.types._
+      implicit val ord: Ordering[Any] = (idType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+        case DoubleType | FloatType =>
+          Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
+        case _ => Ordering.by((x: Any) => x.toString)
+      })
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent(r)
         var c = x
@@ -142,15 +157,24 @@ object Dedup {
         }
         r
       }
-      und.select("a", "b").collect().foreach { row =>
-        val (ra, rb) = (find(row.getString(0)), find(row.getString(1)))
+      und.collect().foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        // register both ends so self-pairs still emit their node
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
         // union by min id so every root is its cluster's keeper
         if (ra != rb) {
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
         }
       }
-      val nodes = parent.keySet ++ parent.values
-      nodes.toSeq.map(n => (n, find(n))).toDF("node", "keeper")
+      val rows = parent.keySet.toSeq
+        .map(n => org.apache.spark.sql.Row(n, find(n)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node", idType),
+          org.apache.spark.sql.types.StructField("keeper", idType))))
     } else
       graft.graph.Algorithms.connectedComponents(
           und.unionByName(und.select(col("b").as("a"), col("a").as("b")))

@@ -121,7 +121,7 @@ object Algorithms {
       val next = undirectedEdges
         .join(labels, col("a") === col("node"))
         .select(col("b").as("node"), col("label"),
-          lit(null).cast("string").as("old"))
+          lit(null).cast(labels.schema("label").dataType).as("old"))
         .unionByName(labels.withColumn("old", col("label")))
         .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
         .localCheckpoint()

@@ -66,18 +66,32 @@ object GraphStore {
     * resolving through it always see one consistent snapshot —
     * per-table versioning alone still exposes a window where nodes
     * are new but indexes old. Absent for plain layouts. */
+  private def isLocal(p: Path, spark: SparkSession): Boolean =
+    Option(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getUri.getScheme).forall(_ == "file")
+
   def currentEpoch(spark: SparkSession, root: String): Map[String, String] = {
     val p = new Path(s"$root/_EPOCH")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      txt.linesIterator.map(_.split("=", 2)).collect {
-        case Array(k, v) => k -> v
-      }.toMap
-    }
+    // local scheme: bypass Hadoop's ChecksumFileSystem entirely —
+    // mixing its reads with nio writes leaves stale .crc files that
+    // fail every later open
+    val txtOpt =
+      if (isLocal(p, spark)) {
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        if (!java.nio.file.Files.exists(nio)) None
+        else Some(new String(java.nio.file.Files.readAllBytes(nio), "UTF-8"))
+      } else {
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+          finally in.close()
+        }
+      }
+    txtOpt.map(_.linesIterator.map(_.split("=", 2)).collect {
+      case Array(k, v) => k -> v
+    }.toMap).getOrElse(Map.empty)
   }
 
   /** Atomically pin (table → version) for readers: write a uniquely
@@ -91,29 +105,38 @@ object GraphStore {
       versions: Map[String, String]): Unit = {
     val merged = currentEpoch(spark, root) ++ versions
     val p = new Path(s"$root/_EPOCH")
-    // unique tmp: a concurrent committer must never truncate a tmp
-    // file someone else is about to rename
-    val tmp = new Path(s"$root/._EPOCH.${nextVersion()}.tmp")
+    val bytes = merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes("UTF-8")
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
-    if (scheme == "file") {
-      // Hadoop's local AbstractFileSystem implements overwriting
-      // rename as delete-then-rename — NOT atomic: a reader between
-      // the two sees no epoch at all. java.nio ATOMIC_MOVE is.
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp.toUri.getPath),
-        java.nio.file.Paths.get(p.toUri.getPath),
+    if (isLocal(p, spark)) {
+      // all-nio on the local scheme: Hadoop's local filesystems are
+      // either non-atomic on overwriting rename (delete-then-rename
+      // exposes a missing epoch) or checksummed (a nio move would
+      // leave a stale .crc that fails every later read)
+      val dir = java.nio.file.Paths.get(new Path(root).toUri.getPath)
+      java.nio.file.Files.createDirectories(dir)
+      // unique tmp: a concurrent committer must never truncate a tmp
+      // file someone else is about to rename
+      val tmp = dir.resolve(s"._EPOCH.${nextVersion()}.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, dir.resolve("_EPOCH"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    } else
+    } else {
+      val fs = p.getFileSystem(conf)
+      val tmp = new Path(s"$root/._EPOCH.${nextVersion()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      // HDFS rename-with-overwrite is atomic
       org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
+
+  /** Readers resolve a version lazily and may scan it long after; a
+    * version younger than this many ms is never pruned, bounding how
+    * stale a lazy reader can be before its files disappear. */
+  val pruneRetentionMs: Long = 30 * 60 * 1000L
 
   private def pruneOld(spark: SparkSession, root: String,
       table: String): Unit =
@@ -122,7 +145,12 @@ object GraphStore {
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val pinned = currentEpoch(spark, root).get(table)
+      val cutoff = System.currentTimeMillis() - pruneRetentionMs
+      def age(v: String): Long = // version names embed their write ms
+        scala.util.Try(v.stripPrefix("v").takeWhile(_.isDigit).toLong)
+          .getOrElse(Long.MaxValue)
       goodVersions(spark, dir).drop(2).filterNot(pinned.contains)
+        .filter(age(_) < cutoff)
         .foreach(v => fs.delete(new Path(dir, v), true))
     } catch { case _: java.io.IOException => () } // pruning is best-effort
 

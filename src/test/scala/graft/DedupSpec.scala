@@ -64,6 +64,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val gotDist = Dedup.resolveClusters(pairs, driverLimit = 0)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(gotDist == expected)
+    // numeric ids keep numeric keeper order (2 beats 10; a string
+    // cast would lexicographically elect "10")
+    val numPairs = Seq((10L, 2L), (10L, 30L)).toDF("a", "b")
+    for (lim <- Seq(10L, 0L)) {
+      val m = Dedup.resolveClusters(numPairs, driverLimit = lim)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == Map(2L -> 2L, 10L -> 2L, 30L -> 2L), s"limit $lim: $m")
+    }
+    // self-pairs emit their node on both paths
+    val selfPair = Seq(("x", "x")).toDF("a", "b")
+    for (lim <- Seq(10L, 0L)) {
+      val m = Dedup.resolveClusters(selfPair, driverLimit = lim)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(m == Map("x" -> "x"), s"limit $lim: $m")
+    }
     // end to end: minhash pairs from the corpus resolve into
     // clusters whose members all point at their smallest id
     val mh = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
