@@ -17,7 +17,9 @@ object LlmQueries {
   // needs: banding makes the candidate+verification cost threshold-
   // independent, so the pair queries and the cluster resolution share
   // one pipeline run and re-filter on j (inputs are immutable dirs,
-  // same memoization contract as GraphBuilder's adjacency)
+  // same memoization contract as GraphBuilder's adjacency; like
+  // there, entries pin their session for the JVM lifetime — fine for
+  // this engine's one-session-per-process deployment)
   private val pairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   private def minhashPairs(s: SparkSession, d: String): DataFrame =

@@ -63,9 +63,11 @@ object Ivf {
       .zipWithIndex.map { case (r, i) =>
         i -> normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)
       }.toSeq
-    // only guard when sampling caused the shortfall: a corpus that
-    // simply has fewer than k vectors worked before and still yields
-    // a valid (smaller) model
+    // an empty model would silently assign every row a null cell and
+    // return zero neighbors; a sampling-caused shortfall degrades
+    // recall. A corpus genuinely smaller than k is a valid model.
+    require(seeds.nonEmpty, "IVF training input has no vectors — " +
+      "empty corpus or sampleFraction too small")
     require(sampleFraction >= 1.0 || seeds.length == k,
       s"sample yielded only ${seeds.length} vectors for k=$k cells — " +
         "raise sampleFraction or lower k (a silent short model would " +

@@ -120,7 +120,7 @@ object Dedup {
     * distributed min-label CC past `driverLimit`. Both pick the
     * min-id keeper and never materialize the transitive closure. */
   def resolveClusters(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", driverLimit: Long = 4000000L): DataFrame = {
+      bCol: String = "b", driverLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     // ids keep their input type: casting Long ids to string would
     // elect "10" over "2" as keeper (lexicographic ≠ numeric min)
@@ -145,7 +145,18 @@ object Dedup {
           Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
         case DoubleType | FloatType =>
           Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue)
-        case _ => Ordering.by((x: Any) => x.toString)
+        case _: DecimalType =>
+          Ordering.by((x: Any) => x.asInstanceOf[java.math.BigDecimal])
+        case StringType =>
+          // Spark's min() orders strings by UTF-8 bytes; JVM string
+          // compare is UTF-16 and disagrees on supplementary chars —
+          // both paths must elect the same keeper
+          Ordering.comparatorToOrdering(
+            java.util.Comparator.comparing((x: Any) =>
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(x.asInstanceOf[String])))
+        case other => throw new IllegalArgumentException(
+          s"unsupported id type for cluster resolution: $other")
       })
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       def find(x: Any): Any = {

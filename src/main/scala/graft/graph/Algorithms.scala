@@ -128,6 +128,11 @@ object Algorithms {
       changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
       labels = next.select("node", "label")
     }
+    // silent non-convergence would hand back members of one
+    // component with different labels — fail loudly instead
+    if (changed) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds — " +
+        "a component's diameter exceeds maxIter; raise it")
     labels.withColumnRenamed("label", "component")
   }
 }

@@ -135,8 +135,11 @@ object GraphStore {
 
   /** Readers resolve a version lazily and may scan it long after; a
     * version younger than this many ms is never pruned, bounding how
-    * stale a lazy reader can be before its files disappear. */
-  val pruneRetentionMs: Long = 30 * 60 * 1000L
+    * stale a lazy reader can be before its files disappear. Session-
+    * tunable (`spark.conf.set("graft.store.pruneRetentionMs", …)`) —
+    * a high-frequency streaming ingest writes a full store copy per
+    * micro-batch, so long retention × short batches costs disk. */
+  val defaultPruneRetentionMs: Long = 30 * 60 * 1000L
 
   private def pruneOld(spark: SparkSession, root: String,
       table: String): Unit =
@@ -145,7 +148,10 @@ object GraphStore {
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val pinned = currentEpoch(spark, root).get(table)
-      val cutoff = System.currentTimeMillis() - pruneRetentionMs
+      val retention = spark.conf
+        .getOption("graft.store.pruneRetentionMs").map(_.toLong)
+        .getOrElse(defaultPruneRetentionMs)
+      val cutoff = System.currentTimeMillis() - retention
       def age(v: String): Long = // version names embed their write ms
         scala.util.Try(v.stripPrefix("v").takeWhile(_.isDigit).toLong)
           .getOrElse(Long.MaxValue)
