@@ -12,19 +12,30 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  /** Exact cross-engine sum: per-row double math (IEEE, identical in
-    * both engines), then DECIMAL(38,6) accumulation (exact in both). */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(38,6)"))
-  private def r4(c: Column): Column = round(c, 4)
+  /** Exact cross-engine money arithmetic. The money columns are
+    * doubles that encode exact 2-dp decimals, so casting each OPERAND
+    * to decimal before any arithmetic keeps every product and sum
+    * exact — no rounding happens anywhere, hence no engine- or
+    * version-dependent rounding-mode / accumulation-order effects.
+    * The single final decimal→double cast is correctly rounded in
+    * both engines (scaled integers stay below 2^53 at any realistic
+    * SF), so outputs are plain float64 — the one numeric type that
+    * hashes identically across engines; decimal outputs don't (their
+    * width/scale rendering is engine- and version-dependent). */
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+  private val one: Column = lit(new java.math.BigDecimal("1.00"))
+  private def discounted(price: Column, disc: Column): Column =
+    money(price) * (one - money(disc))
+  private def dsum(c: Column): Column = sum(c).cast("double")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          r4(dsum(col("l_quantity"))).as("sum_qty"),
-          r4(dsum(col("l_extendedprice"))).as("sum_base_price"),
-          r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          dsum(money(col("l_quantity"))).as("sum_qty"),
+          dsum(money(col("l_extendedprice"))).as("sum_base_price"),
+          dsum(discounted(col("l_extendedprice"), col("l_discount")))
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -43,7 +54,7 @@ object Analytics {
           .select("o_orderkey", "o_orderdate", "o_orderpriority"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .agg(dsum(discounted(col("l_extendedprice"), col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
@@ -64,7 +75,7 @@ object Analytics {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(r4(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .agg(dsum(discounted(col("l_extendedprice"), col("l_discount")))
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("n_name")
@@ -77,7 +88,8 @@ object Analytics {
         .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(r4(dsum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        .agg(dsum(money(col("l_extendedprice")) * money(col("l_discount")))
+          .as("revenue"),
           count(lit(1)).as("n_rows"))
     },
 
@@ -90,7 +102,7 @@ object Analytics {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          r4(col("o_totalprice").cast("decimal(38,6)")).as("totalprice"),
+          money(col("o_totalprice")).cast("double").as("totalprice"),
           col("rk"))
         .orderBy("o_custkey", "rk")
     },
@@ -102,14 +114,14 @@ object Analytics {
       graft.plans.TopK.perKey(Tables.orders(s, d), Seq("o_custkey"),
           Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 3)
         .select(col("o_custkey"), col("o_orderkey"),
-          r4(col("o_totalprice").cast("decimal(38,6)")).as("totalprice"))
+          money(col("o_totalprice")).cast("double").as("totalprice"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
     "q8_rollup" -> { (s, d) =>
       Tables.orders(s, d)
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(r4(dsum(col("o_totalprice"))).as("sum_price"),
+        .agg(dsum(money(col("o_totalprice"))).as("sum_price"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)
@@ -117,14 +129,16 @@ object Analytics {
 
     "q10_percentiles" -> { (s, d) =>
       // exact interpolated percentiles (both engines do linear
-      // interpolation over the sorted values) + exact distinct count
+      // interpolation over the sorted values) + exact distinct count.
+      // The true percentile of 2-dp inputs with frac ∈ {.5,.9} has at
+      // most 3 decimals, so round(·,4) on the double absorbs any
+      // last-ulp interpolation-arithmetic difference between engines
+      // without ever sitting on a rounding boundary.
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)").cast("decimal(38,6)"), 4)
-            .as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)").cast("decimal(38,6)"), 4)
-            .as("p90"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
           countDistinct(col("o_custkey")).as("n_custs"))
         .orderBy("o_orderstatus")
     },
@@ -140,7 +154,7 @@ object Analytics {
       withOrders.join(fCust, withOrders("c_custkey") === fCust("o_custkey"),
           "left_anti")
         .select(col("c_custkey"), col("c_name"),
-          r4(col("c_acctbal").cast("decimal(38,6)")).as("acctbal"))
+          money(col("c_acctbal")).cast("double").as("acctbal"))
         .orderBy("c_custkey")
     }
   )
@@ -148,15 +162,17 @@ object Analytics {
   def oracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(CAST(l_quantity AS DECIMAL(38,6))), 4) AS sum_qty,
-         round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS sum_base_price,
-         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q3_topk" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS revenue
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem
          WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
            AND l_orderkey = o_orderkey
@@ -166,14 +182,16 @@ object Analytics {
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "q5_join5" ->
       """SELECT n_name,
-         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS revenue,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
          count(*) AS n_items
          FROM lineitem, orders, customer, nation, region
          WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
            AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
          GROUP BY n_name ORDER BY n_name""",
     "q6_filter" ->
-      """SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 4) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          count(*) AS n_rows
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1994-01-01'
@@ -181,7 +199,7 @@ object Analytics {
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q7_window" ->
       """SELECT o_custkey, o_orderkey,
-         round(CAST(o_totalprice AS DECIMAL(38,6)), 4) AS totalprice, rk
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice, rk
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -189,7 +207,7 @@ object Analytics {
          WHERE rk <= 3 ORDER BY o_custkey, rk""",
     "q7_topk_native" ->
       """SELECT o_custkey, o_orderkey,
-         round(CAST(o_totalprice AS DECIMAL(38,6)), 4) AS totalprice
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                  row_number() OVER (PARTITION BY o_custkey
                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -197,19 +215,19 @@ object Analytics {
          WHERE rk <= 3 ORDER BY o_custkey, o_orderkey""",
     "q8_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-         round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS sum_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          count(*) AS n_orders
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q10_percentiles" ->
       """SELECT o_orderstatus,
-         round(CAST(quantile_cont(o_totalprice, 0.5) AS DECIMAL(38,6)), 4) AS p50,
-         round(CAST(quantile_cont(o_totalprice, 0.9) AS DECIMAL(38,6)), 4) AS p90,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
          count(DISTINCT o_custkey) AS n_custs
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q9_exists" ->
       """SELECT c_custkey, c_name,
-         round(CAST(c_acctbal AS DECIMAL(38,6)), 4) AS acctbal
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
          FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            AND NOT EXISTS (SELECT 1 FROM orders

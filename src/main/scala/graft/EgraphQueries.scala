@@ -21,7 +21,7 @@ object EgraphQueries {
   private val edgesSql =
     """SELECT 'c:' || o_custkey AS src_key, 's:' || l_suppkey AS dst_key,
        count(*) AS n_items,
-       round(sum(CAST(l_quantity AS DECIMAL(38,6))), 4) AS sum_qty
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        GROUP BY 1, 2"""
 
@@ -185,15 +185,15 @@ object EgraphQueries {
       // registered function, one defined from source at runtime
       // (the reference's egraph_compiler flow), both inlined
       Registry.define(s, "user_discounted", Seq("price", "disc"),
-        "price * (1.0 - disc)")
+        "CAST(price AS DECIMAL(18,2)) * (CAST(1.00 AS DECIMAL(3,2)) - CAST(disc AS DECIMAL(18,2)))")
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          round(sum(Registry.revenue(col("l_extendedprice"), col("l_discount"))
-            .cast("decimal(38,6)")), 4).as("fn_revenue"),
-          round(sum(call_function("user_discounted",
-              col("l_extendedprice"), col("l_discount"))
-            .cast("decimal(38,6)")), 4).as("fn_revenue2"))
+          sum(Registry.revenue(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("fn_revenue"),
+          sum(call_function("user_discounted",
+              col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("fn_revenue2"))
         .orderBy("l_returnflag")
     },
 
@@ -338,9 +338,11 @@ object EgraphQueries {
          ORDER BY event_id""",
     "f_stored_fn" ->
       """SELECT l_returnflag,
-         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4)
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
            AS fn_revenue,
-         round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4)
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1.00 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
            AS fn_revenue2
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "z_compress_roundtrip" ->

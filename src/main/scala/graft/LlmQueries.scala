@@ -279,7 +279,7 @@ object LlmQueries {
     "s_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events,
-         round(sum(CAST(value AS DECIMAL(38,6))), 4) AS sum_value
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "s_sessionize" ->
       """SELECT user_id, event_id,
@@ -289,8 +289,8 @@ object LlmQueries {
            SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     IS NULL THEN 1
-                  WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id)) > 1800 THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) > 1800000000 THEN 1
                   ELSE 0 END AS new_session
            FROM events)
          ORDER BY user_id, event_id"""

@@ -33,9 +33,12 @@ object Tables {
     val raw = apply(s, d, "events")
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)
+      // exact integer ns→µs division (`div`, not `/`): double division
+      // has ~512 ns ulp at epoch-nanosecond magnitude, so truncating it
+      // could land ±1 µs off the oracle engine's exact truncation
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

@@ -34,12 +34,19 @@ object Registry {
     reg.createOrReplaceTempFunction("graft_inflate_dict",
       exprs => Compression.InflateDictExpr(exprs(0), exprs(1)), "built-in")
     // Business function of the kind the reference stores per-name:
-    // net revenue of a line item.
+    // net revenue of a line item. Decimal arithmetic end to end: the
+    // inputs encode exact 2-dp decimals, so the product is exact and
+    // sums over it are order-independent (cross-engine verifiable).
     reg.createOrReplaceTempFunction("graft_revenue",
-      exprs => org.apache.spark.sql.catalyst.expressions.Multiply(
-        exprs(0),
-        org.apache.spark.sql.catalyst.expressions.Subtract(
-          org.apache.spark.sql.catalyst.expressions.Literal(1.0), exprs(1))),
+      exprs => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Multiply, Subtract}
+        import org.apache.spark.sql.types.{Decimal, DecimalType}
+        val m = DecimalType(18, 2)
+        Multiply(
+          Cast(exprs(0), m),
+          Subtract(Literal(Decimal("1.00"), DecimalType(3, 2)),
+            Cast(exprs(1), m)))
+      },
       "built-in")
   }
 

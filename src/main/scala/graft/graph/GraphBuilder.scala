@@ -87,7 +87,11 @@ object GraphBuilder {
           concat(lit("c:"), col("o_custkey").cast("string")).as("src_key"),
           concat(lit("s:"), col("l_suppkey").cast("string")).as("dst_key"))
         .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_quantity").cast("decimal(38,6)")), 4).as("sum_qty"))
+          // quantities are exact 2-dp decimals: decimal accumulation is
+          // exact, the final cast to double is correctly rounded — so
+          // the link details hash identically in any oracle engine
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
         .localCheckpoint())
 
   // the adjacency is a materialized artifact (GraphStore persists it

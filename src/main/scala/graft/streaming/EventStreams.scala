@@ -11,13 +11,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams {
 
   /** Tumbling-window counts/sums per event type (batch form —
-    * identical expression works under readStream). */
+    * identical expression works under readStream). window_start is
+    * surfaced as TIMESTAMP_NTZ so it lands in parquet as plain int64
+    * microseconds (the session-tz'd type would be written as int96 /
+    * nanos, which oracle engines type differently); values are exact
+    * 2-dp decimals, so decimal accumulation → double is engine-exact. */
   def windowAggBatch(events: DataFrame): DataFrame =
     events.groupBy(
-        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        window(col("ts"), "1 hour").getField("start").cast("timestamp_ntz")
+          .as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value").cast("decimal(38,6)")), 4).as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
   /** Session assignment with a 30-minute inactivity gap: a new
     * session starts when the gap from the previous event of the
@@ -26,10 +31,13 @@ object EventStreams {
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+    // exact integer-microsecond gap: second-truncation (cast to long)
+    // or fractional-second doubles make the ">gap" comparison depend
+    // on engine/version truncation behavior at the boundary
+    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
     events
       .withColumn("new_session",
-        when(gap.isNull || gap > gapMinutes * 60L, 1L).otherwise(0L))
+        when(gap.isNull || gap > gapMinutes * 60000000L, 1L).otherwise(0L))
       .withColumn("session_seq",
         sum(col("new_session")).over(
           w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -67,12 +75,15 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // same integer-microsecond gap rule as sessionizeBatch
+          def us(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           val out = sorted.map { e =>
             val newSession = st.lastTs == Long.MinValue ||
-              e.ts.getTime - st.lastTs > gapMinutes * 60000L
-            st = SessionState(e.ts.getTime, if (newSession) st.seq + 1 else st.seq)
+              us(e.ts) - st.lastTs > gapMinutes * 60000000L
+            st = SessionState(us(e.ts), if (newSession) st.seq + 1 else st.seq)
             SessionOut(user, e.event_id, st.seq)
           }
           state.update(st)

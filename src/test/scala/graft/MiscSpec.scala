@@ -110,10 +110,22 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
   test("stored function registry: revenue matches inline expression") {
     Registry.registerAll(spark)
     val li = Tables.lineitem(spark, sfDir)
-    val diff = li.select(
-      (Registry.revenue(col("l_extendedprice"), col("l_discount")) -
+    // the registered function computes in exact decimals; the inline
+    // double form agrees to float tolerance, the inline decimal form
+    // agrees exactly
+    val exact = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(new java.math.BigDecimal("1.00")) -
+        col("l_discount").cast("decimal(18,2)"))
+    val diffExact = li.select(
+      abs(Registry.revenue(col("l_extendedprice"), col("l_discount")) - exact)
+        .cast("double").as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diffExact == 0.0)
+    val diffDouble = li.select(
+      abs(Registry.revenue(col("l_extendedprice"), col("l_discount"))
+          .cast("double") -
         col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("d"))
-      .agg(max(abs(col("d")))).head().getDouble(0)
-    assert(diff == 0.0)
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(diffDouble < 1e-6)
   }
 }
