@@ -61,7 +61,9 @@ object Ivf {
     val seeds = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) =>
-        i -> normalize(r.getSeq[Float](0).map(_.toDouble).toSeq)
+        // element-type agnostic (array<float> or array<double> — the
+        // rest of the vector stack supports both)
+        i -> normalize(r.getSeq[Number](0).map(_.doubleValue).toSeq)
       }.toSeq
     // an empty model would silently assign every row a null cell and
     // return zero neighbors; a sampling-caused shortfall degrades

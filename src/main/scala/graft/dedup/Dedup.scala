@@ -81,8 +81,13 @@ object Dedup {
     // pair slice/zip_with allocations on the raw pair stream cost
     // more than the dedup shuffle they avoid.)
     // Sorted sets: the verification Jaccard is an O(n+m) merge walk.
+    // Materialized once (localCheckpoint): the frame is read three
+    // times (signatures + both verification sides) and its row count
+    // drives the broadcast decision — without it each use, count
+    // included, would re-run the whole upstream pipeline.
     val withSets = docs.select(col(idCol).as("id"),
       array_sort(tokenSet(col(textCol))).as("sh"))
+      .localCheckpoint()
     val sigs = withSets
       .withColumn("ba", lshBands(minhashSignature(col("sh"), numHashes), bands, r))
       .select(col("id"), size(col("sh")).as("sz"),
@@ -98,7 +103,8 @@ object Dedup {
     // broadcast the token sets only while the corpus is small enough
     // — at 100 TB the verification joins must shuffle on id instead
     val sets =
-      if (docs.count() <= setsBroadcastLimit) broadcast(withSets) else withSets
+      if (withSets.count() <= setsBroadcastLimit) broadcast(withSets)
+      else withSets
     cands
       .join(sets.select(col("id").as("a"), col("sh").as("sha")), "a")
       .join(sets.select(col("id").as("b"), col("sh").as("shb")), "b")

@@ -104,10 +104,19 @@ object TopK {
     val spark = df.sparkSession
     ensureStrategy(spark)
     val plan = PlanBridge.logicalPlan(df)
-    val attrs = plan.output.map(a => a.name -> a).toMap
-    val keys = keyCols.map(attrs(_))
+    // fail loudly on missing or ambiguous names — a toMap would let
+    // duplicate column names silently resolve to the last attribute
+    val byName = plan.output.groupBy(_.name)
+    def attr(c: String) = byName.getOrElse(c,
+      throw new IllegalArgumentException(
+        s"TopK.perKey: column '$c' not found in ${plan.output.map(_.name)}")) match {
+      case Seq(a) => a
+      case many => throw new IllegalArgumentException(
+        s"TopK.perKey: column '$c' is ambiguous (${many.size} attributes)")
+    }
+    val keys = keyCols.map(attr)
     val order = orderCols.map { case (c, asc) =>
-      SortOrder(attrs(c), if (asc) Ascending else Descending)
+      SortOrder(attr(c), if (asc) Ascending else Descending)
     }
     PlanBridge.ofRows(spark, TopKPerKey(keys, order, k, plan))
   }

@@ -215,6 +215,18 @@ object GraphStore {
     (read("nodes"), read("edges"), read("indexes"))
   }
 
+  /** True when `root/table` resolves to something a reader can load:
+    * a complete (_SUCCESS-marked) version dir, or a pre-versioning
+    * plain layout. Goes through the path's own Hadoop FileSystem so
+    * it answers correctly on any scheme (hdfs://, s3a://), not just
+    * local disk. */
+  def hasTable(spark: SparkSession, root: String, table: String): Boolean = {
+    val dir = new Path(s"$root/$table")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    goodVersions(spark, s"$root/$table").nonEmpty ||
+      fs.exists(new Path(dir, "_SUCCESS"))
+  }
+
   def loadNodes(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(resolve(spark, root, "nodes"))
 

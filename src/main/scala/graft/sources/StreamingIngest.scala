@@ -79,8 +79,11 @@ object StreamingIngest {
 
   private def current(spark: SparkSession, root: String)
       : (DataFrame, Option[DataFrame]) = {
-    val nodesPath = new java.io.File(s"$root/nodes")
-    if (!nodesPath.exists())
+    // prior-state detection must go through the store's own resolution
+    // (Hadoop FS + versions), not java.io.File — on a non-local root
+    // (hdfs://, s3a://) a local-disk check is always false and every
+    // batch would silently discard all previously ingested state
+    if (!GraphStore.hasTable(spark, root, "nodes"))
       (spark.emptyDataFrame
         .select(lit("").as("key_data"), lit("").as("details"),
           lit(0L).as("id")).limit(0),
