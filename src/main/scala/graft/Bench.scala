@@ -18,6 +18,17 @@ object Bench {
     locally {
       val r = spark.range(0, 1000000).selectExpr("id", "id % 97 AS k")
       r.join(r.groupBy("k").count(), "k").agg(Map("count" -> "sum")).count()
+      // warm the GraphX/Pregel code paths too (RDD serialization,
+      // vertex/edge partitioning, Pregel supersteps JIT) on a tiny
+      // ring graph — the graph queries run on that backend
+      import spark.implicits._
+      val ring = (0 until 64)
+        .map(i => (s"n$i", s"n${(i + 1) % 64}")).toDF("a", "b")
+      graft.graph.GraphXBridge.connectedComponents(ring).count()
+      graft.graph.GraphXBridge.pageRank(ring, 3).count()
+      graft.graph.GraphXBridge.shortestPathsWeighted(
+        ring.withColumn("w", org.apache.spark.sql.functions.lit(1.0)),
+        "n0").count()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.graph.{Algorithms, GraphBuilder, Traversal}
+import graft.graph.{Algorithms, GraphBuilder, GraphXBridge, Traversal}
 import graft.index.TypedIndexes
 import graft.search.Search
 import graft.functions.Registry
@@ -109,15 +109,18 @@ object EgraphQueries {
       Algorithms.triangleCount(GraphBuilder.undirectedFor(s, d))
     },
 
+    // the three heavyweight iterative algorithms run on the GraphX/
+    // Pregel backend (the north-star scale path for batch graph
+    // analytics); the DataFrame implementations in Algorithms/
+    // Traversal are spec-pinned equivalent alternatives
     "g_pagerank" -> { (s, d) =>
-      Algorithms.pageRank(GraphBuilder.undirectedFor(s, d),
-          iters = 5)
+      GraphXBridge.pageRank(GraphBuilder.undirectedFor(s, d), iters = 5)
         .select(col("node"), round(col("rank"), 4).as("rank"))
         .orderBy("node")
     },
 
     "g_connected_components" -> { (s, d) =>
-      Algorithms.connectedComponents(
+      GraphXBridge.connectedComponents(
           GraphBuilder.undirectedFor(s, d))
         .orderBy("node")
     },
@@ -128,7 +131,7 @@ object EgraphQueries {
           lit(1.0).as("w"))
         .unionByName(e.select(col("dst_key").as("a"), col("src_key").as("b"),
           lit(1.0).as("w")))
-      Traversal.shortestPathsWeighted(und, "c:1")
+      GraphXBridge.shortestPathsWeighted(und, "c:1")
         .select(col("node"), round(col("dist"), 4).as("dist"))
         .orderBy("node")
     },

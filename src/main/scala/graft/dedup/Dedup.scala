@@ -76,30 +76,45 @@ object Dedup {
     // Band geometry r=5/b=6: P(candidate | J=0.8) ≈ 0.91, and the
     // mid-similarity false-candidate mass (J≈0.6) drops ~2× vs
     // r=4/b=8 — candidate volume, not verification arithmetic,
-    // dominates this operator's cost. (A first-matching-band filter
-    // instead of distinct() was tried and benched 4× slower: per-
-    // pair slice/zip_with allocations on the raw pair stream cost
-    // more than the dedup shuffle they avoid.)
-    // Sorted sets: the verification Jaccard is an O(n+m) merge walk.
-    // Materialized once (localCheckpoint): the frame is read three
-    // times (signatures + both verification sides) and its row count
-    // drives the broadcast decision — without it each use, count
-    // included, would re-run the whole upstream pipeline.
+    // dominates this operator's cost. (An ALLOCATING first-matching-
+    // band filter — slice/zip_with per pair — benched 4× slower than
+    // distinct(); the scalar when-chain below beats both.)
+    // Token sets are pre-hashed to longs (Spark's builtin xxhash64 =
+    // the signature expression's seed-42 base hash, so signatures are
+    // bit-identical to hashing the strings): long merge walks verify
+    // ~10× cheaper than string walks, and the rows flowing into the
+    // verification join shrink by the same factor. Materialized once
+    // (localCheckpoint): the frame is read three times (signatures +
+    // both verification sides) and its row count drives the broadcast
+    // decision — without it each use, count included, would re-run
+    // the whole upstream pipeline.
     val withSets = docs.select(col(idCol).as("id"),
-      array_sort(tokenSet(col(textCol))).as("sh"))
+      array_sort(transform(tokenSet(col(textCol)), t => xxhash64(t))).as("sh"))
       .localCheckpoint()
     val sigs = withSets
       .withColumn("ba", lshBands(minhashSignature(col("sh"), numHashes), bands, r))
-      .select(col("id"), size(col("sh")).as("sz"),
+      .select(col("id"), size(col("sh")).as("sz"), col("ba"),
         posexplode(col("ba")).as(Seq("band", "bucket")))
+    // emit each pair only from its FIRST matching band — a pure
+    // scalar when-chain over the band arrays (no per-pair allocation,
+    // unlike the slice/zip_with variant that benched 4× slower), so
+    // no distinct() shuffle is needed: high-J pairs match most bands
+    // and the raw join stream is ~3× the unique pair count
+    val firstMatch = (1 until bands).foldLeft(
+        when(col("x.band") === 0, lit(true))) { (acc, k) =>
+      acc.when(col("x.band") === k,
+        (0 until k).map(i => col("x.ba")(i) =!= col("y.ba")(i))
+          .reduce(_ && _))
+    }.otherwise(lit(false))
     val cands = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       // size-ratio guard (J ≥ t ⇒ min/max sizes ≥ t): scalar-only,
-      // kills impossible pairs before the dedup shuffle
+      // kills impossible pairs before verification
       .filter(least(col("x.sz"), col("y.sz")).cast("double")
         / greatest(col("x.sz"), col("y.sz")) >= threshold)
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      .filter(firstMatch)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
     // broadcast the token sets only while the corpus is small enough
     // — at 100 TB the verification joins must shuffle on id instead
     val sets =

@@ -68,46 +68,100 @@ object VectorExpressions {
         l: Expression, r: Expression): DotProductExpr = copy(l, r)
   }
 
-  /** Jaccard similarity of two SORTED string arrays by merge walk —
-    * O(n+m) comparisons, no per-row hash set like array_intersect.
-    * |A∪B| is derived as |A|+|B|−|A∩B| (inputs must be distinct). */
+  /** Jaccard similarity of two SORTED arrays by merge walk — O(n+m)
+    * comparisons, no per-row hash set like array_intersect. |A∪B| is
+    * derived as |A|+|B|−|A∩B| (inputs must be distinct). Accepts
+    * string arrays or long arrays (pre-hashed tokens — the 100 TB
+    * path: long compares are ~10× cheaper and the rows joined to the
+    * verification stage shrink by the same factor). */
   case class JaccardSortedExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+
+    private lazy val isLong =
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
       val n = a.numElements()
       val m = b.numElements()
       var i = 0; var j = 0; var inter = 0
-      while (i < n && j < m) {
-        val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-        if (c == 0) { inter += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
+      if (isLong) {
+        while (i < n && j < m) {
+          val x = a.getLong(i); val y = b.getLong(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+      } else {
+        while (i < n && j < m) {
+          val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
       }
       val union = n + m - inter
       if (union == 0) 1.0 else inter.toDouble / union
     }
+
+    // codegen keeps the verification projection inside its
+    // WholeStageCodegen span — a CodegenFallback here costs an
+    // interpreted eval per candidate pair, which dominates at
+    // millions of pairs
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n"); val m = ctx.freshName("m")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val inter = ctx.freshName("inter"); val c = ctx.freshName("c")
+        val union = ctx.freshName("union")
+        val step =
+          if (isLong)
+            s"""long $c = java.lang.Long.compare($a.getLong($i), $b.getLong($j));"""
+          else
+            s"""int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));"""
+        s"""
+           |int $n = $a.numElements(); int $m = $b.numElements();
+           |int $i = 0; int $j = 0; int $inter = 0;
+           |while ($i < $n && $j < $m) {
+           |  $step
+           |  if ($c == 0) { $inter++; $i++; $j++; }
+           |  else if ($c < 0) { $i++; } else { $j++; }
+           |}
+           |int $union = $n + $m - $inter;
+           |${ev.value} = ($union == 0) ? 1.0 : ((double) $inter) / $union;
+         """.stripMargin
+      })
+
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): JaccardSortedExpr = copy(l, r)
   }
 
-  /** k MinHash values of a string array in one pass: per token one
-    * xxhash64 of the bytes, then k cheap long re-hashes. O(n·k)
-    * long mixing instead of O(n·k) string hashing. */
+  /** k MinHash values of a token array in one pass: per token one
+    * xxhash64 base, then k cheap long re-hashes. O(n·k) long mixing
+    * instead of O(n·k) string hashing. A LONG input array is treated
+    * as already-hashed tokens (Spark's builtin `xxhash64` uses the
+    * same seed-42 XXH64, so signatures are bit-identical either way —
+    * pre-hashing just moves the string hashing before the shuffle). */
   case class MinHashSigExpr(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private lazy val isLong =
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val mins = Array.fill(k)(Long.MaxValue)
       val n = arr.numElements()
       var t = 0
       while (t < n) {
-        val s = arr.getUTF8String(t)
-        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
+        val base = if (isLong) arr.getLong(t) else {
+          val s = arr.getUTF8String(t)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+            s.numBytes, 42L)
+        }
         var i = 0
         while (i < k) {
           val h = XXH64.hashLong(base, i.toLong)

@@ -79,6 +79,39 @@ object GraphXBridge {
       .toDF("node", "depth")
   }
 
+  /** Pregel weighted single-source shortest paths — the GraphX form
+    * of Traversal.shortestPathsWeighted. Edges: (a, b, w); returns
+    * (node, dist) for reachable nodes. Converges in ≤ diameter
+    * supersteps, messages flow only along still-improving edges. */
+  def shortestPathsWeighted(edges: DataFrame, source: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val withIds = edges.select(
+      xxhash64(col("a")).as("srcId"), col("a"),
+      xxhash64(col("b")).as("dstId"), col("b"), col("w"))
+    val vertices = withIds.select(col("srcId").as("id"), col("a").as("key"))
+      .unionByName(withIds.select(col("dstId").as("id"), col("b").as("key")))
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+    val edgeRdd = withIds.rdd.map(r => Edge(r.getLong(0), r.getLong(2),
+      r.getDouble(4)))
+    val srcId = spark.range(1).select(xxhash64(lit(source))).head().getLong(0)
+    val g = Graph(vertices, edgeRdd)
+      .mapVertices((id, _) => if (id == srcId) 0.0 else Double.PositiveInfinity)
+    val sp = g.pregel(Double.PositiveInfinity)(
+      (_, dist, msg) => math.min(dist, msg),
+      triplet =>
+        if (triplet.srcAttr + triplet.attr < triplet.dstAttr)
+          Iterator((triplet.dstId, triplet.srcAttr + triplet.attr))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    Graph(vertices, edgeRdd).vertices.join(sp.vertices)
+      .flatMap { case (_, (key, d)) =>
+        if (d.isInfinity) None else Some((key, d))
+      }
+      .toDF("node", "dist")
+  }
+
   /** GraphX connected components (Pregel), labeled like
     * [[Algorithms.connectedComponents]]: each component named by its
     * lexicographically smallest member key. */

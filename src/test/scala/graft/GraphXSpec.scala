@@ -39,6 +39,18 @@ class GraphXSpec extends AnyFunSuite with SparkFixture {
     assert(df == gx)
   }
 
+  test("GraphX weighted sssp agrees with the DataFrame relaxation") {
+    import spark.implicits._
+    val edges = GraphBuilder.undirected(
+      GraphBuilder.edges(spark, sfDir)).localCheckpoint()
+    val w = edges.withColumn("w", lit(1.0))
+    val df = graft.graph.Traversal.shortestPathsWeighted(w, "c:1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gx = GraphXBridge.shortestPathsWeighted(w, "c:1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df == gx)
+  }
+
   test("GraphX pagerank ranks the same top node as the DataFrame path") {
     import spark.implicits._
     val edges = GraphBuilder.undirected(Seq(
