@@ -102,7 +102,8 @@ object EgraphQueries {
 
     "g_dfs_path" -> { (s, d) =>
       Traversal.pathBetween(
-        GraphBuilder.undirectedFor(s, d), "c:1", "s:5")
+          GraphBuilder.undirectedFor(s, d), "c:1", "s:5")
+        .orderBy("step")
     },
 
     "g_triangles" -> { (s, d) =>
@@ -212,7 +213,68 @@ object EgraphQueries {
     }
   )
 
+  /** GraphX static PageRank replicated in SQL: rank₀ = 1.0, then
+    * rankᵢ(v) = 0.15 + 0.85·Σ rankᵢ₋₁(u)/outdeg(u) for 5 unrolled
+    * iterations (aggregation inside a recursive CTE is not portable,
+    * and 5 plain CTEs are). round(·,4) absorbs the sub-ulp
+    * accumulation-order differences between engines. */
+  private val pagerankSql: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT ue.b AS node,
+          0.15 + 0.85 * sum(p${i - 1}.rank / deg.d) AS rank
+          FROM ue JOIN p${i - 1} ON p${i - 1}.node = ue.a
+          JOIN deg ON deg.node = ue.a GROUP BY ue.b)"""
+    }.mkString(",\n")
+    s"""WITH ue AS ($undirectedSql),
+        deg AS (SELECT a AS node, count(*) AS d FROM ue GROUP BY a),
+        p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+        $steps
+        SELECT node, round(rank, 4) AS rank FROM p$iters ORDER BY node"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "g_connected_components" ->
+      s"""WITH RECURSIVE ue AS ($undirectedSql),
+          r(node, label) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM ue)
+            UNION
+            SELECT ue.b, r.label FROM r JOIN ue ON ue.a = r.node)
+          SELECT node, min(label) AS component FROM r
+          GROUP BY node ORDER BY node""",
+    "g_sssp_weighted" ->
+      s"""WITH RECURSIVE ue AS ($undirectedSql),
+          sp(node, d) AS (
+            SELECT 'c:1', 0
+            UNION
+            SELECT ue.b, sp.d + 1 FROM sp JOIN ue ON ue.a = sp.node
+            WHERE sp.d < 20)
+          SELECT node, CAST(min(d) AS DOUBLE) AS dist FROM sp
+          GROUP BY node ORDER BY node""",
+    "g_dfs_path" ->
+      // level-synchronous parent discovery with min-parent tie-break,
+      // then the walk back from the destination — exactly the
+      // deterministic semantics of Traversal.pathBetween
+      s"""WITH RECURSIVE ue AS ($undirectedSql),
+          bfs(node, depth) AS (
+            SELECT 'c:1', 0
+            UNION
+            SELECT ue.b, bfs.depth + 1 FROM bfs JOIN ue ON ue.a = bfs.node
+            WHERE bfs.depth < 20),
+          dep AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY node),
+          par AS (SELECT c.node AS child, min(e.a) AS parent
+                  FROM dep c JOIN ue e ON e.b = c.node
+                  JOIN dep p ON p.node = e.a AND p.depth = c.depth - 1
+                  WHERE c.depth > 0 GROUP BY c.node),
+          walk(node, back) AS (
+            SELECT 's:5', 0
+            UNION ALL
+            SELECT par.parent, walk.back + 1
+            FROM walk JOIN par ON par.child = walk.node)
+          SELECT CAST((SELECT max(back) FROM walk) - back AS INT) AS step,
+            node
+          FROM walk ORDER BY step""",
+    "g_pagerank" -> pagerankSql,
     "n_nodes_build" ->
       """SELECT key_data, details FROM (
          SELECT 'c:' || c_custkey AS key_data,

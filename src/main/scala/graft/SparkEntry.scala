@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   *
   * Conventions shared by every query and its DuckDB oracle:
   *  - every computed column is aliased identically on both sides;
-  *  - every float output is `round(_, 4)` on both sides, with sums
-  *    carried in DECIMAL(38,6) so the two engines agree exactly;
+  *  - outputs carry only engine-portable types (string, int,
+  *    float64, timestamp[us]) — money arithmetic runs exactly in
+  *    decimals operand-by-operand and casts the final value to
+  *    double, so no rounding-mode, accumulation-order or decimal-
+  *    rendering difference between engines can surface;
   *  - every result is deterministically ordered by a unique key.
   */
 object SparkEntry {

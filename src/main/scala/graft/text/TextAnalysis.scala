@@ -108,9 +108,12 @@ object TextAnalysis {
     * sequence (multiplier 1000003, masked to 32 bits each step so
     * the multiply never overflows a long under ANSI mode) — the
     * document fingerprint. Distinguishes permuted documents, unlike
-    * the bag-of-words fingerprint. */
+    * the bag-of-words fingerprint. Token hash = first 32 bits of
+    * md5, a hash every SQL engine exposes, so the fingerprint is
+    * reproducible cross-engine (xxhash64 is not portable). */
   def rollingFingerprint(text: Column): Column =
     aggregate(wsTokens(text), lit(0L),
-      (acc, t) => (acc * 1000003L + xxhash64(t).bitwiseAND(lit(0xFFFFFFFFL)))
+      (acc, t) => (acc * 1000003L +
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
         .bitwiseAND(lit(0xFFFFFFFFL)))
 }
