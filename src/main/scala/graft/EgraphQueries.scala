@@ -242,6 +242,17 @@ object EgraphQueries {
             SELECT ue.b, r.label FROM r JOIN ue ON ue.a = r.node)
           SELECT node, min(label) AS component FROM r
           GROUP BY node ORDER BY node""",
+    // ORACLE BOUND, documented: the recursion cap 20 is pinned to
+    // this dataset family — the customer–supplier graph's measured
+    // eccentricity from c:1 is 3-4 at sf0.001/0.01/0.1 (5x margin).
+    // A data-derived |V| bound is correct but makes DuckDB iterate
+    // |V| times (cycles keep minting higher-d rows), minutes at
+    // sf0.01. A too-small cap fails SAFE here: the oracle would
+    // return fewer reachable rows → rows_match flags it; it cannot
+    // silently pass wrong. Unit weights are not an assumption — the
+    // Spark query itself constructs w = 1.0 edges, so hop count is
+    // the weighted distance by construction; general weights are
+    // covered by GraphAlgorithmsSpec's hand-computed oracle.
     "g_sssp_weighted" ->
       s"""WITH RECURSIVE ue AS ($undirectedSql),
           sp(node, d) AS (
@@ -254,7 +265,10 @@ object EgraphQueries {
     "g_dfs_path" ->
       // level-synchronous parent discovery with min-parent tie-break,
       // then the walk back from the destination — exactly the
-      // deterministic semantics of Traversal.pathBetween
+      // deterministic semantics of Traversal.pathBetween. depth < 20
+      // is the same documented dataset-pinned bound as g_sssp_weighted
+      // (measured eccentricity 3-4; a too-small cap loses the s:5
+      // walk entirely → rows_match fails, never a silent wrong-pass)
       s"""WITH RECURSIVE ue AS ($undirectedSql),
           bfs(node, depth) AS (
             SELECT 'c:1', 0

@@ -276,23 +276,79 @@ object LlmQueries {
              ('the','a','of','to','and','in','is','that')))::DOUBLE
              / len(toks), 4) AS stopword_ratio
          FROM t ORDER BY doc_id""",
+    // rolling polynomial fingerprint, replayed exactly: token hash =
+    // first 32 md5 bits (hex-literal cast), fold = (acc*1000003 + h)
+    // masked to 32 bits — all BIGINT-exact, no wrapping needed
+    "t_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split(text, ' '),
+               t -> ('0x' || substring(md5(t), 1, 8))::BIGINT)),
+           (a, b) -> (a * 1000003 + b) & 4294967295) AS fp
+         FROM documents ORDER BY doc_id""",
+    // argmax over per-language stopword ratios; the CASE chain breaks
+    // score ties toward the lexicographically greatest language code,
+    // exactly like Spark's greatest() over (score, lang) structs
+    "t_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id,
+           round(len(list_filter(toks, x -> x IN
+             ('der','die','das','und','in','ein','ist','zu')))::DOUBLE
+             / len(toks), 6) AS s_de,
+           round(len(list_filter(toks, x -> x IN
+             ('the','a','of','to','and','in','is','that')))::DOUBLE
+             / len(toks), 6) AS s_en,
+           round(len(list_filter(toks, x -> x IN
+             ('el','la','de','que','y','en','un','es')))::DOUBLE
+             / len(toks), 6) AS s_es,
+           round(len(list_filter(toks, x -> x IN
+             ('le','la','de','et','un','en','est','que')))::DOUBLE
+             / len(toks), 6) AS s_fr
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           greatest(s_de, s_en, s_es, s_fr) AS score
+         FROM s ORDER BY doc_id""",
+    // the stub decode's exact arithmetic: payload = utf-8 text bytes,
+    // so strlen(text) is n_bytes and md5(text) is md5(payload);
+    // checksum = first 60 md5 bits (15 hex chars, always positive)
+    "m_multimodal_meta" ->
+      """SELECT doc_id, 'image/fake-' || lang AS media_type,
+         strlen(text) AS n_bytes,
+         16 + (strlen(text) % 64) AS width,
+         16 + ((strlen(text) // 64) % 64) AS height,
+         ('0x' || substring(md5(text), 1, 15))::BIGINT AS checksum
+         FROM documents ORDER BY doc_id""",
     "s_window_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // tus = epoch_ns // 1000 (floor) matches Spark's `ts div 1000`
+    // µs truncation exactly on ANY DuckDB version: 1.0 reads the ns
+    // parquet column as µs TIMESTAMP (epoch_ns = µs*1000, //1000 is
+    // identity), newer versions keep TIMESTAMP_NS (//1000 truncates
+    // like Spark). Ordering + gap both use tus so sub-µs digits can
+    // never flip a tie-break or a `> 30min` boundary.
     "s_sessionize" ->
-      """SELECT user_id, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus
+                    FROM events)
+         SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
            ROWS UNBOUNDED PRECEDING) AS session_seq
          FROM (
-           SELECT user_id, event_id, ts,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           SELECT user_id, event_id, tus,
+             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
                     IS NULL THEN 1
-                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id)) > 1800000000 THEN 1
+                  WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                    ORDER BY tus, event_id) > 1800000000 THEN 1
                   ELSE 0 END AS new_session
-           FROM events)
+           FROM e)
          ORDER BY user_id, event_id"""
   )
 }

@@ -16,19 +16,34 @@ object GraphXBridge {
 
   /** Build a GraphX graph from a string-keyed undirected adjacency
     * (a, b); vertex ids are xxhash64 of the keys, the original key
-    * rides as the vertex attribute. */
-  def fromUndirected(edges: DataFrame): Graph[String, Int] = {
-    val withIds = edges.select(
-      xxhash64(col("a")).as("srcId"), col("a"),
-      xxhash64(col("b")).as("dstId"), col("b"))
-    val vertices = withIds.select(col("srcId").as("id"), col("a").as("key"))
-      .unionByName(withIds.select(col("dstId").as("id"), col("b").as("key")))
-      .distinct()
-      .rdd.map(r => (r.getLong(0), r.getString(1)))
-    val edgeRdd = withIds
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(2), 1))
-    Graph(vertices, edgeRdd)
-  }
+    * rides as the vertex attribute.
+    *
+    * Memoized per input DataFrame instance (DataFrames are immutable;
+    * GraphBuilder already hands every caller the same memoized
+    * adjacency frame per (session, dir)) — without this each of the
+    * GraphX-backed queries re-runs the full DataFrame→RDD conversion
+    * including the vertex `distinct()` shuffle. The Graph's internal
+    * RDDs default to MEMORY_ONLY, so algorithms on the shared
+    * instance reuse the materialized partitions. */
+  def fromUndirected(edges: DataFrame): Graph[String, Int] =
+    graphCache.getOrElseUpdate(edges, {
+      val withIds = edges.select(
+        xxhash64(col("a")).as("srcId"), col("a"),
+        xxhash64(col("b")).as("dstId"), col("b"))
+      val vertices = withIds.select(col("srcId").as("id"), col("a").as("key"))
+        .unionByName(withIds.select(col("dstId").as("id"), col("b").as("key")))
+        .distinct()
+        .rdd.map(r => (r.getLong(0), r.getString(1)))
+      val edgeRdd = withIds
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(2), 1))
+      Graph(vertices, edgeRdd)
+    })
+
+  // keyed on the DataFrame reference (reference equality): safe
+  // because frames are immutable and upstream memoization dedups
+  // instances; a fresh frame per call just skips the cache
+  private val graphCache = scala.collection.concurrent.TrieMap
+    .empty[DataFrame, Graph[String, Int]]
 
   /** GraphX PageRank, returned as (node, rank) keyed by the original
     * string keys. */
@@ -88,7 +103,10 @@ object GraphXBridge {
     import spark.implicits._
     val withIds = edges.select(
       xxhash64(col("a")).as("srcId"), col("a"),
-      xxhash64(col("b")).as("dstId"), col("b"), col("w"))
+      xxhash64(col("b")).as("dstId"), col("b"),
+      // normalize like the key columns (xxhash64): an int/decimal w
+      // would otherwise hit getDouble's ClassCastException at runtime
+      col("w").cast("double").as("w"))
     val vertices = withIds.select(col("srcId").as("id"), col("a").as("key"))
       .unionByName(withIds.select(col("dstId").as("id"), col("b").as("key")))
       .distinct()
@@ -96,7 +114,11 @@ object GraphXBridge {
     val edgeRdd = withIds.rdd.map(r => Edge(r.getLong(0), r.getLong(2),
       r.getDouble(4)))
     val srcId = spark.range(1).select(xxhash64(lit(source))).head().getLong(0)
-    val g = Graph(vertices, edgeRdd)
+    // build the base graph ONCE and reuse its vertices for the final
+    // key join — a second Graph(vertices, edgeRdd) would re-run the
+    // whole DataFrame→RDD conversion (xxhash64 scan + distinct)
+    val base = Graph(vertices, edgeRdd)
+    val g = base
       .mapVertices((id, _) => if (id == srcId) 0.0 else Double.PositiveInfinity)
     val sp = g.pregel(Double.PositiveInfinity)(
       (_, dist, msg) => math.min(dist, msg),
@@ -105,7 +127,7 @@ object GraphXBridge {
           Iterator((triplet.dstId, triplet.srcAttr + triplet.attr))
         else Iterator.empty,
       (a, b) => math.min(a, b))
-    Graph(vertices, edgeRdd).vertices.join(sp.vertices)
+    base.vertices.join(sp.vertices)
       .flatMap { case (_, (key, d)) =>
         if (d.isInfinity) None else Some((key, d))
       }

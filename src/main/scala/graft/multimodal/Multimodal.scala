@@ -32,18 +32,35 @@ object Multimodal {
 
   /** STUB decode: stands in for an image decoder. Deterministic
     * dimensions/checksum from the bytes; processes each partition
-    * in batches of `batchSize` the way a vectorized decoder would. */
+    * in batches of `batchSize` the way a vectorized decoder would.
+    * The checksum is the first 60 bits of md5(payload) — a content
+    * hash every engine reproduces bit-for-bit (a wrapping `*31`
+    * accumulator would be Java-only semantics: SQL BIGINTs error on
+    * overflow instead of wrapping), which is what makes this query
+    * oracle-checkable rather than rows-only. */
   def decodeFeatures(media: Dataset[MediaRow], batchSize: Int = 64)
       : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // one digest per partition, reset per row — allocation-free in
+      // the row loop, the way a vectorized decoder would reuse buffers
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
         // a real decoder would hand `batch` to the codec in one call
         batch.map { r =>
           val n = r.media.length
+          md.reset()
+          val dig = md.digest(r.media)
+          // first 15 hex chars = 60 bits: always non-negative, exact
+          // in any engine's signed 64-bit integer
           var cs = 0L
           var i = 0
-          while (i < n) { cs = cs * 31 + (r.media(i) & 0xFF); i += 1 }
+          while (i < 15) {
+            val nib = if (i % 2 == 0) (dig(i / 2) >> 4) & 0xF
+                      else dig(i / 2) & 0xF
+            cs = (cs << 4) | nib
+            i += 1
+          }
           MediaFeatures(r.doc_id, r.media_type, n,
             width = 16 + (n % 64), height = 16 + ((n / 64) % 64), checksum = cs)
         }

@@ -224,7 +224,14 @@ object GraphStore {
     val dir = new Path(s"$root/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     goodVersions(spark, s"$root/$table").nonEmpty ||
-      fs.exists(new Path(dir, "_SUCCESS"))
+      fs.exists(new Path(dir, "_SUCCESS")) ||
+      // pre-versioning plain layouts written with success markers
+      // disabled (or hand-placed parquet): present iff the dir holds
+      // parquet data files — without this, StreamingIngest would treat
+      // prior state as absent and silently discard it
+      (fs.exists(dir) && fs.listStatus(dir).exists { st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet")
+      })
   }
 
   def loadNodes(spark: SparkSession, root: String): DataFrame =
