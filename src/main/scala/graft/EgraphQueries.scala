@@ -128,10 +128,14 @@ object EgraphQueries {
 
     "g_sssp_weighted" -> { (s, d) =>
       val e = GraphBuilder.edges(s, d)
+      // localCheckpoint: the bridge reads this frame three times
+      // (parallelism count, vertex build, edge build) — uncheckpointed
+      // each read re-runs the union + both projections
       val und = e.select(col("src_key").as("a"), col("dst_key").as("b"),
           lit(1.0).as("w"))
         .unionByName(e.select(col("dst_key").as("a"), col("src_key").as("b"),
           lit(1.0).as("w")))
+        .localCheckpoint()
       GraphXBridge.shortestPathsWeighted(und, "c:1")
         .select(col("node"), round(col("dist"), 4).as("dist"))
         .orderBy("node")

@@ -76,6 +76,14 @@ object Knn {
     Registry.registerAll(corpus.sparkSession)
     val base = withNorm(corpus, "id", "v", "nm", idCol, vecCol)
       .localCheckpoint()
+    // NEGATIVE RESULT, kept on purpose: carrying the vectors through
+    // the banded self-join and verifying inline (the shape that wins
+    // for MinHash's firstMatch dedup) benched 7-10× SLOWER here —
+    // sign buckets are skewed on mean-shifted embeddings, so the raw
+    // pair stream is many times the unique pair count and every raw
+    // row then hauls two 64-float arrays. Skinny (a, b) distinct +
+    // broadcast-hash vector lookups keep the wide data out of the
+    // fat stream entirely.
     val banded = base.select(col("id"), posexplode(array(
         (0 until bands).map(j =>
           lshBucketSeeded(col("v"), dim, bitsPerBand, seed = j)): _*))

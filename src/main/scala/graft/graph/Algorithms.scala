@@ -61,9 +61,21 @@ object Algorithms {
     // each edge once under id-canonical order, matching w1 < w2
     val canon = e.select(least(col("u"), col("v")).as("w1"),
       greatest(col("u"), col("v")).as("w2"))
-    wedges.join(canon, Seq("w1", "w2"))
+    // the wedge stream is the m^1.5 bound — typically 10-100× the
+    // edge list. Broadcasting the closing edge set keeps that stream
+    // map-side (wedge gen → broadcast-hash probe → partial count, no
+    // exchange of wedges at all); above the limit the closure must
+    // shuffle-join, which is the correct cluster-scale plan anyway.
+    // ~1M edges ≈ 50-100 MB hashed — the count is cheap, e is
+    // localCheckpoint'd above.
+    val closing =
+      if (e.count() <= triangleBroadcastEdges) broadcast(canon) else canon
+    wedges.join(closing, Seq("w1", "w2"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Edge-count ceiling for broadcasting the triangle-closure side. */
+  val triangleBroadcastEdges = 1000000L
 
   /** PageRank with uniform teleport; `iters` fixed rounds. Round =
     * edges ⋈ rank-state + contribution group-by + base left-join:
