@@ -14,31 +14,54 @@ import org.apache.spark.sql.functions._
   */
 object GraphXBridge {
 
-  /** Build a GraphX graph from a string-keyed undirected adjacency
-    * (a, b); vertex ids are xxhash64 of the keys, the original key
-    * rides as the vertex attribute.
-    *
-    * Memoized per input DataFrame instance (DataFrames are immutable;
-    * GraphBuilder already hands every caller the same memoized
-    * adjacency frame per (session, dir)) — without this each of the
-    * GraphX-backed queries re-runs the full DataFrame→RDD conversion
-    * including the vertex `distinct()` shuffle. The Graph's internal
-    * RDDs default to MEMORY_ONLY, so algorithms on the shared
-    * instance reuse the materialized partitions. */
-  def fromUndirected(edges: DataFrame): Graph[String, Int] =
-    graphCache.getOrElseUpdate(edges, {
-      val p = graphParallelism(edges)
-      val withIds = edges.select(
-        xxhash64(col("a")).as("srcId"), col("a"),
-        xxhash64(col("b")).as("dstId"), col("b"))
-      val vertices = withIds.select(col("srcId").as("id"), col("a").as("key"))
-        .unionByName(withIds.select(col("dstId").as("id"), col("b").as("key")))
-        .distinct()
-        .rdd.map(r => (r.getLong(0), r.getString(1))).coalesce(p)
-      val edgeRdd = withIds
-        .rdd.map(r => Edge(r.getLong(0), r.getLong(2), 1)).coalesce(p)
-      Graph(vertices, edgeRdd)
-    })
+  /** One shared DataFrame→GraphX conversion for every algorithm in
+    * this bridge: vertex ids are xxhash64 of the string keys, the
+    * original key rides as the vertex attribute, and the edge
+    * attribute is the `wCol` column cast to double (1.0 when None).
+    * RDDs are coalesced to [[graphParallelism]] partitions. */
+  private def buildGraph(edges: DataFrame, wCol: Option[String])
+      : Graph[String, Double] = {
+    val p = graphParallelism(edges)
+    val w = wCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    val withIds = edges.select(
+      xxhash64(col("a")).as("srcId"), col("a"),
+      xxhash64(col("b")).as("dstId"), col("b"), w.as("w"))
+    val vertices = withIds.select(col("srcId").as("id"), col("a").as("key"))
+      .unionByName(withIds.select(col("dstId").as("id"), col("b").as("key")))
+      .distinct()
+      .rdd.map(r => (r.getLong(0), r.getString(1))).coalesce(p)
+    val edgeRdd = withIds
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(2), r.getDouble(4)))
+      .coalesce(p)
+    Graph(vertices, edgeRdd)
+  }
+
+  /** [[buildGraph]] with unit edge weights, memoized per input
+    * DataFrame instance (DataFrames are immutable; GraphBuilder
+    * already hands every caller the same memoized adjacency frame per
+    * (session, dir)) — without this each of the GraphX-backed queries
+    * re-runs the full DataFrame→RDD conversion including the vertex
+    * `distinct()` shuffle. The Graph's internal RDDs default to
+    * MEMORY_ONLY, so algorithms on the shared instance reuse the
+    * materialized partitions. The cache is a small bounded LRU and
+    * EVICTED graphs are unpersisted: an unbounded map of
+    * MEMORY_ONLY-cached graphs would pin executor storage (and the
+    * owning sessions) forever in a long-lived service. */
+  def fromUndirected(edges: DataFrame): Graph[String, Double] =
+    graphCache.synchronized {
+      graphCache.get(edges) match {
+        case Some(g) => g
+        case None =>
+          val g = buildGraph(edges, None)
+          graphCache.put(edges, g)
+          if (graphCache.size > graphCacheLimit) {
+            val (oldFrame, oldGraph) = graphCache.head
+            graphCache.remove(oldFrame)
+            oldGraph.unpersist(blocking = false)
+          }
+          g
+      }
+    }
 
   /** RDD partition count for a graph build, sized from the edge
     * count: GraphX's per-superstep cost has a partitions-squared
@@ -50,8 +73,9 @@ object GraphXBridge {
     * scale (billions of edges) the cap is what binds, so this grows
     * to full cluster width exactly when the data needs it. coalesce,
     * not repartition: merging shuffle output needs no extra exchange.
-    * The count is cheap: every caller hands in GraphBuilder's
-    * memoized localCheckpoint'd adjacency. */
+    * The count() is one cheap scan when callers pass GraphBuilder's
+    * memoized localCheckpoint'd adjacency (every in-repo caller
+    * does); hand a checkpointed frame in here for the same reason. */
   private def graphParallelism(edges: DataFrame): Int = {
     val n = edges.count()
     val target = (n / 150000L).toInt
@@ -59,11 +83,11 @@ object GraphXBridge {
       edges.sparkSession.sparkContext.defaultParallelism, target))
   }
 
-  // keyed on the DataFrame reference (reference equality): safe
-  // because frames are immutable and upstream memoization dedups
-  // instances; a fresh frame per call just skips the cache
-  private val graphCache = scala.collection.concurrent.TrieMap
-    .empty[DataFrame, Graph[String, Int]]
+  // insertion-ordered so `head` is the oldest entry; guarded by
+  // `synchronized` (build races would leak an unpersisted graph)
+  private val graphCache =
+    scala.collection.mutable.LinkedHashMap.empty[DataFrame, Graph[String, Double]]
+  private val graphCacheLimit = 8
 
   /** GraphX PageRank, returned as (node, rank) keyed by the original
     * string keys. */
@@ -121,24 +145,12 @@ object GraphXBridge {
   def shortestPathsWeighted(edges: DataFrame, source: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val p = graphParallelism(edges)
-    val withIds = edges.select(
-      xxhash64(col("a")).as("srcId"), col("a"),
-      xxhash64(col("b")).as("dstId"), col("b"),
-      // normalize like the key columns (xxhash64): an int/decimal w
-      // would otherwise hit getDouble's ClassCastException at runtime
-      col("w").cast("double").as("w"))
-    val vertices = withIds.select(col("srcId").as("id"), col("a").as("key"))
-      .unionByName(withIds.select(col("dstId").as("id"), col("b").as("key")))
-      .distinct()
-      .rdd.map(r => (r.getLong(0), r.getString(1))).coalesce(p)
-    val edgeRdd = withIds.rdd.map(r => Edge(r.getLong(0), r.getLong(2),
-      r.getDouble(4))).coalesce(p)
     val srcId = spark.range(1).select(xxhash64(lit(source))).head().getLong(0)
-    // build the base graph ONCE and reuse its vertices for the final
-    // key join — a second Graph(vertices, edgeRdd) would re-run the
-    // whole DataFrame→RDD conversion (xxhash64 scan + distinct)
-    val base = Graph(vertices, edgeRdd)
+    // one shared builder with the weight column riding as the edge
+    // attribute (cast to double there — an int/decimal w would
+    // otherwise ClassCastException); built ONCE and its vertices
+    // reused for the final key join
+    val base = buildGraph(edges, Some("w"))
     val g = base
       .mapVertices((id, _) => if (id == srcId) 0.0 else Double.PositiveInfinity)
     val sp = g.pregel(Double.PositiveInfinity)(

@@ -220,18 +220,22 @@ object GraphStore {
     * plain layout. Goes through the path's own Hadoop FileSystem so
     * it answers correctly on any scheme (hdfs://, s3a://), not just
     * local disk. */
+  /** CONTRACT: a table is visible iff a reader can prove it complete
+    * — a _SUCCESS-gated version dir, or a plain layout whose own
+    * _SUCCESS marker exists (Spark writes one by default; partitioned
+    * plain layouts put it at the table root too). Hand-placed parquet
+    * or writes with success markers disabled are treated as ABSENT by
+    * design: without a marker a partially-written directory is
+    * indistinguishable from a complete one, and accepting it would
+    * let StreamingIngest launder a crashed half-write into the next
+    * committed epoch as if it were good prior state. Losing sight of
+    * unmarked data is recoverable (re-ingest); silently merging a
+    * torn prior state is not. */
   def hasTable(spark: SparkSession, root: String, table: String): Boolean = {
     val dir = new Path(s"$root/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     goodVersions(spark, s"$root/$table").nonEmpty ||
-      fs.exists(new Path(dir, "_SUCCESS")) ||
-      // pre-versioning plain layouts written with success markers
-      // disabled (or hand-placed parquet): present iff the dir holds
-      // parquet data files — without this, StreamingIngest would treat
-      // prior state as absent and silently discard it
-      (fs.exists(dir) && fs.listStatus(dir).exists { st =>
-        st.isFile && st.getPath.getName.endsWith(".parquet")
-      })
+      fs.exists(new Path(dir, "_SUCCESS"))
   }
 
   def loadNodes(spark: SparkSession, root: String): DataFrame =
