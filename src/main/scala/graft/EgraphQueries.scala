@@ -127,16 +127,13 @@ object EgraphQueries {
     },
 
     "g_sssp_weighted" -> { (s, d) =>
-      val e = GraphBuilder.edges(s, d)
-      // localCheckpoint: the bridge reads this frame three times
-      // (parallelism count, vertex build, edge build) — uncheckpointed
-      // each read re-runs the union + both projections
-      val und = e.select(col("src_key").as("a"), col("dst_key").as("b"),
-          lit(1.0).as("w"))
-        .unionByName(e.select(col("dst_key").as("a"), col("src_key").as("b"),
-          lit(1.0).as("w")))
-        .localCheckpoint()
-      GraphXBridge.shortestPathsWeighted(und, "c:1")
+      // this query's weights are all 1.0, so it runs the SAME Pregel
+      // relaxation kernel on the shared memoized graph (whose edge
+      // attribute is 1.0) instead of building a private weighted
+      // graph; genuinely weighted inputs go through
+      // shortestPathsWeighted, spec-pinned in GraphXSpec
+      GraphXBridge.shortestPathsUnit(
+          GraphBuilder.undirectedFor(s, d), "c:1")
         .select(col("node"), round(col("dist"), 4).as("dist"))
         .orderBy("node")
     },

@@ -142,15 +142,25 @@ object GraphXBridge {
     * of Traversal.shortestPathsWeighted. Edges: (a, b, w); returns
     * (node, dist) for reachable nodes. Converges in ≤ diameter
     * supersteps, messages flow only along still-improving edges. */
-  def shortestPathsWeighted(edges: DataFrame, source: String): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    val srcId = spark.range(1).select(xxhash64(lit(source))).head().getLong(0)
+  def shortestPathsWeighted(edges: DataFrame, source: String): DataFrame =
     // one shared builder with the weight column riding as the edge
     // attribute (cast to double there — an int/decimal w would
     // otherwise ClassCastException); built ONCE and its vertices
     // reused for the final key join
-    val base = buildGraph(edges, Some("w"))
+    ssspOn(buildGraph(edges, Some("w")), edges, source)
+
+  /** Unit-weight shortest paths on the SHARED memoized graph — the
+    * Pregel kernel is identical to [[shortestPathsWeighted]] (the
+    * cached graph's edge attribute is 1.0), but the graph build is
+    * reused across every bridge algorithm instead of rebuilt. */
+  def shortestPathsUnit(edges: DataFrame, source: String): DataFrame =
+    ssspOn(fromUndirected(edges), edges, source)
+
+  private def ssspOn(base: Graph[String, Double], edges: DataFrame,
+      source: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val srcId = spark.range(1).select(xxhash64(lit(source))).head().getLong(0)
     val g = base
       .mapVertices((id, _) => if (id == srcId) 0.0 else Double.PositiveInfinity)
     val sp = g.pregel(Double.PositiveInfinity)(
