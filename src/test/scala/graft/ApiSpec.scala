@@ -162,6 +162,28 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
       GraphStore.loadNodes(spark, root).head().getString(0) == "k9")
   }
 
+  test("hasTable visibility contract: only provably-complete layouts") {
+    import spark.implicits._
+    val root = "/tmp/graft-test-hastable"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    assert(!GraphStore.hasTable(spark, root, "nodes"))
+    // versioned save → visible
+    GraphStore.saveNodes(Seq(("k1", "d1", 1L))
+      .toDF("key_data", "details", "id"), root)
+    assert(GraphStore.hasTable(spark, root, "nodes"))
+    // plain pre-versioning layout WITH _SUCCESS → visible
+    val plain = s"$root/edges"
+    Seq((1L, 2L, "{}")).toDF("src", "dst", "details")
+      .coalesce(1).write.parquet(plain)
+    assert(GraphStore.hasTable(spark, root, "edges"))
+    // unmarked parquet (hand-placed / markers disabled / torn write)
+    // → ABSENT by contract: without a marker a partial directory is
+    // indistinguishable from a complete one, and accepting it would
+    // launder a crashed half-write into the next committed epoch
+    assert(new java.io.File(plain, "_SUCCESS").delete())
+    assert(!GraphStore.hasTable(spark, root, "edges"))
+  }
+
   test("reference query.json runs verbatim against ingested documents") {
     import spark.implicits._
     // the README's countries, ingested with the README's indexes
