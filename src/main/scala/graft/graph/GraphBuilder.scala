@@ -79,7 +79,7 @@ object GraphBuilder {
     * partitioning via partial (map-side) aggregation.
     */
   def edges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, dir),
+    edgeCache.getOrElseUpdate((s, dir))(
       Tables.orders(s, dir).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_quantity"),
           col("o_orderkey") === col("l_orderkey"))
@@ -100,14 +100,22 @@ object GraphBuilder {
   // build. Keyed ONLY by the immutable input directory — frames from
   // mutable sources (e.g. a GraphStore that gets overwritten) never
   // enter these caches.
+  // bounded so a long-lived multi-store service cannot accumulate
+  // checkpointed frames (and pinned SparkSessions) without limit.
+  // Eviction only DROPS the reference — never unpersist: these are
+  // localCheckpoint roots, and derived cached plans (e.g. the GraphX
+  // graphs built from them) recompute THROUGH the checkpoint if their
+  // own blocks fall out; unpersisting the root would make that
+  // recompute impossible. Dropped frames are reclaimed by the
+  // ContextCleaner once no derived plan references them.
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.util.LruCache[(SparkSession, String), DataFrame](16)
   private val undirectedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.util.LruCache[(SparkSession, String), DataFrame](16)
 
   /** Memoized undirected adjacency of the demo graph for `dir`. */
   def undirectedFor(s: SparkSession, dir: String): DataFrame =
-    undirectedCache.getOrElseUpdate((s, dir),
+    undirectedCache.getOrElseUpdate((s, dir))(
       undirected(edges(s, dir)).localCheckpoint())
 
   /** Undirected, deduplicated (a, b) adjacency — both directions

@@ -48,20 +48,7 @@ object GraphXBridge {
     * MEMORY_ONLY-cached graphs would pin executor storage (and the
     * owning sessions) forever in a long-lived service. */
   def fromUndirected(edges: DataFrame): Graph[String, Double] =
-    graphCache.synchronized {
-      graphCache.get(edges) match {
-        case Some(g) => g
-        case None =>
-          val g = buildGraph(edges, None)
-          graphCache.put(edges, g)
-          if (graphCache.size > graphCacheLimit) {
-            val (oldFrame, oldGraph) = graphCache.head
-            graphCache.remove(oldFrame)
-            oldGraph.unpersist(blocking = false)
-          }
-          g
-      }
-    }
+    graphCache.getOrElseUpdate(edges)(buildGraph(edges, None))
 
   /** RDD partition count for a graph build, sized from the edge
     * count: GraphX's per-superstep cost has a partitions-squared
@@ -83,11 +70,11 @@ object GraphXBridge {
       edges.sparkSession.sparkContext.defaultParallelism, target))
   }
 
-  // insertion-ordered so `head` is the oldest entry; guarded by
-  // `synchronized` (build races would leak an unpersisted graph)
-  private val graphCache =
-    scala.collection.mutable.LinkedHashMap.empty[DataFrame, Graph[String, Double]]
-  private val graphCacheLimit = 8
+  // evicted graphs are unpersisted best-effort (the owning session
+  // may already be stopped); builds run outside the cache lock so a
+  // slow graph build never stalls hits on already-cached graphs
+  private val graphCache = new graft.util.LruCache[DataFrame, Graph[String, Double]](
+    8, _.unpersist(blocking = false))
 
   /** GraphX PageRank, returned as (node, rank) keyed by the original
     * string keys. */

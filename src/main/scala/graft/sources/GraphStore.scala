@@ -54,7 +54,20 @@ object GraphStore {
     val versions = goodVersions(spark, dir)
     epoch.get(table).filter(versions.contains)
       .orElse(versions.headOption)
-      .map(v => s"$dir/$v").getOrElse(dir)
+      .map(v => s"$dir/$v").getOrElse {
+        // pre-versioning plain layout: the SAME visibility contract
+        // as hasTable — readable iff its own _SUCCESS proves the
+        // write completed. Silently reading an unmarked directory
+        // here would launder a torn write through loadNodes/
+        // loadSnapshot while hasTable correctly reports it absent.
+        val p = new Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(new Path(p, "_SUCCESS")),
+          s"$dir has no complete version dir and no _SUCCESS marker; " +
+            "refusing to read a possibly-incomplete layout " +
+            "(see GraphStore.hasTable's visibility contract)")
+        dir
+      }
   }
 
   private def resolve(spark: SparkSession, root: String,
@@ -215,11 +228,6 @@ object GraphStore {
     (read("nodes"), read("edges"), read("indexes"))
   }
 
-  /** True when `root/table` resolves to something a reader can load:
-    * a complete (_SUCCESS-marked) version dir, or a pre-versioning
-    * plain layout. Goes through the path's own Hadoop FileSystem so
-    * it answers correctly on any scheme (hdfs://, s3a://), not just
-    * local disk. */
   /** CONTRACT: a table is visible iff a reader can prove it complete
     * — a _SUCCESS-gated version dir, or a plain layout whose own
     * _SUCCESS marker exists (Spark writes one by default; partitioned
@@ -230,7 +238,9 @@ object GraphStore {
     * let StreamingIngest launder a crashed half-write into the next
     * committed epoch as if it were good prior state. Losing sight of
     * unmarked data is recoverable (re-ingest); silently merging a
-    * torn prior state is not. */
+    * torn prior state is not. resolveWith enforces the same contract
+    * on the load path. Goes through the path's own Hadoop FileSystem
+    * so it answers correctly on any scheme (hdfs://, s3a://). */
   def hasTable(spark: SparkSession, root: String, table: String): Boolean = {
     val dir = new Path(s"$root/$table")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -182,6 +182,18 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     // launder a crashed half-write into the next committed epoch
     assert(new java.io.File(plain, "_SUCCESS").delete())
     assert(!GraphStore.hasTable(spark, root, "edges"))
+    // the load path enforces the same contract, not just hasTable
+    intercept[IllegalArgumentException] {
+      GraphStore.loadEdges(spark, root)
+    }
+    // PARTITIONED plain layout: Spark places _SUCCESS at the table
+    // root even when data files live under partition subdirs — the
+    // contract's root-marker check must see it
+    val part = s"$root/indexes"
+    Seq(("n", "text", "k", 1L))
+      .toDF("index_name", "key_type", "key_str", "node_key")
+      .write.partitionBy("index_name", "key_type").parquet(part)
+    assert(GraphStore.hasTable(spark, root, "indexes"))
   }
 
   test("reference query.json runs verbatim against ingested documents") {
