@@ -177,6 +177,23 @@ object LlmQueries {
     "s_sessionize" -> { (s, d) =>
       EventStreams.sessionizeBatch(Tables.events(s, d))
         .orderBy("user_id", "event_id")
+    },
+
+    "s_asof_join" -> { (s, d) =>
+      // for every click, the state of the user's latest purchase at
+      // or before that click — the temporal feature-lookup join
+      val ev = Tables.events(s, d)
+      graft.operators.AsOfJoin.asOf(
+          probe = ev.filter(col("event_type") === "click")
+            .select("event_id", "user_id", "ts"),
+          build = ev.filter(col("event_type") === "purchase")
+            .select("user_id", "ts", "event_id", "value"),
+          keyCols = Seq("user_id"), tsCol = "ts",
+          buildTiebreak = "event_id",
+          valueCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("asof_event_id"),
+          round(col("asof_value"), 4).as("asof_value"))
+        .orderBy("event_id")
     }
   )
 
@@ -349,6 +366,33 @@ object LlmQueries {
                     ORDER BY tus, event_id) > 1800000000 THEN 1
                   ELSE 0 END AS new_session
            FROM e)
-         ORDER BY user_id, event_id"""
+         ORDER BY user_id, event_id""",
+    // replays the union-merge as-of join exactly: side 0 = build
+    // sorts before side 1 = probe at equal (µs-truncated) ts, so an
+    // exactly-simultaneous purchase IS visible to the click; equal-ts
+    // purchases tie-break on greatest event_id via `tie` ascending +
+    // last_value. tus = epoch_ns // 1000 like s_sessionize.
+    "s_asof_join" ->
+      """WITH u AS (
+           SELECT user_id, epoch_ns(ts) // 1000 AS tus, 1 AS side,
+                  NULL::BIGINT AS tie, NULL::BIGINT AS v_eid,
+                  NULL::DOUBLE AS v_value, event_id
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, epoch_ns(ts) // 1000, 0,
+                  event_id, event_id, value, NULL
+           FROM events WHERE event_type = 'purchase'),
+         a AS (
+           SELECT event_id, user_id, side,
+             last_value(v_eid IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, side, tie
+               ROWS UNBOUNDED PRECEDING) AS asof_event_id,
+             last_value(v_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY tus, side, tie
+               ROWS UNBOUNDED PRECEDING) AS asof_value
+           FROM u)
+         SELECT event_id, user_id, asof_event_id,
+           round(asof_value, 4) AS asof_value
+         FROM a WHERE side = 1 ORDER BY event_id"""
   )
 }

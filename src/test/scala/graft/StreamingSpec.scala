@@ -34,6 +34,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch)
   }
 
+  test("as-of join: equal-ts visibility, tie-break, and null for no prior build") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probe = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),  // after b1 → sees b1
+      (2L, 10L, ts("2024-01-01 12:00:00")),  // exactly at b2/b3 → ties
+      (3L, 20L, ts("2024-01-01 09:00:00")),  // user with no build → null
+      (4L, 10L, ts("2024-01-01 08:00:00")))  // before any build → null
+      .toDF("event_id", "user_id", "ts")
+    val build = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 101L, 1.0),  // b1
+      (10L, ts("2024-01-01 12:00:00"), 102L, 2.0),  // b2: equal ts…
+      (10L, ts("2024-01-01 12:00:00"), 103L, 3.0))  // b3: …greater id wins
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = graft.operators.AsOfJoin.asOf(probe, build,
+        keyCols = Seq("user_id"), tsCol = "ts", buildTiebreak = "event_id",
+        valueCols = Seq("event_id", "value"))
+      .orderBy("event_id")
+      .collect()
+    assert(out.length == 4) // output is exactly the probe rows
+    val byId = out.map(r => r.getLong(0) ->
+      (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(byId(1L) == (Some(101L), Some(1.0)))
+    // an equal-ts build row IS visible; greatest event_id breaks the tie
+    assert(byId(2L) == (Some(103L), Some(3.0)))
+    assert(byId(3L) == (None, None))
+    assert(byId(4L) == (None, None))
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
