@@ -194,6 +194,27 @@ object LlmQueries {
         .select(col("event_id"), col("user_id"), col("asof_event_id"),
           round(col("asof_value"), 4).as("asof_value"))
         .orderBy("event_id")
+    },
+
+    "s_interval_join" -> { (s, d) =>
+      // attribution: clicks within 24h after each purchase —
+      // point-in-interval join, bucketed so hot users never go
+      // quadratic (see operators.IntervalJoin); bucket width = the
+      // window span, so each interval explodes to ≤ 2 buckets
+      val ev = Tables.events(s, d)
+      val dayUs = 86400000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("start_us"))
+        .withColumn("end_us", col("start_us") + dayUs)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("c_us"))
+      graft.operators.IntervalJoin.bucketed(purchases, clicks,
+          keyCols = Seq("user_id"), startCol = "start_us",
+          endCol = "end_us", tsCol = "c_us", bucketWidthUs = dayUs)
+        .groupBy("p_id", "user_id")
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy("p_id")
     }
   )
 
@@ -393,6 +414,18 @@ object LlmQueries {
            FROM u)
          SELECT event_id, user_id, asof_event_id,
            round(asof_value, 4) AS asof_value
-         FROM a WHERE side = 1 ORDER BY event_id"""
+         FROM a WHERE side = 1 ORDER BY event_id""",
+    // the bucketing is purely an acceleration, so the oracle is the
+    // plain inequality join on µs-truncated timestamps
+    "s_interval_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+                      epoch_ns(ts) // 1000 AS tus
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus
+               FROM events WHERE event_type = 'click')
+         SELECT p.p_id, p.user_id, count(*) AS n_clicks
+         FROM p JOIN c ON c.user_id = p.user_id
+           AND c.tus >= p.tus AND c.tus < p.tus + 86400000000
+         GROUP BY p.p_id, p.user_id ORDER BY p.p_id"""
   )
 }

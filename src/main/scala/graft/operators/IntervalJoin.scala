@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join (attribution windows, validity ranges):
+  * pair every point row with the same-key interval rows whose
+  * `[start, end)` range contains the point's timestamp.
+  *
+  * A naive key-only equi-join re-pairs every point with every
+  * interval of its key before the range filter — per-key quadratic,
+  * which is exactly what dies on hot keys at scale. Here both sides
+  * are mapped onto uniform time buckets first: an interval explodes
+  * to the (few) buckets it overlaps, a point to exactly one, and the
+  * equi-join runs on (key, bucket) — fan-out per interval is
+  * ceil(span/width)+1 and each point meets only the intervals
+  * overlapping its bucket, never the key's full history. One shuffle
+  * per side on (key, bucket); the exact `[start, end)` containment
+  * is re-checked after the join, so bucketing is purely an
+  * acceleration and never changes semantics. A point matches each
+  * containing interval exactly once (its single bucket row joins the
+  * interval's single row for that bucket — no post-join dedup).
+  *
+  * Timestamps are integer microseconds (`unix_micros`) — long
+  * arithmetic keeps bucket boundaries exact; `end` is exclusive.
+  */
+object IntervalJoin {
+
+  /** @param intervals rows carrying `[startCol, endCol)` long-µs bounds
+    * @param points    rows carrying a `tsCol` long-µs instant
+    * @param keyCols   equality key shared by both sides
+    * @param bucketWidthUs uniform bucket width in microseconds;
+    *        choose ≈ the typical interval span so most intervals
+    *        explode to ≤ 2 buckets */
+  def bucketed(intervals: DataFrame, points: DataFrame,
+      keyCols: Seq[String], startCol: String, endCol: String,
+      tsCol: String, bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs > 0, "bucket width must be positive")
+    // [start, end) overlaps buckets floor(start/w) .. floor((end-1)/w)
+    val ib = intervals.withColumn("__bucket", explode(sequence(
+      floorDiv(col(startCol), bucketWidthUs),
+      floorDiv(col(endCol) - 1, bucketWidthUs))))
+    val pb = points.withColumn("__bucket", floorDiv(col(tsCol), bucketWidthUs))
+    ib.join(pb, keyCols :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bucket")
+  }
+
+  /** Exact long floor-division for non-negative epoch-µs values:
+    * subtracting the long remainder first makes the double division
+    * land on an exact integer — a bare `(a / b).cast("long")` can
+    * round across a bucket boundary at epoch magnitudes. */
+  private def floorDiv(a: Column, b: Long): Column =
+    ((a - (a % lit(b))) / lit(b)).cast("long")
+}

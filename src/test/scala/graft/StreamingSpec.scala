@@ -63,6 +63,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(byId(4L) == (None, None))
   }
 
+  test("interval join: bucketing matches the plain range join exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // intervals of varied span (some cross several buckets), points
+    // dense enough to hit starts, ends and boundaries
+    val intervals = Seq.tabulate(60) { i =>
+      val start = rnd.nextInt(10000).toLong
+      (i.toLong, (i % 5).toLong, start, start + 1 + rnd.nextInt(3000))
+    }.toDF("iv_id", "k", "s", "e")
+    val points = Seq.tabulate(400) { j =>
+      (j.toLong, (j % 5).toLong, rnd.nextInt(14000).toLong)
+    }.toDF("pt_id", "k", "t")
+    val bucketed = graft.operators.IntervalJoin.bucketed(
+        intervals, points, Seq("k"), "s", "e", "t", bucketWidthUs = 1024L)
+      .select("iv_id", "pt_id")
+    val plain = intervals.join(points, "k")
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("iv_id", "pt_id")
+    assert(bucketed.count() === plain.count())
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+    // a point on an interval's exclusive end is NOT matched
+    val edge = graft.operators.IntervalJoin.bucketed(
+      Seq((1L, 1L, 100L, 200L)).toDF("iv_id", "k", "s", "e"),
+      Seq((1L, 1L, 200L), (2L, 1L, 100L)).toDF("pt_id", "k", "t"),
+      Seq("k"), "s", "e", "t", bucketWidthUs = 64L)
+    assert(edge.select("pt_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
