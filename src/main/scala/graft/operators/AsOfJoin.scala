@@ -39,29 +39,31 @@ object AsOfJoin {
     val probeCols = probe.columns.toSeq
     // side tag 0 = build, 1 = probe: with ascending (ts, side, tie)
     // ordering, an equal-ts build row sorts before its probe and is
-    // therefore visible to it
+    // therefore visible to it.
+    // The build values travel as ONE struct, not per-column: a
+    // per-column last(ignoreNulls) would stitch fields from
+    // DIFFERENT build rows whenever a build value column holds a
+    // null (and make "no prior build" indistinguishable from "prior
+    // build value was null") — the struct is non-null exactly when a
+    // build row exists, so row identity is preserved.
     val taggedBuild = build.select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(0).as("__side"),
-        col(buildTiebreak).as("__tie")) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        col(buildTiebreak).as("__tie"),
+        struct(valueCols.map(col): _*).as("__vs")): _*)
     val taggedProbe = probe.select(
       keyCols.map(col) ++ Seq(col(tsCol), lit(1).as("__side"),
-        lit(null).cast(taggedBuild.schema("__tie").dataType).as("__tie")) ++
-        valueCols.map(c =>
-          lit(null).cast(taggedBuild.schema(s"__v_$c").dataType)
-            .as(s"__v_$c")) ++
+        lit(null).cast(taggedBuild.schema("__tie").dataType).as("__tie"),
+        lit(null).cast(taggedBuild.schema("__vs").dataType).as("__vs")) ++
         probeCols.filterNot(keyCols.contains).filterNot(_ == tsCol)
           .map(col): _*)
     val unioned = taggedProbe.unionByName(taggedBuild, allowMissingColumns = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val annotated = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
-    annotated.filter(col("__side") === 1)
+    unioned
+      .withColumn("__asof", last(col("__vs"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .select(probeCols.map(col) ++
-        valueCols.map(c => col(s"asof_$c")): _*)
+        valueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -36,8 +36,14 @@ object IntervalJoin {
       keyCols: Seq[String], startCol: String, endCol: String,
       tsCol: String, bucketWidthUs: Long): DataFrame = {
     require(bucketWidthUs > 0, "bucket width must be positive")
+    // empty/inverted intervals match nothing by the [start, end)
+    // contract — and MUST be dropped before the explode: Spark's
+    // sequence(hi, lo) generates a DESCENDING range, so one malformed
+    // row (swapped bounds, 0-sentinel end) would otherwise mint
+    // billions of junk bucket rows instead of zero matches
+    val valid = intervals.filter(col(endCol) > col(startCol))
     // [start, end) overlaps buckets floor(start/w) .. floor((end-1)/w)
-    val ib = intervals.withColumn("__bucket", explode(sequence(
+    val ib = valid.withColumn("__bucket", explode(sequence(
       floorDiv(col(startCol), bucketWidthUs),
       floorDiv(col(endCol) - 1, bucketWidthUs))))
     val pb = points.withColumn("__bucket", floorDiv(col(tsCol), bucketWidthUs))

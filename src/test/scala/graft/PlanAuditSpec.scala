@@ -40,4 +40,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = executedPlan("n_node_lookup")
     assert(p.contains("EqualTo"), s"key predicate not pushed:\n$p")
   }
+
+  test("as-of join: one shuffle for the window plus the output sort only") {
+    val p = executedPlan("s_asof_join")
+    // union-merge form: exactly one hash exchange (the per-key
+    // window); the only other exchange is the final orderBy's range
+    // partitioning — a second hash exchange would mean the join
+    // degenerated into a shuffle join somewhere
+    assert("hashpartitioning".r.findAllIn(p).size <= 2, // plan prints key + partitioning
+      s"extra hash exchange in as-of join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    for (t <- Seq("EqualTo(event_type,click)", "EqualTo(event_type,purchase)"))
+      assert(p.contains(t), s"side filter $t not pushed:\n$p")
+  }
+
+  test("interval join: equi-join on (key, bucket), never key-only or cartesian") {
+    val p = executedPlan("s_interval_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a product:\n$p")
+    // the bucket column must be part of the join key
+    assert(p.contains("__bucket"), s"bucket key missing from plan:\n$p")
+  }
 }

@@ -61,6 +61,21 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(byId(2L) == (Some(103L), Some(3.0)))
     assert(byId(3L) == (None, None))
     assert(byId(4L) == (None, None))
+    // row integrity on nullable build values: the LATEST row's null
+    // must win — per-column last(ignoreNulls) would stitch the stale
+    // 1.0 onto event 202's id, a tuple belonging to no build row
+    val probeN = Seq((9L, 30L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val buildN = Seq(
+      (30L, ts("2024-01-01 10:00:00"), 201L, Some(1.0)),
+      (30L, ts("2024-01-01 11:00:00"), 202L, Option.empty[Double]))
+      .toDF("user_id", "ts", "event_id", "value")
+    val outN = graft.operators.AsOfJoin.asOf(probeN, buildN,
+        keyCols = Seq("user_id"), tsCol = "ts", buildTiebreak = "event_id",
+        valueCols = Seq("event_id", "value"))
+      .collect().head
+    assert(outN.getLong(3) == 202L && outN.isNullAt(4),
+      s"expected (202, null), got $outN")
   }
 
   test("interval join: bucketing matches the plain range join exactly") {
