@@ -135,6 +135,18 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "t_vocab" -> { (s, d) =>
+      // vocabulary building: corpus-wide token frequencies, top 200.
+      // explode → partial (map-side) count → ONE shuffle on token →
+      // TakeOrderedAndProject (orderBy+limit never global-sorts the
+      // full vocab); ties at the cut broken by token for determinism
+      Tables.documents(s, d)
+        .select(explode(TextAnalysis.wsTokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(200)
+    },
+
     "t_quality" -> { (s, d) =>
       TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
@@ -288,6 +300,10 @@ object LlmQueries {
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re_tokens,
          length(text) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "t_vocab" ->
+      """SELECT t AS token, count(*) AS n
+         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         GROUP BY t ORDER BY n DESC, token LIMIT 200""",
     "t_split" ->
       """SELECT doc_id,
          CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
