@@ -61,4 +61,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // the bucket column must be part of the join key
     assert(p.contains("__bucket"), s"bucket key missing from plan:\n$p")
   }
+
+  test("no query degenerates into an unplanned product") {
+    // the brute-force ANN paths are deliberate products: a tiny
+    // broadcast query/pair side over one scan (the documented n²
+    // baselines the LSH/IVF variants are measured against)
+    val deliberateProducts = Set(
+      "e_knn_brute", "d_neardup_embedding", "d_jaccard_pairs",
+      "d_jaccard_ngrams")
+    for ((name, _) <- SparkEntry.queries if !deliberateProducts(name)) {
+      val p = executedPlan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
 }
