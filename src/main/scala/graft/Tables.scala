@@ -24,22 +24,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read it as a long (legacy conf) and surface it as a
-    * microsecond-precision timestamp column. */
+  /** `events.ts` normalized to a µs-precision TIMESTAMP whatever the
+    * writer produced: parquet TIMESTAMP(NANOS) (which Spark's reader
+    * rejects — read as long via the legacy conf, then exact ns→µs
+    * division), TIMESTAMP_NTZ (µs parquet from engines that write
+    * no-timezone timestamps — cast is wall-clock identity under the
+    * UTC session tz, and downstream `unix_micros` rejects NTZ), or
+    * already TIMESTAMP. */
   def events(s: SparkSession, d: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => }
     val raw = apply(s, d, "events")
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      // exact integer ns→µs division (`div`, not `/`): double division
-      // has ~512 ns ulp at epoch-nanosecond magnitude, so truncating it
-      // could land ±1 µs off the oracle engine's exact truncation
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // exact integer ns→µs division (`div`, not `/`): double
+        // division has ~512 ns ulp at epoch-nanosecond magnitude, so
+        // truncating it could land ±1 µs off the oracle engine's
+        // exact truncation
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

