@@ -63,6 +63,28 @@ object EventStreams {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming attribution: the stream-stream form of the batch
+    * interval join (operators.IntervalJoin) — every click pairs with
+    * the same user's purchases at most `windowHours` before it.
+    * Both sides are watermarked, and the time-range join condition
+    * is what lets Spark BOUND the join state: purchase state older
+    * than the window + watermark slack is evicted instead of
+    * accumulating forever (state scales with the window span ×
+    * arrival rate, not the stream's lifetime). */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+      windowHours: Int = 24): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour").alias("c")
+    val p = purchases.withWatermark("ts", s"${windowHours + 1} hours")
+      .alias("p")
+    c.join(p, expr(
+      s"""c.user_id = p.user_id AND
+          c.ts >= p.ts AND
+          c.ts < p.ts + interval $windowHours hours"""))
+      .select(col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.user_id").as("user_id"))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
   case class SessionState(lastTs: Long, seq: Long)

@@ -78,6 +78,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"expected (202, null), got $outN")
   }
 
+  test("streaming attribution equals the batch interval join") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      Ev(1L, ts("2024-01-01 10:30:00"), 7L, "click", 0.0),   // in b1's day
+      Ev(2L, ts("2024-01-02 09:59:00"), 7L, "click", 0.0),   // in b1's day (just)
+      Ev(3L, ts("2024-01-02 10:00:00"), 7L, "click", 0.0),   // exactly at end → out
+      Ev(4L, ts("2024-01-01 12:00:00"), 8L, "click", 0.0))   // other user → none
+    val purchases = Seq(
+      Ev(100L, ts("2024-01-01 10:00:00"), 7L, "purchase", 1.0))
+    val cs = MemoryStream[Ev]; val ps = MemoryStream[Ev]
+    val out = EventStreams.attributionStream(
+      cs.toDF(), ps.toDF(), windowHours = 24)
+    val q = out.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    ps.addData(purchases); cs.addData(clicks); q.processAllAvailable()
+    val got = spark.table("attrib")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set((1L, 100L), (2L, 100L)), s"got $got")
+  }
+
   test("interval join: bucketing matches the plain range join exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
