@@ -95,8 +95,11 @@ object EgraphQueries {
     },
 
     "g_bfs_levels" -> { (s, d) =>
-      Traversal.bfsLevels(
-          GraphBuilder.undirectedFor(s, d), Seq("c:1"), 4)
+      // bounded Pregel on the shared memoized graph; the DataFrame
+      // frontier loop (Traversal.bfsLevels) is the spec-pinned
+      // equivalent alternative
+      GraphXBridge.bfsLevelsBounded(
+          GraphBuilder.undirectedFor(s, d), "c:1", 4)
         .orderBy("node")
     },
 

@@ -125,6 +125,35 @@ object GraphXBridge {
       .toDF("node", "depth")
   }
 
+  /** Depth-bounded BFS levels on the SHARED memoized graph — the
+    * Pregel form of Traversal.bfsLevels (the reference's `maxdepth`
+    * k-hop semantics). `maxIterations = maxDepth` stops the
+    * supersteps at the bound, so the cost on a huge-diameter graph
+    * is the k levels asked for, not the full eccentricity; the
+    * DataFrame frontier loop in Traversal stays as the spec-pinned
+    * equivalent alternative. */
+  def bfsLevelsBounded(edges: DataFrame, source: String,
+      maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val base = fromUndirected(edges)
+    val srcId = spark.range(1).select(xxhash64(lit(source))).head().getLong(0)
+    val init = base.mapVertices((id, _) =>
+      if (id == srcId) 0 else Int.MaxValue)
+    val res = init.pregel(Int.MaxValue, maxIterations = maxDepth)(
+      (_, d, m) => math.min(d, m),
+      t =>
+        if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+          Iterator((t.dstId, t.srcAttr + 1))
+        else Iterator.empty,
+      (a, b) => math.min(a, b))
+    base.vertices.join(res.vertices)
+      .flatMap { case (_, (key, d)) =>
+        if (d == Int.MaxValue) None else Some((key, d))
+      }
+      .toDF("node", "depth")
+  }
+
   /** Pregel weighted single-source shortest paths — the GraphX form
     * of Traversal.shortestPathsWeighted. Edges: (a, b, w); returns
     * (node, dist) for reachable nodes. Converges in ≤ diameter

@@ -37,6 +37,14 @@ class GraphXSpec extends AnyFunSuite with SparkFixture {
     // GraphX covers all reachable nodes; the frontier BFS stopped at
     // maxDepth 10 — on this graph both reach everything
     assert(df == gx)
+    // the depth-BOUNDED Pregel form must equal the bounded frontier
+    // loop at a bound below the eccentricity (a real truncation)
+    val df2 = graft.graph.Traversal.bfsLevels(edges, Seq("c:1"), 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val gx2 = GraphXBridge.bfsLevelsBounded(edges, "c:1", 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(df2 == gx2)
+    assert(df2.size < df.size, "bound 2 must truncate on this graph")
   }
 
   test("GraphX weighted sssp agrees with the DataFrame relaxation") {
