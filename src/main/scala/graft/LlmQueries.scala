@@ -135,6 +135,17 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "d_decontaminate" -> { (s, d) =>
+      // eval-split docs sharing ≥1 word-8-gram with any train doc —
+      // the decontamination pass run before trusting an eval set.
+      // On this token-shuffled corpus the hits are exact duplicates
+      // straddling the split boundary (permuted near-dups share no
+      // 8-gram), which is exactly the leak the check must catch.
+      Dedup.crossSplitContamination(Tables.documents(s, d),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
+
     "t_vocab" -> { (s, d) =>
       // vocabulary building: corpus-wide token frequencies, top 200.
       // explode → partial (map-side) count → ONE shuffle on token →
@@ -300,6 +311,24 @@ object LlmQueries {
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re_tokens,
          length(text) AS n_chars
          FROM documents ORDER BY doc_id""",
+    "d_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                       FROM documents),
+         g AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(t) - 6),
+                   i -> array_to_string(t[i:i+7], ' '))) AS grams
+               FROM toks WHERE len(t) >= 8),
+         sp AS (SELECT doc_id,
+                  CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+                       THEN 'train' ELSE 'eval' END AS split
+                FROM documents),
+         traing AS (SELECT DISTINCT unnest(grams) AS gram
+                    FROM g JOIN sp USING (doc_id) WHERE split = 'train'),
+         testg AS (SELECT doc_id, unnest(grams) AS gram
+                   FROM g JOIN sp USING (doc_id) WHERE split <> 'train')
+         SELECT doc_id, count(*) AS n_shared
+         FROM testg JOIN traing USING (gram)
+         GROUP BY doc_id ORDER BY doc_id""",
     "t_vocab" ->
       """SELECT t AS token, count(*) AS n
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)

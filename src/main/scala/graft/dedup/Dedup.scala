@@ -219,6 +219,34 @@ object Dedup {
         .withColumnRenamed("component", "keeper")
   }
 
+  /** Train/eval contamination check (decontamination): for every
+    * doc NOT in the train split, count its distinct word n-grams
+    * that appear in ANY train-split document — the overlap detector
+    * run before an eval set is trusted. Only docs with ≥ n tokens
+    * participate (a shorter doc has no full n-gram).
+    *
+    * Scale shape: explode to distinct grams per doc, distinct the
+    * train side, and semi-join on the gram — one shuffle each side,
+    * output rows only for genuinely contaminated docs. At 100 TB
+    * you would join on xxhash64(gram) to shrink the exchange; the
+    * string key is kept here so the result is oracle-checkable
+    * verbatim in any engine. */
+  def crossSplitContamination(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val toks = tokens(col(textCol))
+    val withGrams = docs
+      .filter(size(toks) >= n)
+      .select(col(idCol).as("doc_id"),
+        graft.text.TextAnalysis.assignSplit(col(idCol)).as("split"),
+        explode(ngrams(toks, n)).as("gram"))
+    val trainGrams = withGrams.filter(col("split") === "train")
+      .select("gram").distinct()
+    withGrams.filter(col("split") =!= "train")
+      .join(trainGrams, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 64-bit SimHash over the token multiset: bit b of the result is
     * set iff more token-hashes (xxhash64, seed 42) have bit b set
     * than clear. Native single-pass expression. */
