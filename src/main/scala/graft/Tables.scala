@@ -28,9 +28,11 @@ object Tables {
     * writer produced: parquet TIMESTAMP(NANOS) (which Spark's reader
     * rejects — read as long via the legacy conf, then exact ns→µs
     * division), TIMESTAMP_NTZ (µs parquet from engines that write
-    * no-timezone timestamps — cast is wall-clock identity under the
-    * UTC session tz, and downstream `unix_micros` rejects NTZ), or
-    * already TIMESTAMP. */
+    * no-timezone timestamps — downstream `unix_micros` rejects NTZ;
+    * the cast interprets wall-clock in the session timezone, so this
+    * REQUIRES the fixed-offset UTC session tz every entry point in
+    * this library pins, a DST zone would shift instants near
+    * transitions), or already TIMESTAMP. */
   def events(s: SparkSession, d: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => }

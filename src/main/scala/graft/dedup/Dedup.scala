@@ -140,13 +140,17 @@ object Dedup {
     * near-cliques — the worst case for label propagation);
     * distributed min-label CC past `driverLimit`. Both pick the
     * min-id keeper and never materialize the transitive closure.
-    * The 5M default is measured, not guessed: 5M pairs collect to
-    * ~100 MB and union-find in seconds, while an 8×-scale corpus
-    * whose pair list crossed the old 1M limit spent ~70 s in the
-    * distributed fixpoint for the same answer — prefer the driver
-    * until the collect itself is the bottleneck. */
+    * The 2M default is measured against both failure modes: an
+    * 8×-scale corpus whose pair list crossed a 1M limit spent ~70 s
+    * in the distributed fixpoint for an answer the driver gives in
+    * seconds, while the driver side costs roughly the deserialized
+    * rows plus a boxed union-find map — ~hundreds of MB at 2M
+    * string-id pairs, safe beyond Spark's default 1g driver but not
+    * by an order of magnitude. Long-id pipelines on a sized driver
+    * (this library's mains run 48g) can raise it to 5-10M and win
+    * every time the collect fits. */
   def resolveClusters(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", driverLimit: Long = 5000000L): DataFrame = {
+      bCol: String = "b", driverLimit: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     // ids keep their input type: casting Long ids to string would
     // elect "10" over "2" as keeper (lexicographic ≠ numeric min)
@@ -234,11 +238,15 @@ object Dedup {
   def crossSplitContamination(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
     val toks = tokens(col(textCol))
+    // checkpoint: both split filters read this frame, and the
+    // tokenize + gram explode is the dominant cost — uncheckpointed
+    // it would run twice (same pattern as minhashNearDups)
     val withGrams = docs
       .filter(size(toks) >= n)
       .select(col(idCol).as("doc_id"),
         graft.text.TextAnalysis.assignSplit(col(idCol)).as("split"),
         explode(ngrams(toks, n)).as("gram"))
+      .localCheckpoint()
     val trainGrams = withGrams.filter(col("split") === "train")
       .select("gram").distinct()
     withGrams.filter(col("split") =!= "train")

@@ -152,6 +152,11 @@ object GraphXBridge {
         if (d == Int.MaxValue) None else Some((key, d))
       }
       .toDF("node", "depth")
+      // the seed is depth 0 even when it has no edges (and is thus
+      // absent from the edge-derived vertex set) — the frontier-loop
+      // implementation and the oracle both seed unconditionally
+      .unionByName(Seq((source, 0)).toDF("node", "depth"))
+      .groupBy("node").agg(min("depth").as("depth"))
   }
 
   /** Pregel weighted single-source shortest paths — the GraphX form

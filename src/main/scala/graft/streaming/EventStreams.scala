@@ -35,8 +35,11 @@ object EventStreams {
     // or fractional-second doubles make the ">gap" comparison depend
     // on engine/version truncation behavior at the boundary. The
     // cast makes NTZ inputs work (unix_micros rejects TIMESTAMP_NTZ;
-    // for already-ltz inputs it is a no-op) — gaps are shift-
-    // invariant, so session assignment is unaffected by the zone.
+    // for already-ltz inputs it is a no-op). PRECONDITION for NTZ
+    // inputs: a fixed-offset session timezone (every entry point in
+    // this library pins UTC) — under a DST zone, wall-times near a
+    // transition cast to instants with a shifted gap, which could
+    // split or merge a session near the changeover.
     val us = unix_micros(col("ts").cast("timestamp"))
     val gap = us - lag(us, 1).over(w)
     events

@@ -62,14 +62,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("__bucket"), s"bucket key missing from plan:\n$p")
   }
 
-  test("no query degenerates into an unplanned product") {
+  test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²
     // baselines the LSH/IVF variants are measured against)
     val deliberateProducts = Set(
       "e_knn_brute", "d_neardup_embedding", "d_jaccard_pairs",
       "d_jaccard_ngrams")
-    for ((name, _) <- SparkEntry.queries if !deliberateProducts(name)) {
+    // GraphX/driver-eager queries are EXCLUDED, not allowlisted:
+    // their result frame wraps an already-executed RDD, so its plan
+    // is a bare ExistingRDD scan — asserting on it would be vacuous
+    // while executing the whole algorithm inside a plan test. Their
+    // execution shapes are pinned by GraphXSpec/DedupSpec instead.
+    val eagerBacked = Set(
+      "g_pagerank", "g_connected_components", "g_sssp_weighted",
+      "g_bfs_levels", "d_dedup_clusters")
+    for ((name, _) <- SparkEntry.queries
+         if !deliberateProducts(name) && !eagerBacked(name)) {
       val p = executedPlan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$p")
