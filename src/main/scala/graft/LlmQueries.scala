@@ -51,9 +51,12 @@ object LlmQueries {
       // corpus's near-dups are token-shuffled, so values are near 0
       // by design — the oracle checks the exact arithmetic, not a
       // threshold
+      // tokens materialized as a real column first: ngrams references
+      // its input inside a transform lambda (re-evaluated per gram),
+      // so handing it the raw split(text) re-tokenizes per reference
       val t = Tables.documents(s, d).filter(col("doc_id") <= 200)
-        .select(col("doc_id"),
-          Dedup.ngrams(Dedup.tokens(col("text")), 3).as("g"))
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Dedup.ngrams(col("toks"), 3).as("g"))
       t.as("x").join(t.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           round(Dedup.jaccard(col("x.g"), col("y.g")), 4).as("j"))
