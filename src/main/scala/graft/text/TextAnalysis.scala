@@ -31,30 +31,40 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(words: _*)))
 
   /** (n_tokens, n_chars, avg_token_len, stopword_ratio) per doc —
-    * the length/punct/stopword quality features. */
+    * the length/punct/stopword quality features. Tokens are
+    * materialized once per row: the output expressions reference
+    * them four times, and an inline split would re-tokenize per
+    * reference (see the ngrams scaladoc in Dedup). */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = wsTokens(col(textCol))
-    df.select(col(idCol),
-      length(col(textCol)).as("n_chars"),
-      size(toks).as("n_tokens"),
-      round((length(col(textCol)) - (size(toks) - 1))
-        .cast("double") / size(toks), 4).as("avg_token_len"),
-      round(countIn(toks, stopwords("en")).cast("double") / size(toks), 4)
-        .as("stopword_ratio"))
+    val toks = col("__toks")
+    df.select(col(idCol), col(textCol),
+        wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        length(col(textCol)).as("n_chars"),
+        size(toks).as("n_tokens"),
+        round((length(col(textCol)) - (size(toks) - 1))
+          .cast("double") / size(toks), 4).as("avg_token_len"),
+        round(countIn(toks, stopwords("en")).cast("double") / size(toks), 4)
+          .as("stopword_ratio"))
   }
 
   /** Heuristic language ID: argmax over per-language stopword hit
     * ratios; ties broken by language code. Returns (id, pred_lang,
     * score). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = wsTokens(col(textCol))
+    // tokens and the argmax struct both materialized once per row —
+    // the per-language scores reference the token array 8 times and
+    // the winner struct is read twice
+    val toks = col("__toks")
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(round(countIn(toks, words).cast("double") / size(toks), 6).as("score"),
         lit(lang).as("lang"))
     }
-    df.select(col(idCol),
-      greatest(scored: _*).getField("lang").as("pred_lang"),
-      greatest(scored: _*).getField("score").as("score"))
+    df.select(col(idCol), wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), greatest(scored: _*).as("__best"))
+      .select(col(idCol),
+        col("__best").getField("lang").as("pred_lang"),
+        col("__best").getField("score").as("score"))
   }
 
   /** Deterministic train/val/test assignment by content-independent
