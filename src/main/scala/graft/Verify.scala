@@ -23,6 +23,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Subset runs rewrite oracle_sql.json in full, so parquet left
+    // over from a previous run's unselected queries would be compared
+    // against FRESH oracle SQL — delete those dirs so check.py fails
+    // loudly (missing output) instead of passing on stale results.
+    if (only.nonEmpty) {
+      (SparkEntry.queries.keySet -- only)
+        .map(n => Paths.get(outDir, n)).filter(Files.exists(_))
+        .foreach { p =>
+          System.err.println(s"[verify] removing stale output $p (not in this subset run)")
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

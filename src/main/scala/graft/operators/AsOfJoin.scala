@@ -37,6 +37,17 @@ object AsOfJoin {
       tsCol: String, buildTiebreak: String,
       valueCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
+    // Internal working columns and the asof_<col> outputs would
+    // silently shadow (or fail analysis on) same-named caller
+    // columns — reject them up front with a clear diagnostic.
+    val reserved = Set("__side", "__tie", "__vs", "__asof")
+    val clashes = (probe.columns ++ build.columns).filter(reserved)
+    require(clashes.isEmpty,
+      s"column name(s) ${clashes.distinct.mkString(", ")} are reserved by AsOfJoin")
+    val outClashes = valueCols.map(c => s"asof_$c").filter(probeCols.contains)
+    require(outClashes.isEmpty,
+      s"probe already has output column(s) ${outClashes.mkString(", ")}; " +
+        "rename them or the value columns")
     // side tag 0 = build, 1 = probe: with ascending (ts, side, tie)
     // ordering, an equal-ts build row sorts before its probe and is
     // therefore visible to it.

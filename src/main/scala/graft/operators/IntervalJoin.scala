@@ -52,10 +52,14 @@ object IntervalJoin {
       .drop("__bucket")
   }
 
-  /** Exact long floor-division for non-negative epoch-µs values:
-    * subtracting the long remainder first makes the double division
-    * land on an exact integer — a bare `(a / b).cast("long")` can
-    * round across a bucket boundary at epoch magnitudes. */
+  /** Exact long floor-division, valid for negative values too
+    * (pre-1970 timestamps): `pmod` is always in [0, b), so
+    * subtracting it lands on the floor multiple for either sign —
+    * a bare `%` is toward-zero and would shift negative values one
+    * bucket up, silently dropping their matches. The subtract-first
+    * form keeps the double division exact (a bare
+    * `(a / b).cast("long")` can round across a bucket boundary at
+    * epoch magnitudes). */
   private def floorDiv(a: Column, b: Long): Column =
-    ((a - (a % lit(b))) / lit(b)).cast("long")
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
 }

@@ -127,6 +127,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, 1L, 200L), (2L, 1L, 100L)).toDF("pt_id", "k", "t"),
       Seq("k"), "s", "e", "t", bucketWidthUs = 64L)
     assert(edge.select("pt_id").as[Long].collect().toSeq == Seq(2L))
+    // negative (pre-1970) values: toward-zero division would shift
+    // them one bucket up and drop the match — floorDiv must not
+    val neg = graft.operators.IntervalJoin.bucketed(
+      Seq((1L, 1L, -250L, -50L)).toDF("iv_id", "k", "s", "e"),
+      Seq((1L, 1L, -100L), (2L, 1L, -300L), (3L, 1L, -50L))
+        .toDF("pt_id", "k", "t"),
+      Seq("k"), "s", "e", "t", bucketWidthUs = 64L)
+    assert(neg.select("pt_id").as[Long].collect().toSeq == Seq(1L))
+    // straddling zero: bucket 0 covers [0, w) and bucket -1 covers
+    // [-w, 0) — a point at -1 and one at 0 both land correctly
+    val zero = graft.operators.IntervalJoin.bucketed(
+      Seq((1L, 1L, -64L, 64L)).toDF("iv_id", "k", "s", "e"),
+      Seq((1L, 1L, -1L), (2L, 1L, 0L), (3L, 1L, 64L)).toDF("pt_id", "k", "t"),
+      Seq("k"), "s", "e", "t", bucketWidthUs = 64L)
+    assert(zero.select("pt_id").as[Long].collect().toSeq.sorted == Seq(1L, 2L))
+  }
+
+  test("as-of join rejects reserved and colliding column names") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val probe = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val buildBad = Seq((10L, ts("2024-01-01 09:00:00"), 1L, 2.0))
+      .toDF("user_id", "ts", "event_id", "__vs")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asOf(probe, buildBad, Seq("user_id"),
+        "ts", "event_id", Seq("__vs"))
+    }
+    assert(e1.getMessage.contains("__vs"))
+    val probeBad = probe.withColumnRenamed("event_id", "asof_value")
+    val build = Seq((10L, ts("2024-01-01 09:00:00"), 1L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asOf(probeBad, build, Seq("user_id"),
+        "ts", "event_id", Seq("value"))
+    }
+    assert(e2.getMessage.contains("asof_value"))
   }
 
   test("streaming dedup drops repeated keys within the watermark") {
