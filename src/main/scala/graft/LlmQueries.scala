@@ -241,6 +241,57 @@ object LlmQueries {
         .groupBy("p_id", "user_id")
         .agg(count(lit(1)).as("n_clicks"))
         .orderBy("p_id")
+    },
+
+    "t_pii_redact" -> { (s, d) =>
+      // the corpus text is PII-free by construction, so the query
+      // prepends a contact header derived deterministically from doc
+      // fields — the oracle replays both the header and the scrub, so
+      // it checks the redaction arithmetic on non-degenerate input
+      val did = col("doc_id").cast("string")
+      val header = concat(
+        lit("contact user"), did, lit("@"), col("source"), lit(".org "),
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(
+          lit("call 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+          lit(" "))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(
+          lit("host 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+          lit("."), pmod(col("doc_id") * 3, lit(256)).cast("string"),
+          lit(".1 "))).otherwise(lit("")))
+      val withPii = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          concat(header, col("text")).as("text"))
+      TextAnalysis.redactPii(withPii, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ips"), md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id")
+    },
+
+    "t_repetition" -> { (s, d) =>
+      TextAnalysis.repetitionStats(Tables.documents(s, d),
+          "doc_id", "text", n = 2)
+        .orderBy("doc_id")
+    },
+
+    "t_sample" -> { (s, d) =>
+      // corpus mixing: per-source keep rates 0.25/0.5/0.75/1.0 by
+      // source number mod 4, applied as the deterministic hash
+      // Bernoulli — map-side, reproducible, stable under growth
+      val rate = (pmod(substring(col("source"), 4, 10).cast("int"), lit(4)) + 1)
+        .cast("double") / 4.0
+      Tables.documents(s, d)
+        .filter(TextAnalysis.sampleKeep(col("doc_id"), rate))
+        .select(col("doc_id"), col("source"), round(rate, 2).as("rate"))
+        .orderBy("doc_id")
+    },
+
+    "e_cluster_assign" -> { (s, d) =>
+      Knn.centroidAssign(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", dim)
+        .select(col("vec_id"), col("label"), col("assigned_label"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id")
     }
   )
 
@@ -342,6 +393,76 @@ object LlmQueries {
               WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
               ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // replays the deterministic contact header, then counts and
+    // scrubs with the SAME regex strings (Java/RE2 shared subset);
+    // DuckDB regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all semantics
+    "t_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+           'contact user' || CAST(doc_id AS VARCHAR) || '@' || source || '.org ' ||
+           CASE WHEN doc_id % 2 = 0 THEN
+             'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+             '-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') || ' '
+           ELSE '' END ||
+           CASE WHEN doc_id % 3 = 0 THEN
+             'host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+             CAST(doc_id * 3 % 256 AS VARCHAR) || '.1 '
+           ELSE '' END || text AS text
+         FROM documents)
+         SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phones,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp
+         FROM p ORDER BY doc_id""",
+    // grams WITH multiplicity: list slice toks[i+1:i+2] truncates at
+    // the end exactly like Spark's concat_ws over try_element_at
+    "t_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(list_transform(range(0, greatest(len(toks) - 2, 0) + 1),
+                   i -> array_to_string(toks[i+1:i+2], ' '))) AS gram
+               FROM t),
+         c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
+         SELECT doc_id, sum(n) AS n_grams, count(*) AS n_distinct,
+           round(1 - count(*)::DOUBLE / sum(n), 4) AS dup_frac,
+           round(max(n)::DOUBLE / sum(n), 4) AS top_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // printf('%04x', …) renders the same fixed-width lowercase hex
+    // cutoff as Spark's format_string, so the string comparison
+    // against the md5 prefix is identical on both engines
+    "t_sample" ->
+      """SELECT doc_id, source,
+           round((CAST(substr(source, 4, 10) AS INT) % 4 + 1) / 4.0, 2) AS rate
+         FROM documents
+         WHERE (CAST(substr(source, 4, 10) AS INT) % 4 + 1) / 4.0 >= 1.0
+            OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+               printf('%04x', CAST(floor((CAST(substr(source, 4, 10) AS INT) % 4 + 1) / 4.0 * 65536) AS INT))
+         ORDER BY doc_id""",
+    // centroids quantized at 6 decimals on both engines before the
+    // cosine, so cross-engine float-sum order can't flip the 4-decimal
+    // output rounding; ties broken toward the smallest label
+    "e_cluster_assign" ->
+      """WITH u AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+                    FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         c AS (SELECT label AS c_label, list(round(cv, 6) ORDER BY i) AS centroid
+               FROM u GROUP BY label),
+         s AS (SELECT e.vec_id, e.label, c.c_label,
+                 list_sum(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * c.centroid[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> c.centroid[i] * c.centroid[i])))) AS sim
+               FROM embeddings e CROSS JOIN c),
+         r AS (SELECT vec_id, label, c_label AS assigned_label, sim,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rk
+               FROM s)
+         SELECT vec_id, label, assigned_label, round(sim, 4) AS sim
+         FROM r WHERE rk = 1 ORDER BY vec_id""",
     "t_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, toks,

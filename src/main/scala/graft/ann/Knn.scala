@@ -62,6 +62,40 @@ object Knn {
       .filter(col("sim") >= threshold)
   }
 
+  /** Nearest-centroid assignment: per-label mean centroids (exact
+    * column means, quantized to 6 decimals so cross-engine/
+    * cross-order float summation can't flip a downstream rounding),
+    * then every vector labeled with its max-cosine centroid —
+    * semantic-cluster assignment / centroid-classifier scoring over
+    * a corpus. The centroid table is tiny (labels × dim) and is
+    * BROADCAST over one corpus scan, so the heavy side never
+    * shuffles; the centroid build itself is one partial-agg shuffle
+    * on (label, pos). Ties broken toward the smallest label. */
+  def centroidAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int): DataFrame = {
+    Registry.registerAll(corpus.sparkSession)
+    val cents = corpus
+      .select(col(labelCol).as("c_label"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy("c_label", "__pos")
+      .agg(avg(col("__v")).as("__cv"))
+      .groupBy("c_label")
+      // array_sort on (pos, cv) structs orders by pos — re-assembling
+      // the centroid in dimension order regardless of row order
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__cv")))),
+        s => round(s.getField("__cv"), 6)).as("centroid"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("c_label"))
+    corpus.select(col(idCol), col(labelCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", cosine(col(vecCol), col("centroid")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col(labelCol),
+        col("c_label").as("assigned_label"), col("sim"))
+  }
+
   /** Scale path for embedding near-dup: banded sign-LSH candidate
     * generation, then exact-cosine verification — the n² pair join
     * of [[nearDupPairs]] replaced by a per-(band, bucket) local join,

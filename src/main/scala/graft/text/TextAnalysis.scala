@@ -114,6 +114,74 @@ object TextAnalysis {
 
   private def size_(c: Column): Column = size(c)
 
+  /** PII patterns, written in the regex subset Java and RE2 share
+    * (char classes, bounded repeats, `\b`) so the DuckDB oracle runs
+    * the SAME pattern strings. Matched spans are replaced by typed
+    * placeholder tokens; counts are taken on the original text. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: per-doc match counts + the scrubbed text.
+    * Emails are removed first (their local parts can contain digit
+    * runs), then phones, then IPs — a dotted phone has three number
+    * groups and an IP four, so the patterns never claim each other's
+    * spans and the counts are order-independent. Map-side only. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+    df.select(col(idCol),
+      regexp_count(t, lit(emailRe)).as("n_emails"),
+      regexp_count(t, lit(phoneRe)).as("n_phones"),
+      regexp_count(t, lit(ipRe)).as("n_ips"),
+      clean.as("clean_text"))
+  }
+
+  /** Gopher-style repetition signals per document: over the doc's
+    * word n-grams WITH multiplicity, the duplicate-gram fraction
+    * (1 − distinct/total) and the share of the single most frequent
+    * gram. Two shuffles — (doc, gram) then doc — both keyed on the
+    * doc id, so at any scale the heavy first aggregation map-side
+    * combines within a document's partition. (Dedup.ngrams is
+    * distinct-ified for Jaccard and can't be reused here.) */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n > 0)
+    val toks = col("__toks")
+    df.select(col(idCol), wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", (0 until n)
+          .map(j => try_element_at(toks, i + j + 1)): _*))).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum("__n").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum("__n"), 4)
+          .as("dup_frac"),
+        round(max("__n").cast("double") / sum("__n"), 4).as("top_frac"))
+  }
+
+  /** Deterministic per-stratum Bernoulli sampling — the corpus-mixing
+    * primitive (downweight a crawl source, upsample a quality tier).
+    * Keep decision = 16-bit md5 prefix of the key vs a per-row rate:
+    * content-independent, join-free, map-side, and stable under
+    * corpus growth (a doc's fate never changes when others arrive).
+    * Strata with rate ≥ 1 keep everything. */
+  def sampleKeep(id: Column, rate: Column): Column = {
+    // the cutoff renders as 4 lowercase hex digits, the same fixed
+    // width as the md5 prefix, so string comparison IS numeric
+    // comparison (and matches DuckDB's printf('%04x', …) exactly)
+    val cutoff = format_string("%04x", floor(rate * 65536).cast("int"))
+    when(rate >= 1.0, lit(true))
+      .otherwise(substring(md5(id.cast("string")), 1, 4) < cutoff)
+  }
+
   /** Order-sensitive rolling polynomial hash over the token-hash
     * sequence (multiplier 1000003, masked to 32 bits each step so
     * the multiply never overflows a long under ANSI mode) — the

@@ -97,4 +97,27 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
       .filter(abs(col("sim") - col("bsim")) > 1e-12)
     assert(cmp.count() == 0)
   }
+
+  test("centroid assignment labels each vector with its nearest label mean") {
+    import spark.implicits._
+    // two well-separated clusters on axes: label 0 near e1, label 1
+    // near e2, plus one vector planted between but closer to e2
+    def v(xs: Float*) = xs.toArray
+    val df = Seq(
+      (0L, v(1f, 0.1f, 0f), 0), (1L, v(0.9f, 0f, 0.1f), 0),
+      (2L, v(0.1f, 1f, 0f), 1), (3L, v(0f, 0.9f, 0.1f), 1),
+      (4L, v(0.2f, 0.8f, 0f), 0)) // mislabeled on purpose
+      .toDF("vec_id", "embedding", "label")
+    val got = Knn.centroidAssign(df, "vec_id", "embedding", "label", dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got(0L) == 0 && got(1L) == 0)
+    assert(got(2L) == 1 && got(3L) == 1)
+    // the planted vector is reassigned toward the cluster it's near —
+    // but its own (wrong) label pulled centroid 0 toward e2, so just
+    // assert it lands with the e2-dominant centroid
+    assert(got(4L) == 1)
+    // output is exactly one row per vector
+    assert(Knn.centroidAssign(df, "vec_id", "embedding", "label", 3)
+      .groupBy("vec_id").count().filter(col("count") =!= 1).count() == 0)
+  }
 }

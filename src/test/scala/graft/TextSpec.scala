@@ -37,4 +37,51 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).count() == 0)
     assert(q.filter(col("n_tokens") <= 0).count() == 0)
   }
+
+  test("pii redaction scrubs emails, phones and ips and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@ex-ample.org or bob@x.io call 555-010-0042 now"),
+      (2L, "host 10.0.0.1 and 192.168.255.3 no contact"),
+      (3L, "dotted phone 555.010.0042 is a phone not an ip"),
+      (4L, "plain text with nothing to hide"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)), r.getString(4))).toMap
+    assert(got(1L)._1 == ((2, 1, 0)))
+    assert(got(1L)._2 == "mail <EMAIL> or <EMAIL> call <PHONE> now")
+    assert(got(2L)._1 == ((0, 0, 2)))
+    assert(got(2L)._2 == "host <IP> and <IP> no contact")
+    // three dotted number groups are a phone; an IP needs four
+    assert(got(3L)._1 == ((0, 1, 0)))
+    assert(got(4L)._1 == ((0, 0, 0)) && got(4L)._2.contains("nothing"))
+  }
+
+  test("repetition stats count grams with multiplicity") {
+    import spark.implicits._
+    // "a b" appears 3×, "b a" 2×, "b c" 1× → 6 grams, 3 distinct
+    val df = Seq((1L, "a b a b a b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((6L, 3L, 0.5, 0.5)))
+    assert(got(2L) == ((2L, 2L, 0.0, 0.5)))
+  }
+
+  test("stratified sampling is deterministic, monotone in rate, and total at 1") {
+    import spark.implicits._
+    val ids = spark.range(2000).toDF("id")
+    def kept(rate: Double) = ids
+      .filter(TextAnalysis.sampleKeep(col("id"), lit(rate)))
+      .collect().map(_.getLong(0)).toSet
+    val k25 = kept(0.25); val k50 = kept(0.5); val k100 = kept(1.0)
+    assert(k100.size == 2000)
+    // a doc kept at a low rate stays kept at any higher rate — the
+    // property that makes hash sampling stable across rate changes
+    assert(k25.subsetOf(k50))
+    assert(math.abs(k25.size / 2000.0 - 0.25) < 0.05)
+    assert(math.abs(k50.size / 2000.0 - 0.5) < 0.05)
+    assert(kept(0.25) == k25) // re-run identical
+  }
 }
