@@ -74,6 +74,11 @@ object Knn {
   def centroidAssign(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, dim: Int): DataFrame = {
     Registry.registerAll(corpus.sparkSession)
+    // only the labels × dim centroid matrix is collected (the Ivf
+    // model contract) — the corpus never moves: assignment below is
+    // a map-side argmax over literal centroids, not a cross join +
+    // per-vector window, whose partitionBy(id) would shuffle
+    // labels × corpus rows at scale
     val cents = corpus
       .select(col(labelCol).as("c_label"),
         posexplode(col(vecCol)).as(Seq("__pos", "__v")))
@@ -85,15 +90,27 @@ object Knn {
       .agg(transform(
         array_sort(collect_list(struct(col("__pos"), col("__cv")))),
         s => round(s.getField("__cv"), 6)).as("centroid"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("sim").desc, col("c_label"))
-    corpus.select(col(idCol), col(labelCol), col(vecCol))
-      .crossJoin(broadcast(cents))
-      .withColumn("sim", cosine(col(vecCol), col("centroid")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "centroidAssign: corpus has no labeled vectors")
+    val v = col(vecCol)
+    // the vector's norm is materialized ONCE as a projection column —
+    // inlined it would be re-evaluated inside every per-label branch
+    val scored = corpus.select(col(idCol), col(labelCol), v,
+        sqrt(dot(v, v)).as("__vn"))
+      // max over (sim, -label, label) structs: best cosine, ties
+      // toward the smallest label; centroid norms are driver-side
+      // constants folded into each branch
+      .withColumn("__best", array_max(array(cents.map { case (id, c) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        struct((dot(v, typedlit(c)) / (col("__vn") * lit(cn))).as("score"),
+          lit(-id).as("negid"), lit(id).as("lab"))
+      }: _*)))
       .select(col(idCol), col(labelCol),
-        col("c_label").as("assigned_label"), col("sim"))
+        col("__best").getField("lab").as("assigned_label"),
+        col("__best").getField("score").as("sim"))
+    scored
   }
 
   /** Scale path for embedding near-dup: banded sign-LSH candidate
