@@ -143,6 +143,27 @@ object Analytics {
         .orderBy("o_orderstatus")
     },
 
+    "q11_sketch" -> { (s, d) =>
+      // the 100 TB form of q10: HyperLogLog++ distinct counts and
+      // quantile-sketch percentiles — bounded-memory partial
+      // aggregates that merge associatively, so the plan is one
+      // map-side-combined shuffle regardless of group cardinality,
+      // where exact distinct/percentile would buffer per-group value
+      // sets. Rows-only: sketch estimates are engine-specific; the
+      // relative-error contract vs the exact q10 answers is pinned
+      // in AnalyticsSpec.
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.01)
+            .as("n_custs_approx"),
+          round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4)
+            .as("p50_approx"),
+          round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4)
+            .as("p90_approx"))
+        .orderBy("o_orderstatus")
+    },
+
     "q9_exists" -> { (s, d) =>
       // Customers with ≥1 order (semi) minus those with any F order
       // (anti) — EXISTS / NOT EXISTS as left_semi / left_anti joins.

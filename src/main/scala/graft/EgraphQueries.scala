@@ -141,6 +141,32 @@ object EgraphQueries {
         .orderBy("node")
     },
 
+    "g_kcore" -> { (s, d) =>
+      // deterministic h-index fixpoint — exact core numbers, one
+      // aggregation shuffle per round (rows-only: iterative, not
+      // SQL-expressible; exact small-graph oracle in GraphSpec)
+      Algorithms.kCore(GraphBuilder.undirectedFor(s, d))
+        .orderBy("node")
+    },
+
+    "g_ppr" -> { (s, d) =>
+      // personalized PageRank seeded at c:1 — "nodes related to X"
+      // at whole-graph scale (rows-only: iterative float fixpoint;
+      // proximity semantics pinned in GraphXSpec)
+      GraphXBridge.personalizedPageRank(
+          GraphBuilder.undirectedFor(s, d), "c:1", iters = 5)
+        .select(col("node"), round(col("rank"), 4).as("rank"))
+        .orderBy("node")
+    },
+
+    "g_communities" -> { (s, d) =>
+      // label-propagation communities, canonical min-member names
+      // (rows-only: LPA frequency ties are order-dependent; the spec
+      // pins partition validity, not exact assignment)
+      GraphXBridge.labelPropagation(GraphBuilder.undirectedFor(s, d))
+        .orderBy("node")
+    },
+
     "s_search_or" -> { (s, d) =>
       import Search._
       val ev = Tables.events(s, d)

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics over the edge DataFrame — the batch-scale
@@ -146,5 +146,57 @@ object Algorithms {
       s"connected components did not converge in $maxIter rounds — " +
         "a component's diameter exceeds maxIter; raise it")
     labels.withColumnRenamed("label", "component")
+  }
+
+  /** k-core decomposition by h-index iteration (Lü et al., "The
+    * H-index of a network node", Nature Comm. 2016): start every
+    * node at its degree and repeatedly replace each estimate with
+    * the h-index of its neighbors' estimates — the fixpoint is
+    * exactly the core number. Deterministic (no tie-breaks, values
+    * only decrease), one aggregation shuffle per round, and
+    * convergence falls out of the round's own aggregation like
+    * [[connectedComponents]]. Per-node aggregation state is the
+    * neighbor-estimate list (O(degree), the same bound as GraphX's
+    * neighbor-collecting supersteps); the h-index itself is
+    * order-free, so skew-salting the collect would compose if a
+    * pathological degree ever demanded it. Returns (node, core). */
+  def kCore(undirectedEdges0: DataFrame, maxIter: Int = 50): DataFrame = {
+    val undirectedEdges = undirectedEdges0.repartition(col("a"))
+      .localCheckpoint()
+    // h-index of a desc-sorted estimate list: |{i : s_i ≥ i+1}| —
+    // the count form of "largest h with h values ≥ h"
+    def hIndex(ests: Column): Column =
+      size(filter(zip_with(
+        sort_array(ests, asc = false),
+        sequence(lit(1), size(ests)),
+        (v, i) => v >= i), x => x))
+    var core = undirectedEdges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).cast("int").as("c")).localCheckpoint()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      iter += 1
+      // each node's own previous estimate rides along as `old` so
+      // the convergence check reuses the round's aggregation
+      val next = undirectedEdges
+        .join(core, col("a") === col("node"))
+        .select(col("b").as("node"), col("c"),
+          lit(null).cast("int").as("old"))
+        .unionByName(core.select(col("node"),
+          lit(null).cast("int").as("c"), col("c").as("old")))
+        .groupBy("node")
+        .agg(hIndex(filter(collect_list(col("c")), c => c.isNotNull)).as("h"),
+          max("old").as("old"))
+        // estimates are non-increasing (h-index of neighbors can
+        // exceed a shrunken own estimate mid-run; the min pins the
+        // invariant the fixpoint proof relies on)
+        .select(col("node"), least(col("h"), col("old")).as("c"), col("old"))
+        .localCheckpoint()
+      changed = next.filter(col("c") =!= col("old")).limit(1).count() > 0
+      core = next.select("node", "c")
+    }
+    if (changed) throw new IllegalStateException(
+      s"k-core did not converge in $maxIter rounds; raise maxIter")
+    core.withColumnRenamed("c", "core")
   }
 }

@@ -90,6 +90,45 @@ object GraphXBridge {
       .toDF("node", "rank")
   }
 
+  /** GraphX personalized PageRank: random walks restart at `source`
+    * instead of uniformly, so rank measures proximity to the seed —
+    * the "related nodes" primitive (recommendations, local graph
+    * expansion) at whole-graph scale. Deterministic for a fixed
+    * iteration count. Returns (node, rank) on original keys. */
+  def personalizedPageRank(edges: DataFrame, source: String,
+      iters: Int = 10, resetProb: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = fromUndirected(edges)
+    // same expression the vertex ids were built with
+    val srcId = spark.range(1).select(xxhash64(lit(source))).head().getLong(0)
+    val ranks = org.apache.spark.graphx.lib.PageRank
+      .runWithOptions(g, iters, resetProb, srcId = Some(srcId))
+    g.vertices.join(ranks.vertices)
+      .map { case (_, (key, rank)) => (key, rank) }
+      .toDF("node", "rank")
+  }
+
+  /** GraphX label-propagation communities: each node adopts its
+    * neighbors' most frequent label for `steps` supersteps.
+    * Community ids are surfaced as the smallest ORIGINAL member key
+    * of each raw label, so output is stable to rename even though
+    * LPA's frequency ties are inherently order-dependent (rows-only
+    * query; the spec pins partition validity, not exact labels). */
+  def labelPropagation(edges: DataFrame, steps: Int = 5): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = fromUndirected(edges)
+    val labels = org.apache.spark.graphx.lib.LabelPropagation.run(g, steps)
+    val keyed = g.vertices.join(labels.vertices)
+      .map { case (_, (key, label)) => (label, key) }
+    // canonical community name = min member key of the label
+    val canon = keyed.reduceByKey((a, b) => if (a <= b) a else b)
+    keyed.join(canon)
+      .map { case (_, (key, cname)) => (key, cname) }
+      .toDF("node", "community")
+  }
+
   /** GraphX triangle count (per-vertex, summed/3 for the global
     * figure). Edges are canonicalized (srcId < dstId, deduplicated)
     * and the graph partitioned as triangleCount requires. */

@@ -45,6 +45,36 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(valid, s"non-edge step in ${path.mkString("->")}")
   }
 
+  test("k-core assigns exact core numbers on a known graph") {
+    // 4-clique {a,b,c,d} → core 3; triangle {e,f,g} → core 2 with a
+    // pendant h on g → core 1; bridge d-e ties the components without
+    // changing any core number
+    val cores = Algorithms.kCore(und(
+        "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
+        "c" -> "d",
+        "e" -> "f", "f" -> "g", "e" -> "g", "g" -> "h",
+        "d" -> "e"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(cores == Map(
+      "a" -> 3, "b" -> 3, "c" -> 3, "d" -> 3,
+      "e" -> 2, "f" -> 2, "g" -> 2, "h" -> 1))
+    // a pure ring is everywhere 2-core
+    val ring = Algorithms.kCore(und(
+        "r1" -> "r2", "r2" -> "r3", "r3" -> "r4", "r4" -> "r1"))
+      .collect().map(r => r.getInt(1)).toSet
+    assert(ring == Set(2))
+  }
+
+  test("k-core is bounded by degree on real data") {
+    val edges = GraphBuilder.undirected(GraphBuilder.edges(spark, sfDir))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val bad = Algorithms.kCore(edges).join(deg, "node")
+      .filter(col("core") > col("deg") || col("core") < 1)
+    assert(bad.count() == 0)
+  }
+
   test("triangle count on known graphs") {
     def n(e: org.apache.spark.sql.DataFrame) =
       Algorithms.triangleCount(e).head().getLong(0)

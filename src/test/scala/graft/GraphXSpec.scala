@@ -59,6 +59,36 @@ class GraphXSpec extends AnyFunSuite with SparkFixture {
     assert(df == gx)
   }
 
+  test("personalized pagerank concentrates rank near the seed") {
+    import spark.implicits._
+    // two hubs in separate neighborhoods joined by one bridge: a walk
+    // restarting at hub1 must rank hub1's neighbors above hub2's
+    val edges = GraphBuilder.undirected(Seq(
+      ("hub1", "a1"), ("hub1", "a2"), ("hub1", "a3"),
+      ("hub2", "b1"), ("hub2", "b2"), ("hub2", "b3"),
+      ("a1", "hub2"))
+      .toDF("src_key", "dst_key"))
+    val pr = GraphXBridge.personalizedPageRank(edges, "hub1", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pr("hub1") == pr.values.max)
+    assert(pr("a2") > pr("b2"), s"seed-side neighbor must outrank: $pr")
+    assert(pr.values.forall(_ >= 0.0))
+    assert(pr.size == 8)
+  }
+
+  test("label propagation yields a valid full partition") {
+    val edges = GraphBuilder.undirected(
+      GraphBuilder.edges(spark, sfDir)).localCheckpoint()
+    val lp = GraphXBridge.labelPropagation(edges).cache()
+    val nodes = edges.select(col("a").as("node")).distinct()
+    // exactly one community per node, no node lost or invented
+    assert(lp.count() == nodes.count())
+    assert(lp.join(nodes, "node").count() == nodes.count())
+    // community names are member keys of the graph
+    assert(lp.join(nodes.withColumnRenamed("node", "community"), "community")
+      .count() == lp.count())
+  }
+
   test("GraphX pagerank ranks the same top node as the DataFrame path") {
     import spark.implicits._
     val edges = GraphBuilder.undirected(Seq(

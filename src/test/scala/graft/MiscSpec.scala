@@ -128,4 +128,22 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
       .agg(max(col("d"))).head().getDouble(0)
     assert(diffDouble < 1e-6)
   }
+
+  test("sketch aggregates track the exact answers within their error bounds") {
+    val approx = SparkEntry.queries("q11_sketch")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = SparkEntry.queries("q10_percentiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (nd, p50, p90)) <- approx) {
+      val (nde, p50e, p90e) = exact(k)
+      // HLL++ at rsd=0.01: allow 5% slack; accuracy=10000 quantile
+      // sketch on a few thousand rows is near-exact — allow 2%
+      assert(math.abs(nd - nde) <= math.max(2, 0.05 * nde), s"$k distinct $nd vs $nde")
+      assert(math.abs(p50 - p50e) <= 0.02 * p50e, s"$k p50 $p50 vs $p50e")
+      assert(math.abs(p90 - p90e) <= 0.02 * p90e, s"$k p90 $p90 vs $p90e")
+    }
+  }
 }
