@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes raw to stdout instead of through sbt's
+// logger: Bench's contract is ONE parseable JSON line, and the
+// default LoggedOutput strategy prefixes it with "[info] " (all
+// three driver rounds recorded parsed:null on the bench artifact).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

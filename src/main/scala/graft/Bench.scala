@@ -12,7 +12,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: registry-replacement WARNs otherwise land in
+    // the captured bench tail right around the one JSON output line
+    spark.sparkContext.setLogLevel("ERROR")
     // untimed warmup: absorb executor spin-up, codegen and JIT so the
     // first timed query isn't charged for session startup
     locally {

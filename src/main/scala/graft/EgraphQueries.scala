@@ -113,6 +113,13 @@ object EgraphQueries {
       Algorithms.triangleCount(GraphBuilder.undirectedFor(s, d))
     },
 
+    "g_linkpredict" -> { (s, d) =>
+      // Adamic-Adar from 5 customer seeds, top 10 candidates each
+      Algorithms.adamicAdar(GraphBuilder.undirectedFor(s, d),
+          seeds = (1 to 5).map(i => s"c:$i"), perSeed = 10)
+        .orderBy("a", "b")
+    },
+
     // the three heavyweight iterative algorithms run on the GraphX/
     // Pregel backend (the north-star scale path for batch graph
     // analytics); the DataFrame implementations in Algorithms/
@@ -421,6 +428,25 @@ object EgraphQueries {
           SELECT count(*) AS n_triangles
           FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
             ON e3.a = e1.a AND e3.b = e2.b""",
+    // rank on the ROUNDED score so the rank-10 cut and its b-asc
+    // tie-break resolve identically under either engine's double
+    // summation order
+    "g_linkpredict" ->
+      s"""WITH ue AS ($undirectedSql),
+          deg AS (SELECT a AS w, count(*) AS d FROM ue GROUP BY 1),
+          sn AS (SELECT a, b AS w FROM ue
+                 WHERE a IN ('c:1', 'c:2', 'c:3', 'c:4', 'c:5')),
+          wdg AS (SELECT sn.a, ue.b AS cand, sn.w
+                  FROM sn JOIN ue ON ue.a = sn.w WHERE ue.b <> sn.a),
+          sc AS (SELECT wdg.a, wdg.cand AS b, sum(1.0 / ln(d)) AS score
+                 FROM wdg JOIN deg ON deg.w = wdg.w GROUP BY 1, 2),
+          nc AS (SELECT sc.* FROM sc
+                 LEFT JOIN ue ON ue.a = sc.a AND ue.b = sc.b
+                 WHERE ue.a IS NULL),
+          rk AS (SELECT a, b, score, row_number() OVER (PARTITION BY a
+                   ORDER BY round(score, 4) DESC, b) AS rk FROM nc)
+          SELECT a, b, round(score, 4) AS aa_score FROM rk
+          WHERE rk <= 10 ORDER BY a, b""",
     "s_search_or" ->
       """SELECT event_id, event_type AS etype,
          CAST(json_extract_string(props, '$.k') AS INT) AS k

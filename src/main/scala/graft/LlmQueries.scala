@@ -6,7 +6,7 @@ import graft.ann.Knn
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
-import graft.text.TextAnalysis
+import graft.text.{Packing, Retrieval => TextRetrieval, TextAnalysis}
 
 /** LLM-training-data pipeline + streaming blocks of SURVEY.md §2. */
 object LlmQueries {
@@ -292,6 +292,28 @@ object LlmQueries {
         .select(col("vec_id"), col("label"), col("assigned_label"),
           round(col("sim"), 4).as("sim"))
         .orderBy("vec_id")
+    },
+
+    "t_bm25" -> { (s, d) =>
+      TextRetrieval.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "stream"), k = 25)
+    },
+
+    "t_perplexity" -> { (s, d) =>
+      TextRetrieval.unigramPerplexity(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "t_pack" -> { (s, d) =>
+      Packing.packGreedy(Tables.documents(s, d), "doc_id", "text",
+          "source", budget = 256)
+        .orderBy("source", "doc_id")
+    },
+
+    "s_hop_window" -> { (s, d) =>
+      EventStreams.hoppingWindowAggBatch(Tables.events(s, d))
+        .orderBy("window_start", "event_type")
     }
   )
 
@@ -595,6 +617,67 @@ object LlmQueries {
          SELECT p.p_id, p.user_id, count(*) AS n_clicks
          FROM p JOIN c ON c.user_id = p.user_id
            AND c.tus >= p.tus AND c.tus < p.tus + 86400000000
-         GROUP BY p.p_id, p.user_id ORDER BY p.p_id"""
+         GROUP BY p.p_id, p.user_id ORDER BY p.p_id""",
+    // constants spelled as the same IEEE operations Spark runs
+    // ((1.2 + 1), (1 - 0.75)) — a pre-folded 2.2 literal is a
+    // different double than 1.2 + 1
+    "t_bm25" ->
+      """WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf0,
+           len(list_filter(string_split(text, ' '), x -> x = 'join')) AS tf1,
+           len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf2
+         FROM documents),
+         g AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM w),
+         s AS (SELECT doc_id,
+             ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * (1.2 + 1))
+               / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+           + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * (1.2 + 1))
+               / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * (1.2 + 1))
+               / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)) AS score
+         FROM w, g)
+         SELECT doc_id, round(score, 4) AS bm25 FROM s
+         ORDER BY round(score, 4) DESC, doc_id LIMIT 25""",
+    "t_perplexity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+         v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+         lp AS (SELECT tok, ln(cnt / total) AS lp FROM v, tot),
+         s AS (SELECT doc_id, avg(-lp) AS xent
+               FROM t JOIN lp USING (tok) GROUP BY doc_id)
+         SELECT doc_id, round(xent, 4) AS cross_entropy,
+           round(exp(xent), 4) AS ppl
+         FROM s ORDER BY doc_id""",
+    "t_pack" ->
+      """WITH RECURSIVE d AS (SELECT source, doc_id,
+           len(string_split(text, ' ')) AS n_toks,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         FROM documents),
+         r AS (
+           SELECT source, doc_id, n_toks, rn,
+             CAST(0 AS BIGINT) AS bin, n_toks AS acc
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.source, d.doc_id, d.n_toks, d.rn,
+             CASE WHEN r.acc + d.n_toks > 256 THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r.acc + d.n_toks > 256 THEN d.n_toks
+                  ELSE r.acc + d.n_toks END
+           FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+         SELECT source, doc_id, n_toks, bin FROM r
+         ORDER BY source, doc_id""",
+    "s_hop_window" ->
+      """WITH e AS (SELECT event_type, value,
+           ((epoch_ns(ts) // 1000) // 900000000) * 900000000 AS b_us
+         FROM events),
+         x AS (SELECT event_type, value,
+           make_timestamp(b_us - CAST(900000000 AS BIGINT) * k) AS window_start
+         FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
+         SELECT window_start, event_type, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM x GROUP BY 1, 2 ORDER BY window_start, event_type"""
   )
 }

@@ -199,4 +199,43 @@ object Algorithms {
       s"k-core did not converge in $maxIter rounds; raise maxIter")
     core.withColumnRenamed("c", "core")
   }
+
+  /** Adamic-Adar link prediction from a seed set: for each seed `a`
+    * and each non-adjacent candidate `b` reachable in two hops,
+    * score = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — common neighbors,
+    * discounted by how promiscuous each shared neighbor is. Top
+    * `perSeed` candidates per seed by (rounded score desc, id asc).
+    *
+    * Scale shape: the wedge join fans out ONLY from the seeds
+    * (|seeds|·d² rows, never the full Σdeg² wedge volume of the
+    * graph), degree attaches via a join on the wedge midpoint that
+    * AQE broadcasts when the degree table is small, and candidate
+    * adjacency is removed by a left-anti join on the same (a, b)
+    * key the score aggregation already shuffled on. Every shared
+    * neighbor w has deg(w) ≥ 2 by construction, so ln(deg) > 0.
+    */
+  def adamicAdar(undirectedEdges: DataFrame, seeds: Seq[String],
+      perSeed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = undirectedEdges.groupBy(col("a").as("w"))
+      .agg(count(lit(1)).as("d"))
+    val seedN = undirectedEdges.filter(col("a").isin(seeds: _*))
+      .select(col("a"), col("b").as("w"))
+    val wedges = seedN.join(undirectedEdges.select(col("a").as("w"),
+        col("b").as("cand")), "w")
+      .filter(col("cand") =!= col("a"))
+    val scored = wedges.join(deg, "w")
+      .groupBy(col("a"), col("cand").as("b"))
+      .agg(sum(lit(1.0) / log(col("d"))).as("score"))
+      .join(undirectedEdges, Seq("a", "b"), "left_anti")
+    // rank on the ROUNDED score: the raw double sum differs across
+    // engines in the last ulp, and a tie at the cut line must break
+    // on `b` identically everywhere
+    val w = Window.partitionBy("a")
+      .orderBy(round(col("score"), 4).desc, col("b").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perSeed)
+      .select(col("a"), col("b"), round(col("score"), 4).as("aa_score"))
+  }
 }

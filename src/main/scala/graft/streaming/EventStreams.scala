@@ -24,6 +24,23 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
 
+  /** Sliding (hopping) window counts/sums per event type: 1-hour
+    * windows every 15 minutes, so each event lands in exactly 4
+    * overlapping windows (slide divides width ⇒ width/slide windows
+    * per event — Spark materializes them map-side via the same
+    * `window` expression, no self-join). Epoch-aligned starts, same
+    * type/exactness conventions as [[windowAggBatch]]. The identical
+    * expression runs under readStream, where the watermark expires a
+    * window width/slide times later than its tumbling counterpart —
+    * that (bounded) state growth is the cost of overlap. */
+  def hoppingWindowAggBatch(events: DataFrame): DataFrame =
+    events.groupBy(
+        window(col("ts"), "1 hour", "15 minutes").getField("start")
+          .cast("timestamp_ntz").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
   /** Session assignment with a 30-minute inactivity gap: a new
     * session starts when the gap from the previous event of the
     * same user exceeds the threshold. Batch form = lag + running

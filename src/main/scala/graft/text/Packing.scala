@@ -1,0 +1,54 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy sequence packing: concatenate documents (in stable id
+  * order, within a group) into training sequences of at most
+  * `budget` tokens — the context-window packing step between a
+  * cleaned corpus and a token loader.
+  *
+  * Packing is inherently sequential PER GROUP (each bin decision
+  * depends on the running total), so the distributed shape is the
+  * secondary-sort pattern: one shuffle on the group column,
+  * `sortWithinPartitions(group, id)`, then a single linear
+  * `mapPartitions` pass holding O(1) state — no group is ever
+  * collected, and groups stream through whole because hash
+  * partitioning never splits a key. At 100 TB the unit of
+  * parallelism is the group (source / shard / date bucket), which is
+  * exactly how production packing runs; an unsplittable giant group
+  * is a data-layout problem (re-shard upstream), not an operator one.
+  */
+object Packing {
+
+  /** @return (group, id, n_toks, bin) — `bin` is the 0-based packed
+    *   sequence index within the group. Greedy rule: a document that
+    *   would push the current bin past `budget` starts a new bin; a
+    *   single document longer than `budget` occupies a bin alone
+    *   (never dropped, never split). */
+  def packGreedy(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("id"),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_toks"))
+      .repartition(col("grp"))
+      .sortWithinPartitions("grp", "id")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        var curGrp: String = null
+        var bin = 0L
+        var acc = 0L
+        it.map { case (g, id, n) =>
+          if (g != curGrp) { curGrp = g; bin = 0L; acc = 0L }
+          if (acc > 0 && acc + n > budget) { bin += 1; acc = 0L }
+          acc += n
+          (g, id, n, bin)
+        }
+      }
+      .toDF(groupCol, idCol, "n_toks", "bin")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval and statistical-LM scoring over document tables —
+  * the ranked-search face of the engine (the reference's search
+  * surface is boolean index probes, `models/egraph_v1_search_model.erl`;
+  * BM25 is what a user of that surface reaches for next) plus the
+  * CCNet-style LM quality signal of training-data pipelines.
+  *
+  * Scale notes (the 100 TB contract):
+  *  - BM25 term frequencies are computed INSIDE each document's token
+  *    array (map-side `filter` on the array — no explode, no shuffle);
+  *    the corpus statistics (N, avgdl, per-term df) collapse to ONE
+  *    single-row aggregate that is broadcast back, and the top-k is a
+  *    `TakeOrdered`, never a full sort. Total cost: one scan + one
+  *    one-row exchange.
+  *  - Perplexity is the classic two-pass shape: vocab counts are one
+  *    partial-aggregated shuffle (vocab-sized, not corpus-sized), the
+  *    per-token log-probability join is a broadcast (vocabularies fit
+  *    in memory by Heaps' law even at 100 TB corpus scale — ~millions
+  *    of types), and the per-doc re-aggregation partial-aggregates
+  *    before its single shuffle on doc id.
+  */
+object Retrieval {
+
+  /** Okapi BM25 (with Lucene's `+1` idf smoothing, so idf is always
+    * positive) of a literal query against every document; top `k`
+    * rows by score.
+    *
+    * Constant folding note: `k1 + 1` and `1 - b` are evaluated
+    * HERE (driver-side, plain double arithmetic) and the DuckDB
+    * oracle spells the same operations (`1.2 + 1`, `1 - 0.75`) so
+    * both engines run bit-identical IEEE expressions — a pre-folded
+    * decimal literal like `2.2` is NOT the same double as `1.2 + 1`.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = TextAnalysis.wsTokens(col(textCol))
+    val tf = docs.select(
+      col(idCol) +: size(toks).as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === lit(t))).as(s"tf$i")
+        }: _*)
+    // one row: N, avgdl, df per term — broadcast-joined back
+    val statAggs = avg("dl").as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = tf.agg(count(lit(1)).as("n"), statAggs: _*)
+    val lenNorm = lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))
+    val score = terms.indices.map { i =>
+      val tfi = col(s"tf$i")
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
+      idf * (tfi * lit(k1 + 1)) / (tfi + lenNorm)
+    }.reduce(_ + _)
+    tf.crossJoin(broadcast(stats))
+      .select(col(idCol), round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Unigram-LM cross-entropy / perplexity per document, with the
+    * model estimated on the corpus itself (the CCNet / Gopher
+    * "LM quality" signal, here with the simplest possible LM so the
+    * arithmetic is oracle-replayable). Every token is scored as
+    * -ln(count(token)/total_tokens); a document of only common
+    * tokens scores low (predictable), rare-token documents high.
+    * No smoothing is needed: the model's own training corpus can't
+    * contain zero-count tokens.
+    */
+  def unigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").cast("double").as("total"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("tok"), log(col("cnt") / col("total")).as("lp"))
+    toks.join(broadcast(logp), "tok")
+      .groupBy(idCol)
+      .agg(avg(-col("lp")).as("xent"))
+      .select(col(idCol), round(col("xent"), 4).as("cross_entropy"),
+        round(exp(col("xent")), 4).as("ppl"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Algorithms
+import graft.text.{Packing, Retrieval}
+
+class RetrievalSpec extends AnyFunSuite with SparkFixture {
+
+  test("bm25 ranks the term-dense short doc above padded ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark spark join"),
+      (2L, "spark pad pad pad pad pad pad pad pad pad pad pad"),
+      (3L, "pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25(df, "doc_id", "text",
+      Seq("spark", "join"), k = 3).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // doc 3 has no query term at all → score exactly 0
+    assert(got.last.getDouble(1) == 0.0)
+  }
+
+  test("unigram perplexity: all-common-token doc scores lower than rare-token doc") {
+    import spark.implicits._
+    // 'common' appears 12x in the corpus, 'rare' tokens once each
+    val df = Seq(
+      (1L, "common common common common common common"),
+      (2L, "common common common common common common"),
+      (3L, "rare1 rare2 rare3 rare4"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.unigramPerplexity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) == got(2L))
+    assert(got(3L) > got(1L))
+    // perplexity of a uniform-unigram doc = vocabulary "surprise":
+    // p(common) = 12/16, ppl = 16/12 exactly
+    assert(math.abs(got(1L) - 16.0 / 12.0) < 1e-3)
+  }
+
+  test("greedy packing: bins respect the budget and reset per group") {
+    import spark.implicits._
+    val mk = (id: Long, src: String, n: Int) =>
+      (id, src, Seq.fill(n)("t").mkString(" "))
+    val df = Seq(
+      mk(1, "a", 100), mk(2, "a", 100), mk(3, "a", 100), // bin0: 200, bin1: 100
+      mk(4, "a", 300), // oversize → its own bin (bin1 had 100+300>256)
+      mk(5, "b", 10)   // new group → bin 0
+    ).toDF("doc_id", "source", "text")
+    val got = Packing.packGreedy(df, "doc_id", "text", "source", budget = 256)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 0L))
+  }
+
+  test("greedy packing invariants on the real corpus") {
+    val packed = Packing.packGreedy(Tables.documents(spark, sfDir),
+      "doc_id", "text", "source", budget = 256)
+    val bins = packed.groupBy("source", "bin")
+      .agg(sum("n_toks").as("tot"), count(lit(1)).as("n_docs"))
+    // a bin only exceeds the budget when it holds a single oversize doc
+    assert(bins.filter(col("tot") > 256 && col("n_docs") > 1).count() == 0)
+    // bin ids are contiguous from 0 within each group
+    val gaps = bins.groupBy("source")
+      .agg(max("bin").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n") - 1)
+    assert(gaps.count() == 0)
+  }
+
+  test("adamic-adar scores the strongly co-linked pair highest and excludes adjacent pairs") {
+    import spark.implicits._
+    // x and y share hubs h1, h2; x and z share only h1; y–z adjacent
+    val edges = Seq(
+      ("x", "h1"), ("x", "h2"), ("y", "h1"), ("y", "h2"),
+      ("z", "h1"), ("y", "z"), ("h1", "q"), ("h2", "q2"))
+      .toDF("a", "b")
+    val und = graft.graph.GraphBuilder.undirected(
+      edges.select(col("a").as("src_key"), col("b").as("dst_key")))
+    val got = Algorithms.adamicAdar(und, Seq("x"), perSeed = 10)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).toMap
+    // y via {h1 (deg 4), h2 (deg 3)}, z via {h1} only
+    assert(got("y") > got("z"))
+    assert(math.abs(got("y") - (1 / math.log(4) + 1 / math.log(3))) < 1e-3)
+    // x itself never appears; adjacent candidates excluded for seed y
+    assert(!got.contains("x"))
+    val fromY = Algorithms.adamicAdar(und, Seq("y"), perSeed = 10)
+      .collect().map(_.getString(1)).toSet
+    assert(!fromY.contains("z")) // adjacent
+  }
+}
