@@ -120,6 +120,13 @@ object EgraphQueries {
         .orderBy("a", "b")
     },
 
+    "g_walks" -> { (s, d) =>
+      // 4-step deterministic walks from every node (md5-argmin
+      // choice — exactly replayable by the SQL oracle)
+      Algorithms.deterministicWalks(GraphBuilder.undirectedFor(s, d), 4)
+        .orderBy("start", "step")
+    },
+
     // the three heavyweight iterative algorithms run on the GraphX/
     // Pregel backend (the north-star scale path for batch graph
     // analytics); the DataFrame implementations in Algorithms/
@@ -447,6 +454,19 @@ object EgraphQueries {
                    ORDER BY round(score, 4) DESC, b) AS rk FROM nc)
           SELECT a, b, round(score, 4) AS aa_score FROM rk
           WHERE rk <= 10 ORDER BY a, b""",
+    "g_walks" ->
+      s"""WITH RECURSIVE ue AS ($undirectedSql),
+          ch AS (SELECT a AS cur, t,
+                   min_by(b, md5(a || '|' || t || '|' || b)) AS nxt
+                 FROM ue CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS t) ts
+                 GROUP BY a, t),
+          w(start, step, node) AS (
+            SELECT a, 0, a FROM (SELECT DISTINCT a FROM ue)
+            UNION ALL
+            SELECT w.start, w.step + 1, ch.nxt FROM w
+            JOIN ch ON ch.cur = w.node AND ch.t = w.step + 1
+            WHERE w.step < 4)
+          SELECT start, step, node FROM w ORDER BY start, step""",
     "s_search_or" ->
       """SELECT event_id, event_type AS etype,
          CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.ann.Knn
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, Funnels}
 import graft.text.{Packing, Retrieval => TextRetrieval, TextAnalysis}
 
 /** LLM-training-data pipeline + streaming blocks of SURVEY.md §2. */
@@ -314,6 +314,26 @@ object LlmQueries {
     "s_hop_window" -> { (s, d) =>
       EventStreams.hoppingWindowAggBatch(Tables.events(s, d))
         .orderBy("window_start", "event_type")
+    },
+
+    "s_funnel" -> { (s, d) =>
+      // signup → click → purchase within 7 days of the signup
+      Funnels.funnel(Tables.events(s, d),
+          Seq("signup", "click", "purchase"), windowUs = 604800000000L)
+        .orderBy("step")
+    },
+
+    "s_retention" -> { (s, d) =>
+      Funnels.retentionWeekly(Tables.events(s, d))
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    "d_decontaminate_bloom" -> { (s, d) =>
+      // rows-only (bloom hash internal): superset-of-exact pinned in
+      // RetrievalSpec, exact flags in d_decontaminate's oracle
+      Dedup.crossSplitContaminationBloom(Tables.documents(s, d),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id")
     }
   )
 
@@ -678,6 +698,32 @@ object LlmQueries {
          FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks)
          SELECT window_start, event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM x GROUP BY 1, 2 ORDER BY window_start, event_type"""
+         FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "s_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
+                    FROM events),
+         s1 AS (SELECT user_id, min(tus) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT e.user_id, t1, min(tus) AS t2
+                FROM e JOIN s1 USING (user_id)
+                WHERE event_type = 'click' AND tus >= t1
+                  AND tus - t1 <= 604800000000 GROUP BY e.user_id, t1),
+         s3 AS (SELECT e.user_id, t1, min(tus) AS t3
+                FROM e JOIN s2 USING (user_id)
+                WHERE event_type = 'purchase' AND tus >= t2
+                  AND tus - t1 <= 604800000000 GROUP BY e.user_id, t1)
+         SELECT 1 AS step, 'signup' AS step_name, count(*) AS n_users FROM s1
+         UNION ALL SELECT 2, 'click', count(*) FROM s2
+         UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+         ORDER BY step""",
+    "s_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+         c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+         SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
+           count(*) AS n_active
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

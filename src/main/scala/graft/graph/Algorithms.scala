@@ -200,6 +200,41 @@ object Algorithms {
     core.withColumnRenamed("c", "core")
   }
 
+  /** Deterministic "random" walks of `length` steps from every
+    * node: step `t` from node `v` moves to
+    * argmin_{b ∈ N(v)} md5("v|t|b") — a keyed-hash choice that any
+    * SQL engine can replay exactly (md5 and string ordering are
+    * portable), yielding node2vec-style walk corpora with zero RNG
+    * state. Varying `t` in the key decorrelates successive steps,
+    * so revisiting a node mid-walk doesn't force a loop.
+    *
+    * Scale shape: the per-(node, step) choice table is ONE
+    * aggregation over edges×length; each step is then an equi-join
+    * of the |V|-row frontier against it — walks never branch, and
+    * the walk corpus streams out as (start, step, node) rows.
+    * Dead-end nodes (possible on directed inputs) simply end their
+    * walk early. */
+  def deterministicWalks(undirectedEdges: DataFrame,
+      length: Int): DataFrame = {
+    val ch = undirectedEdges
+      .select(col("a").as("cur"), col("b"),
+        explode(sequence(lit(1), lit(length))).as("t"))
+      .groupBy("cur", "t")
+      .agg(min_by(col("b"),
+        md5(concat_ws("|", col("cur"), col("t"), col("b")))).as("nxt"))
+      .localCheckpoint()
+    val start = undirectedEdges.select(col("a").as("start")).distinct()
+    var cur = start.select(col("start"), lit(0).as("step"),
+      col("start").as("node"))
+    val all = scala.collection.mutable.ListBuffer(cur)
+    for (t <- 1 to length) {
+      cur = cur.join(ch, cur("node") === ch("cur") && ch("t") === t)
+        .select(col("start"), lit(t).as("step"), col("nxt").as("node"))
+      all += cur
+    }
+    all.reduce(_ unionByName _)
+  }
+
   /** Adamic-Adar link prediction from a seed set: for each seed `a`
     * and each non-adjacent candidate `b` reachable in two hops,
     * score = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — common neighbors,

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events table: ordered funnel
+  * conversion and weekly cohort retention — the two queries every
+  * event pipeline ships first. Both are exact-arithmetic (integer
+  * microseconds / dates), so their oracles replay verbatim.
+  */
+object Funnels {
+
+  /** Ordered funnel: how many users performed `steps` in order,
+    * with every step inside `windowUs` of the user's FIRST step-1
+    * event. Greedy earliest-qualifying semantics: each step matches
+    * the user's earliest event of that type at-or-after the
+    * previous step's match (the standard funnel approximation —
+    * greedy is optimal here, since an earlier qualifying event can
+    * only leave more room for later steps).
+    *
+    * Scale shape: step 1 is one groupBy(user) min; each later step
+    * filters events to ONE type (pushed to the scan) and joins the
+    * (shrinking) qualified-user frame — AQE broadcasts it as soon
+    * as it fits. Output is `steps.length` rows.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      windowUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("tus"))
+    val first = ev.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("tus").as("t1"))
+      .withColumn("tcur", col("t1"))
+    val frames = steps.tail.scanLeft(first) { (prev, stepName) =>
+      ev.filter(col("event_type") === stepName)
+        .join(prev.select("user_id", "t1", "tcur"), "user_id")
+        .filter(col("tus") >= col("tcur") &&
+          col("tus") - col("t1") <= windowUs)
+        .groupBy(col("user_id"), col("t1"))
+        .agg(min("tus").as("tcur"))
+    }
+    frames.zip(steps).zipWithIndex.map { case ((f, name), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Weekly cohort retention: users bucketed by the ISO week of
+    * their first activity; each cell counts that cohort's users
+    * active `week_offset` weeks later. Week truncation is
+    * Monday-start in Spark and DuckDB alike, and offsets divide
+    * exactly (both endpoints are week-truncated), so every value is
+    * an exact integer/date.
+    *
+    * Scale shape: distinct (user, week) one shuffle; the per-user
+    * cohort min folds on the same key; the final cell aggregation
+    * partial-aggregates before its shuffle. Nothing is ever
+    * per-event after the first distinct.
+    */
+  def retentionWeekly(events: DataFrame): DataFrame = {
+    val wk = to_date(date_trunc("week", col("ts").cast("timestamp")))
+    val active = events.select(col("user_id"), wk.as("wk")).distinct()
+    val cohort = active.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / lit(7)).cast("int")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+}
