@@ -174,10 +174,10 @@ object EgraphQueries {
     },
 
     "g_communities" -> { (s, d) =>
-      // label-propagation communities, canonical min-member names
-      // (rows-only: LPA frequency ties are order-dependent; the spec
-      // pins partition validity, not exact assignment)
-      GraphXBridge.labelPropagation(GraphBuilder.undirectedFor(s, d))
+      // deterministic DataFrame LPA (min-label tie-break), canonical
+      // min-member community names (rows-only: iterative/heuristic;
+      // the spec pins partition validity and determinism)
+      Algorithms.labelPropagation(GraphBuilder.undirectedFor(s, d))
         .orderBy("node")
     },
 

@@ -76,17 +76,33 @@ class GraphXSpec extends AnyFunSuite with SparkFixture {
     assert(pr.size == 8)
   }
 
-  test("label propagation yields a valid full partition") {
+  test("label propagation yields a valid full partition (both backends)") {
     val edges = GraphBuilder.undirected(
       GraphBuilder.edges(spark, sfDir)).localCheckpoint()
-    val lp = GraphXBridge.labelPropagation(edges).cache()
     val nodes = edges.select(col("a").as("node")).distinct()
-    // exactly one community per node, no node lost or invented
-    assert(lp.count() == nodes.count())
-    assert(lp.join(nodes, "node").count() == nodes.count())
-    // community names are member keys of the graph
-    assert(lp.join(nodes.withColumnRenamed("node", "community"), "community")
-      .count() == lp.count())
+    for (lp <- Seq(GraphXBridge.labelPropagation(edges).cache(),
+        Algorithms.labelPropagation(edges).cache())) {
+      // exactly one community per node, no node lost or invented
+      assert(lp.count() == nodes.count())
+      assert(lp.join(nodes, "node").count() == nodes.count())
+      // community names are member keys of the graph
+      assert(lp.join(nodes.withColumnRenamed("node", "community"), "community")
+        .count() == lp.count())
+    }
+  }
+
+  test("dataframe LPA separates disjoint cliques and is deterministic") {
+    import spark.implicits._
+    val edges = GraphBuilder.undirected(Seq(
+      ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"))
+      .toDF("src_key", "dst_key"))
+    def run() = Algorithms.labelPropagation(edges, 5)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val lp = run()
+    assert(lp.filter(_._1.startsWith("a")).values.toSet == Set("a1"))
+    assert(lp.filter(_._1.startsWith("b")).values.toSet == Set("b1"))
+    assert(run() == lp) // min-label tie-break → fully deterministic
   }
 
   test("GraphX pagerank ranks the same top node as the DataFrame path") {
