@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-sequence analytics over the events table: ordered funnel
   * conversion and weekly cohort retention — the two queries every
@@ -44,6 +45,52 @@ object Funnels {
         .select(lit(i + 1).as("step"), lit(name).as("step_name"),
           col("n_users"))
     }.reduce(_ unionByName _)
+  }
+
+  case class FunnelState(t1: Long, tcur: Long, reached: Int)
+  case class FunnelOut(user_id: Long, step: Int, event_id: Long)
+
+  /** Streaming form of [[funnel]]: a per-user state machine via
+    * flatMapGroupsWithState — state is three numbers per user
+    * regardless of event volume, and a row is emitted the moment a
+    * user advances a step (so downstream counts-per-step equal the
+    * batch funnel's, pinned in StreamingSpec). Same greedy
+    * earliest-qualifying semantics: processing in event-time order,
+    * the first qualifying event per step IS the minimum. Assumes
+    * per-user event-time order across batches (within a batch the
+    * group's slice is sorted), like sessionizeStream. */
+  def funnelStream(events: Dataset[EventStreams.Ev], steps: Seq[String],
+      windowUs: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[EventStreams.Ev],
+            state: GroupState[FunnelState]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var st = state.getOption
+            .getOrElse(FunnelState(Long.MinValue, Long.MinValue, 0))
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelOut]
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            if (st.reached == 0) {
+              if (e.event_type == steps.head) {
+                st = FunnelState(t, t, 1)
+                out += FunnelOut(user, 1, e.event_id)
+              }
+            } else if (st.reached < steps.length &&
+                e.event_type == steps(st.reached) &&
+                t >= st.tcur && t - st.t1 <= windowUs) {
+              st = FunnelState(st.t1, t, st.reached + 1)
+              out += FunnelOut(user, st.reached, e.event_id)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
   }
 
   /** Weekly cohort retention: users bucketed by the ISO week of

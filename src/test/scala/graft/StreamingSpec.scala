@@ -198,4 +198,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     q.stop()
     assert(n > 0)
   }
+
+  test("streaming funnel matches the batch funnel counts, across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = eventsSample
+    val steps = Seq("signup", "click", "purchase")
+    val stream = MemoryStream[Ev]
+    val out = graft.streaming.Funnels.funnelStream(
+      stream.toDS(), steps, windowUs = 604800000000L)
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    // split on EVENT TIME, not arrival order: per-user event-time
+    // order across batches is the operator's documented assumption
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = sorted.splitAt(sorted.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(second); q.processAllAvailable()
+    val streamed = spark.table("funnel").groupBy("step")
+      .agg(count(lit(1)).as("n_users"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = graft.streaming.Funnels.funnel(
+        Tables.events(spark, sfDir), steps, 604800000000L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed == batch.filter(_._2 > 0),
+      s"streamed=$streamed batch=$batch")
+  }
 }
