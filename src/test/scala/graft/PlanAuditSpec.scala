@@ -62,6 +62,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("__bucket"), s"bucket key missing from plan:\n$p")
   }
 
+  test("funnel: each step's type filter reaches its scan") {
+    val p = executedPlan("s_funnel")
+    for (t <- Seq("signup", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"step filter $t not pushed:\n$p")
+  }
+
+  test("bm25: one single-row stats aggregate broadcast, top-k never global-sorts") {
+    val p = executedPlan("t_bm25")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), // 1-row stats × docs
+      s"stats not broadcast:\n$p")
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²
