@@ -32,14 +32,17 @@ object Bench {
         ring.withColumn("w", org.apache.spark.sql.functions.lit(1.0)),
         "n0").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted name order: deterministic and reproducible run to run
+    // (Map iteration order scattered which query paid the shared
+    // adjacency/graph cold-build cost between runs)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
