@@ -328,6 +328,18 @@ object LlmQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    "m_resize" -> { (s, d) =>
+      Multimodal.resizePlan(Multimodal.decodeFeatures(
+          Multimodal.attachMedia(Tables.documents(s, d))))
+        .orderBy("doc_id")
+    },
+
+    "m_frame_sample" -> { (s, d) =>
+      Multimodal.frameSample(Multimodal.decodeFeatures(
+          Multimodal.attachMedia(Tables.documents(s, d))))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     "d_decontaminate_bloom" -> { (s, d) =>
       // rows-only (bloom hash internal): superset-of-exact pinned in
       // RetrievalSpec, exact flags in d_decontaminate's oracle
@@ -699,6 +711,21 @@ object LlmQueries {
          SELECT window_start, event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "m_resize" ->
+      """WITH f AS (SELECT doc_id, 16 + (strlen(text) % 64) AS w,
+                      16 + ((strlen(text) // 64) % 64) AS h FROM documents)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * 224 // greatest(w, h) AS INT) AS out_w,
+           CAST(h * 224 // greatest(w, h) AS INT) AS out_h
+         FROM f ORDER BY doc_id""",
+    "m_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+             greatest(1, strlen(text) // 256) AS nf FROM documents),
+         s AS (SELECT doc_id, nf, (nf + 7) // 8 AS stride FROM f),
+         x AS (SELECT doc_id,
+             unnest(range(0, nf, stride)) AS frame_idx FROM s)
+         SELECT doc_id, frame_idx, frame_idx * 256 AS byte_offset
+         FROM x ORDER BY doc_id, frame_idx""",
     "s_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
                     FROM events),

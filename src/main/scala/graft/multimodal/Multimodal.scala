@@ -30,6 +30,38 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Aspect-preserving resize planning: fit (width, height) into a
+    * `box`×`box` square with integer arithmetic (`div`, never
+    * double division — a double quotient can round up across an
+    * integer boundary and change the floor). The byte transform
+    * itself would run inside the decode stub; the dimension math is
+    * the oracle-checkable part. */
+  def resizePlan(features: Dataset[MediaFeatures], box: Int = 224): DataFrame =
+    features.toDF().select(col("doc_id"), col("width"), col("height"),
+      expr(s"CAST(width * $box DIV greatest(width, height) AS INT)")
+        .as("out_w"),
+      expr(s"CAST(height * $box DIV greatest(width, height) AS INT)")
+        .as("out_h"))
+
+  /** Frame sampling for video-like payloads: treat the payload as
+    * ⌈n_bytes / frameBytes⌉ frames (min 1) and take every
+    * ⌈n_frames / maxFrames⌉-th frame — uniform temporal sampling,
+    * ≤ `maxFrames` refs per doc. Map-side only (`sequence` +
+    * `explode`, no shuffle); each ref carries the byte offset a real
+    * demuxer would seek to. */
+  def frameSample(features: Dataset[MediaFeatures],
+      frameBytes: Int = 256, maxFrames: Int = 8): DataFrame = {
+    val nf = greatest(lit(1L), expr(s"n_bytes DIV $frameBytes"))
+    features.toDF()
+      .select(col("doc_id"), nf.as("nf"))
+      .withColumn("stride", expr(s"(nf + ${maxFrames - 1}) DIV $maxFrames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nf") - 1, col("stride")))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * frameBytes).as("byte_offset"))
+  }
+
   /** STUB decode: stands in for an image decoder. Deterministic
     * dimensions/checksum from the bytes; processes each partition
     * in batches of `batchSize` the way a vectorized decoder would.
