@@ -73,6 +73,10 @@ object EgraphQueries {
       TypedIndexes.geoRadius(s, d, 10.5, 20.5, 40.0).orderBy("node_key")
     },
 
+    "i_geo_knn" -> { (s, d) =>
+      TypedIndexes.geoKnn(s, d, 10.5, 20.5, k = 10)
+    },
+
     "l_links_from" -> { (s, d) =>
       GraphBuilder.edges(s, d)
         .filter(col("src_key") === "c:1")
@@ -399,6 +403,14 @@ object EgraphQueries {
              + pow(CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 - 20.5, 2)
              <= 40.0 * 40.0
          ORDER BY node_key""",
+    "i_geo_knn" ->
+      """WITH c AS (SELECT 'c:' || c_custkey AS node_key,
+           CAST(c_custkey % 180 AS DOUBLE) - 90.0 + 0.5 AS lat,
+           CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+         FROM customer)
+         SELECT node_key, lat, lon,
+           round(sqrt(pow(lat - 10.5, 2) + pow(lon - 20.5, 2)), 4) AS dist
+         FROM c ORDER BY dist, node_key LIMIT 10""",
     "l_links_from" ->
       s"""SELECT * FROM ($edgesSql) WHERE src_key = 'c:1' ORDER BY dst_key""",
     "l_link_pair" ->

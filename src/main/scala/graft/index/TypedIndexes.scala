@@ -113,6 +113,28 @@ object TypedIndexes {
         col("lat"), col("lon"))
   }
 
+  /** k-nearest geo probe (planar degree metric, exact IEEE
+    * arithmetic like [[geoRadius]] so the oracle replays it): the
+    * distance is computed map-side and the top-k is a TakeOrdered —
+    * never a global sort. The cut ranks on the ROUNDED distance
+    * with a key tie-break, so the boundary resolves identically in
+    * any engine. At 100 TB a production index would prefilter with
+    * expanding-ring bounding boxes (the [[geoRadius]] box, grown
+    * until ≥ k candidates) before this exact top-k; the scan form
+    * here is the verification baseline. */
+  def geoKnn(s: SparkSession, dir: String, lat0: Double, lon0: Double,
+      k: Int): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .withColumn("lat", (col("c_custkey") % 180).cast("double") - 90.0 + 0.5)
+      .withColumn("lon", ((col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5)
+    c.select(concat(lit("c:"), col("c_custkey").cast("string")).as("node_key"),
+        col("lat"), col("lon"),
+        round(sqrt(pow(col("lat") - lat0, 2) + pow(col("lon") - lon0, 2)), 4)
+          .as("dist"))
+      .orderBy(col("dist").asc, col("node_key").asc)
+      .limit(k)
+  }
+
   /** Geo probe: nodes within `radius` (planar degree metric) of a
     * point — the reference's spatial index surface
     * (`egraph_lookup_geo_base`). Coordinates are synthesized
