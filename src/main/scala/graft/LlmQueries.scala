@@ -316,6 +316,29 @@ object LlmQueries {
         .orderBy("window_start", "event_type")
     },
 
+    "s_overlap_join" -> { (s, d) =>
+      // interval×interval overlap: purchase influence windows
+      // [t, t+24h) × click activity windows [t, t+2h) per user —
+      // bucketed with the first-shared-bucket rule, so each
+      // overlapping pair is emitted exactly once with NO dedup pass
+      val ev = Tables.events(s, d)
+      val dayUs = 86400000000L
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_s"))
+        .withColumn("p_e", col("p_s") + dayUs)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id"),
+          unix_micros(col("ts")).as("c_s"))
+        .withColumn("c_e", col("c_s") + 7200000000L)
+      graft.operators.IntervalJoin.overlapBucketed(purchases, clicks,
+          keyCols = Seq("user_id"), lStart = "p_s", lEnd = "p_e",
+          rStart = "c_s", rEnd = "c_e", bucketWidthUs = dayUs)
+        .groupBy("p_id", "user_id")
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("p_id")
+    },
+
     "s_funnel" -> { (s, d) =>
       // signup → click → purchase within 7 days of the signup
       Funnels.funnel(Tables.events(s, d),
@@ -726,6 +749,18 @@ object LlmQueries {
              unnest(range(0, nf, stride)) AS frame_idx FROM s)
          SELECT doc_id, frame_idx, frame_idx * 256 AS byte_offset
          FROM x ORDER BY doc_id, frame_idx""",
+    "s_overlap_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+                      epoch_ns(ts) // 1000 AS p_s,
+                      epoch_ns(ts) // 1000 + 86400000000 AS p_e
+                    FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_ns(ts) // 1000 AS c_s,
+                 epoch_ns(ts) // 1000 + 7200000000 AS c_e
+               FROM events WHERE event_type = 'click')
+         SELECT p.p_id, p.user_id, count(*) AS n_overlaps
+         FROM p JOIN c ON c.user_id = p.user_id
+           AND p.p_s < c.c_e AND c.c_s < p.p_e
+         GROUP BY p.p_id, p.user_id ORDER BY p.p_id""",
     "s_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS tus
                     FROM events),

@@ -52,6 +52,41 @@ object IntervalJoin {
       .drop("__bucket")
   }
 
+  /** Interval×interval overlap join: pair same-key rows whose
+    * `[start, end)` ranges intersect — the temporal-overlap sibling
+    * of [[bucketed]] (sessions × campaigns, validity × validity).
+    *
+    * Same uniform bucketing, with one extra subtlety: overlapping
+    * intervals co-occupy EVERY shared bucket, so a naive bucket
+    * equi-join emits a pair once per shared bucket. Rather than a
+    * post-join `distinct` (a second shuffle over the full match
+    * stream), each pair is kept only in the FIRST bucket both
+    * intervals occupy — `bucket == max(floor(a.start/w),
+    * floor(b.start/w))` — which every overlapping pair satisfies in
+    * exactly one bucket and non-overlapping pairs never reach (the
+    * exact overlap re-check runs first). One shuffle per side, no
+    * dedup pass, hot keys bounded by bucket fan-out exactly like
+    * the point form. */
+  def overlapBucketed(left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], lStart: String, lEnd: String,
+      rStart: String, rEnd: String, bucketWidthUs: Long): DataFrame = {
+    require(bucketWidthUs > 0, "bucket width must be positive")
+    val lv = left.filter(col(lEnd) > col(lStart))
+    val rv = right.filter(col(rEnd) > col(rStart))
+    val lb = lv.withColumn("__bucket", explode(sequence(
+      floorDiv(col(lStart), bucketWidthUs),
+      floorDiv(col(lEnd) - 1, bucketWidthUs))))
+    val rb = rv.withColumn("__bucket", explode(sequence(
+      floorDiv(col(rStart), bucketWidthUs),
+      floorDiv(col(rEnd) - 1, bucketWidthUs))))
+    lb.join(rb, keyCols :+ "__bucket")
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bucket") === greatest(
+        floorDiv(col(lStart), bucketWidthUs),
+        floorDiv(col(rStart), bucketWidthUs)))
+      .drop("__bucket")
+  }
+
   /** Exact long floor-division, valid for negative values too
     * (pre-1970 timestamps): `pmod` is always in [0, b), so
     * subtracting it lands on the floor multiple for either sign —

@@ -199,6 +199,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(n > 0)
   }
 
+  test("overlap join: bucketing + first-shared-bucket matches the plain join exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val a = Seq.tabulate(80) { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i.toLong, (i % 5).toLong, s, s + 1 + rnd.nextInt(3000))
+    }.toDF("a_id", "k", "as", "ae")
+    val b = Seq.tabulate(120) { j =>
+      val s = rnd.nextInt(12000).toLong
+      (j.toLong, (j % 5).toLong, s, s + 1 + rnd.nextInt(900))
+    }.toDF("b_id", "k", "bs", "be")
+    val bucketed = graft.operators.IntervalJoin.overlapBucketed(
+        a, b, Seq("k"), "as", "ae", "bs", "be", bucketWidthUs = 1024L)
+      .select("a_id", "b_id")
+    val plain = a.join(b, "k")
+      .filter(col("as") < col("be") && col("bs") < col("ae"))
+      .select("a_id", "b_id")
+    // exact multiset equality: no pair lost, none duplicated
+    assert(bucketed.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(bucketed).count() == 0)
+    assert(bucketed.count() == plain.count())
+  }
+
   test("streaming funnel matches the batch funnel counts, across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
