@@ -73,6 +73,21 @@ final class EGraph(
   def search(queryJson: String): DataFrame =
     graft.search.QueryJson.run(nodes, indexes, queryJson)
 
+  /** Expose the graph to pure-SQL users: temp views
+    * `<prefix>nodes` / `<prefix>edges` / `<prefix>indexes` /
+    * `<prefix>adjacency` plus every native graft function — after
+    * this, `spark.sql("SELECT * FROM graft_nodes WHERE ...")`
+    * queries the same frames the facade methods run on (views are
+    * lazy plan aliases: pushdown and pruning still reach the
+    * scans). */
+  def createViews(spark: SparkSession, prefix: String = "graft_"): Unit = {
+    nodes.createOrReplaceTempView(s"${prefix}nodes")
+    edges.createOrReplaceTempView(s"${prefix}edges")
+    indexes.createOrReplaceTempView(s"${prefix}indexes")
+    undirected.createOrReplaceTempView(s"${prefix}adjacency")
+    graft.functions.Registry.registerAll(spark)
+  }
+
   def degrees: DataFrame = Algorithms.degrees(edges)
   def pageRank(iters: Int = 10): DataFrame = Algorithms.pageRank(undirected, iters)
   def connectedComponents(): DataFrame = Algorithms.connectedComponents(undirected)

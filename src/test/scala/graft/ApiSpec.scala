@@ -304,4 +304,24 @@ class ApiSpec extends AnyFunSuite with SparkFixture {
     val p = g.path("c:1", "s:5").orderBy("step").collect()
     assert(p.head.getString(1) == "c:1" && p.last.getString(1) == "s:5")
   }
+
+  test("createViews exposes the same frames and functions to pure SQL") {
+    val g = graft.api.EGraph.fromTables(spark, sfDir)
+    g.createViews(spark)
+    // a SQL point lookup equals the facade verb
+    val viaSql = spark.sql(
+      "SELECT details FROM graft_nodes WHERE key_data = 'c:1'")
+      .head().getString(0)
+    assert(viaSql == g.node("c:1").select("details").head().getString(0))
+    // SQL joins over the adjacency view work and see all edges
+    val deg = spark.sql(
+      """SELECT a, count(*) AS d FROM graft_adjacency
+         WHERE a = 'c:1' GROUP BY a""").head().getLong(1)
+    assert(deg == g.linksFrom("c:1").count())
+    // native graft functions are callable from SQL after the call
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F))")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+  }
 }
