@@ -131,6 +131,13 @@ object EgraphQueries {
         .orderBy("start", "step")
     },
 
+    "g_neighborhood_est" -> { (s, d) =>
+      // HyperBall ≤3-hop reach estimates for every node (rows-only:
+      // sketch-based; error bound vs exact pinned in GraphSpec)
+      Algorithms.neighborhoodSizes(GraphBuilder.undirectedFor(s, d), 3)
+        .orderBy("node")
+    },
+
     // the three heavyweight iterative algorithms run on the GraphX/
     // Pregel backend (the north-star scale path for batch graph
     // analytics); the DataFrame implementations in Algorithms/

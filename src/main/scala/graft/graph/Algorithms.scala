@@ -200,6 +200,38 @@ object Algorithms {
     core.withColumnRenamed("c", "core")
   }
 
+  /** HyperBall-style neighborhood-function estimation: for EVERY
+    * node at once, the approximate count of nodes within `maxDepth`
+    * hops (self included) — per-node HLL sketches (Datasketches,
+    * via Spark's `hll_sketch_agg`/`hll_union_agg`), where round t+1
+    * unions each node's sketch with its neighbors' round-t sketches:
+    * ball_{t+1}(v) = {v} ∪ ⋃_{u∈N(v)} ball_t(u).
+    *
+    * This is THE 100 TB shape for reach/centrality questions: exact
+    * k-hop frontiers blow up combinatorially (the k-th adjacency
+    * power), while sketches keep per-node state at ~KBs and each
+    * round at ONE join + one mergeable aggregation — the same
+    * exchange pattern as PageRank. HLL register merges are max-based,
+    * so the result is deterministic and insertion-order-free;
+    * relative error ~1.6 % at the default lgk=12 (pinned against
+    * exact 3-hop counts in the spec). Rounds chain lazily like LPA —
+    * fixed small depth needs no lineage truncation. */
+  def neighborhoodSizes(undirectedEdges: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val edges = undirectedEdges.repartition(col("b")).localCheckpoint()
+    var sk = edges.select(col("a").as("node")).distinct()
+      .groupBy("node").agg(expr("hll_sketch_agg(node, 12)").as("sketch"))
+    for (_ <- 1 to maxDepth) {
+      sk = edges.join(sk, edges("b") === sk("node"))
+        .select(col("a").as("node"), col("sketch"))
+        .unionByName(sk.select(col("node"), col("sketch")))
+        .groupBy("node")
+        .agg(expr("hll_union_agg(sketch, true)").as("sketch"))
+    }
+    sk.select(col("node"),
+      expr("hll_sketch_estimate(sketch)").cast("long").as("est_reach"))
+  }
+
   /** DataFrame label propagation: each round every node adopts its
     * neighbors' most frequent label, ties broken toward the
     * SMALLEST label — fully deterministic, unlike classic

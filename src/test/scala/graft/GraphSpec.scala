@@ -104,4 +104,28 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(d == Map("a" -> 0.0, "b" -> 1.0, "c" -> 3.0, "d" -> 4.0))
   }
+
+  test("hyperball estimates track exact 3-hop reach within HLL error") {
+    val ue = GraphBuilder.undirectedFor(spark, sfDir).localCheckpoint()
+    val est = Algorithms.neighborhoodSizes(ue, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact ≤3-hop reach per node (self included)
+    val d1 = ue.select(col("a"), col("b"))
+    val d2 = d1.as("x").join(d1.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("y.b").as("b"))
+    val d3 = d2.as("x").join(d1.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("y.b").as("b"))
+    val self = d1.select(col("a"), col("a").as("b"))
+    val exact = self.unionByName(d1).unionByName(d2).unionByName(d3)
+      .distinct().groupBy("a").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    val worst = exact.map { case (n, ex) =>
+      math.abs(est(n) - ex).toDouble / ex }.max
+    assert(worst < 0.15, s"worst relative error $worst exceeds HLL bound")
+    // deterministic: max-based register merges are order-free
+    val again = Algorithms.neighborhoodSizes(ue, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == est)
+  }
 }
