@@ -351,6 +351,23 @@ object LlmQueries {
         .orderBy("cohort_week", "week_offset")
     },
 
+    "t_reservoir" -> { (s, d) =>
+      // deterministic reservoir: EXACTLY k docs per source, chosen
+      // as the k smallest md5(doc_id) — a keyed hash is a fixed
+      // random permutation, so this is a uniform without-replacement
+      // sample that is reproducible across runs and stable under
+      // corpus growth (a new doc displaces at most one sampled doc,
+      // like a true reservoir). Runs on the custom TopKPerKeyExec
+      // physical operator: bounded heap per key, no per-group sort.
+      // Complements t_sample (Bernoulli by rate = fraction-sized).
+      val docs = Tables.documents(s, d)
+        .withColumn("h", md5(col("doc_id").cast("string")))
+      graft.plans.TopK.perKey(docs, Seq("source"),
+          Seq("h" -> true, "doc_id" -> true), k = 5)
+        .select(col("source"), col("doc_id"), col("h"))
+        .orderBy("source", "doc_id")
+    },
+
     "m_resize" -> { (s, d) =>
       Multimodal.resizePlan(Multimodal.decodeFeatures(
           Multimodal.attachMedia(Tables.documents(s, d))))
@@ -734,6 +751,14 @@ object LlmQueries {
          SELECT window_start, event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "t_reservoir" ->
+      """WITH r AS (SELECT source, doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents)
+         SELECT source, doc_id, h FROM r WHERE rk <= 5
+         ORDER BY source, doc_id""",
     "m_resize" ->
       """WITH f AS (SELECT doc_id, 16 + (strlen(text) % 64) AS w,
                       16 + ((strlen(text) // 64) % 64) AS h FROM documents)
