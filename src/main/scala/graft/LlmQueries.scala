@@ -380,6 +380,10 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    "s_anomaly" -> { (s, d) =>
+      Funnels.anomalies(Tables.events(s, d)).orderBy("event_id")
+    },
+
     "d_decontaminate_bloom" -> { (s, d) =>
       // rows-only (bloom hash internal): superset-of-exact pinned in
       // RetrievalSpec, exact flags in d_decontaminate's oracle
@@ -803,6 +807,16 @@ object LlmQueries {
          UNION ALL SELECT 2, 'click', count(*) FROM s2
          UNION ALL SELECT 3, 'purchase', count(*) FROM s3
          ORDER BY step""",
+    "s_anomaly" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu,
+                      stddev_samp(value) AS sigma
+                    FROM events GROUP BY 1)
+         SELECT event_id, event_type, value,
+           round((value - mu) / sigma, 4) AS z
+         FROM events JOIN s USING (event_type)
+         WHERE sigma IS NOT NULL AND sigma > 0
+           AND abs(value - mu) > 3.0 * sigma
+         ORDER BY event_id""",
     "s_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
                       CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),

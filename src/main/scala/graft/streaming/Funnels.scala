@@ -93,6 +93,22 @@ object Funnels {
       }
   }
 
+  /** Per-type z-score anomaly flags: events whose value deviates
+    * more than `sigmas` sample standard deviations from their
+    * type's mean. Two-pass shape: one tiny per-type aggregate
+    * (broadcast back), then a map-side flag — the scan is the whole
+    * cost at any scale. Types with fewer than 2 events (σ undefined)
+    * flag nothing. */
+  def anomalies(events: DataFrame, sigmas: Double = 3.0): DataFrame = {
+    val stats = events.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    events.join(broadcast(stats), "event_type")
+      .filter(col("sigma").isNotNull && col("sigma") > 0 &&
+        abs(col("value") - col("mu")) > lit(sigmas) * col("sigma"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mu")) / col("sigma"), 4).as("z"))
+  }
+
   /** Weekly cohort retention: users bucketed by the ISO week of
     * their first activity; each cell counts that cohort's users
     * active `week_offset` weeks later. Week truncation is
