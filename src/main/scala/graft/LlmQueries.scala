@@ -380,6 +380,11 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    "t_cdc_chunks" -> { (s, d) =>
+      Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     "s_anomaly" -> { (s, d) =>
       Funnels.anomalies(Tables.events(s, d)).orderBy("event_id")
     },
@@ -807,6 +812,26 @@ object LlmQueries {
          UNION ALL SELECT 2, 'click', count(*) FROM s2
          UNION ALL SELECT 3, 'purchase', count(*) FROM s3
          ORDER BY step""",
+    "t_cdc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      len(string_split(text, ' ')) AS n FROM documents),
+         b AS (SELECT doc_id, toks, n,
+                 list_filter(range(3, n + 1), i ->
+                   substring(md5(toks[i-2] || ' ' || toks[i-1] || ' '
+                     || toks[i]), 32, 1) = '0') AS bpos FROM t),
+         c AS (SELECT doc_id, toks,
+                 list_concat(list_concat([0], bpos), [n]) AS cuts FROM b),
+         x AS (SELECT doc_id, toks, cuts,
+                 unnest(range(1, len(cuts))) AS j FROM c),
+         y AS (SELECT doc_id, toks, cuts[j] AS s, cuts[j+1] AS e
+               FROM x WHERE cuts[j+1] > cuts[j]),
+         z AS (SELECT doc_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY s)
+                   AS chunk_idx,
+                 array_to_string(toks[s+1:e], ' ') AS chunk,
+                 e - s AS n_toks FROM y)
+         SELECT doc_id, chunk_idx, md5(chunk) AS fp, n_toks
+         FROM z ORDER BY doc_id, chunk_idx""",
     "s_anomaly" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu,
                       stddev_samp(value) AS sigma

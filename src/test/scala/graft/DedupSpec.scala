@@ -92,4 +92,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val g = Dedup.exactGroups(docs, "doc_id", "text")
     assert(g.agg(sum("n_copies")).head().getLong(0) == docs.count())
   }
+
+  test("cdc chunks cover every token and survive an early edit") {
+    import spark.implicits._
+    val a = (1 to 200).map(i => s"w$i").mkString(" ")
+    val b = "zz " + a // front insertion
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(df, "doc_id", "text").collect()
+    // chunks tile the doc exactly: token counts sum to doc length
+    val cover = ch.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getAs[Number](3).longValue).sum).toMap
+    assert(cover == Map(1L -> 200L, 2L -> 201L))
+    // content-defined boundaries: the insertion perturbs only the
+    // leading chunk(s); later chunk fingerprints are shared (under
+    // fixed-size chunking EVERY chunk after the edit would change)
+    val fpsA = ch.filter(_.getLong(0) == 1).map(_.getString(2)).toSet
+    val fpsB = ch.filter(_.getLong(0) == 2).map(_.getString(2)).toSet
+    assert((fpsA intersect fpsB).size >= fpsA.size - 2,
+      s"expected near-total chunk reuse, got ${fpsA.size} vs shared ${(fpsA intersect fpsB).size}")
+  }
 }
