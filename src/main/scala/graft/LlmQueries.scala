@@ -380,6 +380,10 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    "s_dau_wau" -> { (s, d) =>
+      Funnels.dauWau(Tables.events(s, d)).orderBy("day")
+    },
+
     "t_cdc_chunks" -> { (s, d) =>
       Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id", "chunk_idx")
@@ -812,6 +816,15 @@ object LlmQueries {
          UNION ALL SELECT 2, 'click', count(*) FROM s2
          UNION ALL SELECT 3, 'purchase', count(*) FROM s3
          ORDER BY step""",
+    "s_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                     FROM events),
+         dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1),
+         w AS (SELECT DISTINCT user_id, d + CAST(off AS INTEGER) AS d
+               FROM ud CROSS JOIN (SELECT unnest(range(7)) AS off) o),
+         wau AS (SELECT d, count(*) AS wau FROM w GROUP BY 1)
+         SELECT dau.d AS day, dau.dau AS dau, wau.wau AS wau
+         FROM dau JOIN wau ON wau.d = dau.d ORDER BY day""",
     "t_cdc_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                       len(string_split(text, ' ')) AS n FROM documents),

@@ -93,6 +93,28 @@ object Funnels {
       }
   }
 
+  /** Daily and trailing-7-day distinct active users per day (the
+    * DAU/WAU engagement pair). The rolling distinct is NOT a range
+    * join: each (user, active-day) row explodes map-side to the 7
+    * calendar days whose trailing window it falls in, then one
+    * distinct + count — same shape at any scale, and the explode
+    * factor is the window length, not the data. Leading days keep
+    * their partial windows (standard practice). */
+  def dauWau(events: DataFrame): DataFrame = {
+    val day = to_date(col("ts").cast("timestamp"))
+    val ud = events.select(col("user_id"), day.as("d")).distinct()
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("d"))
+      .select(col("user_id"), date_add(col("d"), col("off")).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    // windows ending after the last active day describe no real day
+    dau.join(wau, "d")
+      .select(col("d").as("day"), col("dau"), col("wau"))
+  }
+
   /** Per-type z-score anomaly flags: events whose value deviates
     * more than `sigmas` sample standard deviations from their
     * type's mean. Two-pass shape: one tiny per-type aggregate
