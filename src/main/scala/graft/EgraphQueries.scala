@@ -117,6 +117,14 @@ object EgraphQueries {
       Algorithms.triangleCount(GraphBuilder.undirectedFor(s, d))
     },
 
+    "g_triangles_node" -> { (s, d) =>
+      // per-node triangle participation (nodes in ≥1 triangle; the
+      // zero rows are exactly the complement of the oracle's unnest)
+      GraphXBridge.trianglesPerNode(GraphBuilder.undirectedFor(s, d))
+        .filter(col("n_triangles") > 0)
+        .orderBy("node")
+    },
+
     "g_linkpredict" -> { (s, d) =>
       // Adamic-Adar from 5 customer seeds, top 10 candidates each
       Algorithms.adamicAdar(GraphBuilder.undirectedFor(s, d),
@@ -454,6 +462,14 @@ object EgraphQueries {
           SELECT count(*) AS n_triangles
           FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
             ON e3.a = e1.a AND e3.b = e2.b""",
+    "g_triangles_node" ->
+      s"""WITH ue AS ($undirectedSql), e AS (SELECT a, b FROM ue WHERE a < b),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+          SELECT n AS node, count(*) AS n_triangles
+          FROM (SELECT unnest([x, y, z]) AS n FROM tri) t
+          GROUP BY n ORDER BY n""",
     // rank on the ROUNDED score so the rank-10 cut and its b-asc
     // tie-break resolve identically under either engine's double
     // summation order

@@ -148,6 +148,23 @@ object GraphXBridge {
     Seq(total).toDF("n_triangles")
   }
 
+  /** Per-node triangle participation counts (the per-vertex half of
+    * [[triangleCount]], surfaced): how many triangles each node is a
+    * corner of. Σ over nodes = 3 × the global count. */
+  def trianglesPerNode(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val g = fromUndirected(edges)
+    val canonical = Graph(g.vertices,
+      g.edges.map(e => if (e.srcId < e.dstId) e
+        else Edge(e.dstId, e.srcId, e.attr)).distinct())
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+    val tc = canonical.triangleCount()
+    g.vertices.join(tc.vertices)
+      .map { case (_, (key, n)) => (key, n.toLong) }
+      .toDF("node", "n_triangles")
+  }
+
   /** GraphX landmark shortest paths (unweighted hop counts) from one
     * source key — the Pregel form of Traversal.bfsLevels. */
   def bfsLevels(edges: DataFrame, source: String): DataFrame = {

@@ -91,6 +91,21 @@ class GraphXSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("per-node triangle counts on a known graph") {
+    import spark.implicits._
+    // triangle a-b-c, plus b-c-d making a second triangle on edge b-c
+    val edges = GraphBuilder.undirected(Seq(
+      ("a", "b"), ("b", "c"), ("a", "c"), ("b", "d"), ("c", "d"),
+      ("d", "e"))
+      .toDF("src_key", "dst_key"))
+    val got = GraphXBridge.trianglesPerNode(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L, "e" -> 0L))
+    // Σ per-node = 3 × global
+    val global = GraphXBridge.triangleCount(edges).head().getLong(0)
+    assert(got.values.sum == 3 * global)
+  }
+
   test("dataframe LPA separates disjoint cliques and is deterministic") {
     import spark.implicits._
     val edges = GraphBuilder.undirected(Seq(
