@@ -395,7 +395,7 @@ object LlmQueries {
 
     "d_decontaminate_bloom" -> { (s, d) =>
       // rows-only (bloom hash internal): superset-of-exact pinned in
-      // RetrievalSpec, exact flags in d_decontaminate's oracle
+      // EventAnalyticsSpec, exact flags in d_decontaminate's oracle
       Dedup.crossSplitContaminationBloom(Tables.documents(s, d),
           "doc_id", "text", n = 8)
         .orderBy("doc_id")
