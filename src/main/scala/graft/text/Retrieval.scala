@@ -39,12 +39,16 @@ object Retrieval {
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = TextAnalysis.wsTokens(col(textCol))
-    val tf = docs.select(
-      col(idCol) +: size(toks).as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).as(s"tf$i")
-        }: _*)
+    // token array materialized as its OWN projection: referenced
+    // once per term below, and a raw split(text) expression would be
+    // re-evaluated per reference (see the ngrams note in Dedup)
+    val tf = docs
+      .select(col(idCol), TextAnalysis.wsTokens(col(textCol)).as("toks"))
+      .select(
+        col(idCol) +: size(col("toks")).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("toks"), x => x === lit(t))).as(s"tf$i")
+          }: _*)
     // one row: N, avgdl, df per term — broadcast-joined back
     val statAggs = avg("dl").as("avgdl") +:
       terms.indices.map(i =>
