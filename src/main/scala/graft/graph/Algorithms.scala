@@ -218,13 +218,20 @@ object Algorithms {
     * fixed small depth needs no lineage truncation. */
   def neighborhoodSizes(undirectedEdges: DataFrame,
       maxDepth: Int): DataFrame = {
-    val edges = undirectedEdges.repartition(col("b")).localCheckpoint()
-    var sk = edges.select(col("a").as("node")).distinct()
+    // self-loops fold the "keep my own ball" union INTO the join:
+    // ball_{t+1}(v) = ⋃_{u ∈ N(v) ∪ {v}} ball_t(u), so each round
+    // references the previous sketch frame exactly ONCE — a
+    // join+union form doubles the lazy plan per round (2^depth
+    // subtree copies held together only by exchange reuse)
+    val nodes = undirectedEdges.select(col("a")).distinct()
+    val edges = undirectedEdges
+      .unionByName(nodes.select(col("a"), col("a").as("b")))
+      .repartition(col("b")).localCheckpoint()
+    var sk = nodes.select(col("a").as("node"))
       .groupBy("node").agg(expr("hll_sketch_agg(node, 12)").as("sketch"))
     for (_ <- 1 to maxDepth) {
       sk = edges.join(sk, edges("b") === sk("node"))
         .select(col("a").as("node"), col("sketch"))
-        .unionByName(sk.select(col("node"), col("sketch")))
         .groupBy("node")
         .agg(expr("hll_union_agg(sketch, true)").as("sketch"))
     }
