@@ -25,6 +25,8 @@ object Registry {
       exprs => VectorExpressions.SimHash64Expr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_jaccard_sorted",
       exprs => VectorExpressions.JaccardSortedExpr(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cdc_cuts",
+      exprs => VectorExpressions.CdcCutsExpr(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate",
       exprs => Compression.DeflateExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_inflate",
@@ -90,4 +92,6 @@ object Registry {
   def simhash(tokens: Column): Column = call_function("graft_simhash", tokens)
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("graft_jaccard_sorted", a, b)
+  def cdcCuts(tokens: Column): Column =
+    call_function("graft_cdc_cuts", tokens)
 }
