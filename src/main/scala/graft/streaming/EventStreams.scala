@@ -83,6 +83,17 @@ object EventStreams {
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming form of [[hoppingWindowAggBatch]]: same sliding
+    * window expression under a watermark — each window closes
+    * width/slide slides later than its tumbling counterpart, which
+    * is the (bounded) extra state overlap costs. */
+  def hoppingWindowAggStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").getField("start")
+          .as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Streaming attribution: the stream-stream form of the batch
     * interval join (operators.IntervalJoin) — every click pairs with
     * the same user's purchases at most `windowHours` before it.

@@ -199,6 +199,22 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(n > 0)
   }
 
+  test("streaming hopping window agg matches batch counts (4 windows per event)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = eventsSample.take(300)
+    val stream = MemoryStream[Ev]
+    val out = EventStreams.hoppingWindowAggStream(stream.toDF())
+    val q = out.writeStream.format("memory").queryName("hopagg")
+      .outputMode("complete").start()
+    stream.addData(evs); q.processAllAvailable()
+    val streamed = spark.table("hopagg")
+      .agg(sum("n_events")).head().getLong(0)
+    q.stop()
+    // every event lands in exactly width/slide = 4 windows
+    assert(streamed == 4L * evs.size)
+  }
+
   test("overlap join: bucketing + first-shared-bucket matches the plain join exactly") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
