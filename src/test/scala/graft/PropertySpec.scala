@@ -88,4 +88,64 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         if (doc != perm) assert(r.getLong(0) != r.getLong(1))
     }
   }
+
+  test("greedy packing invariants hold for random docs and budgets") {
+    import spark.implicits._
+    val caseGen = for {
+      nDocs <- Gen.choose(1, 40)
+      lens <- Gen.listOfN(nDocs, Gen.choose(1, 30))
+      budget <- Gen.choose(5L, 40L)
+    } yield (lens, budget)
+    for ((lens, budget) <- samples(caseGen, 12)) {
+      val docs = lens.zipWithIndex.map { case (l, i) =>
+        (i.toLong, s"g${i % 3}", Seq.fill(l)("t").mkString(" "))
+      }.toDF("doc_id", "source", "text")
+      val packed = graft.text.Packing
+        .packGreedy(docs, "doc_id", "text", "source", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      // every doc present exactly once
+      assert(packed.length == lens.length)
+      val byBin = packed.groupBy(p => (p._1, p._4))
+      byBin.foreach { case ((g, bin), ds) =>
+        // budget respected unless the bin is a single oversize doc
+        assert(ds.map(_._3).sum <= budget || ds.length == 1,
+          s"overfull shared bin $g/$bin: $ds")
+        // bins hold doc-id-contiguous runs (greedy never reorders):
+        // every doc between the bin's min and max id of that group
+        // is in the same bin
+        val ids = ds.map(_._2)
+        val span = packed.filter(p => p._1 == g &&
+          p._2 >= ids.min && p._2 <= ids.max)
+        assert(span.forall(_._4 == bin))
+      }
+      // bin indices are 0-based and gapless per group
+      packed.groupBy(_._1).foreach { case (_, ds) =>
+        val bins = ds.map(_._4).distinct.sorted.toList
+        assert(bins == (0L until bins.length).toList)
+      }
+    }
+  }
+
+  test("cdc cut pairs tile every doc for random token streams") {
+    import spark.implicits._
+    for (toksList <- samples(Gen.listOfN(10, docGen), 3)) {
+      val docs = toksList.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val ch = graft.dedup.Dedup.cdcChunks(docs, "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+          r.getAs[Number](3).longValue))
+      val nToks = toksList.map(_.length)
+      // chunks tile: per-doc token counts sum to doc length, chunk
+      // indices are 1..k
+      ch.groupBy(_._1).foreach { case (id, rows) =>
+        assert(rows.map(_._3).sum == nToks(id.toInt))
+        assert(rows.map(_._2).sorted.toList ==
+          (1L to rows.length).toList)
+      }
+      assert(ch.map(_._1).distinct.length == toksList.length)
+    }
+  }
 }
