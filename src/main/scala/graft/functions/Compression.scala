@@ -10,9 +10,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Deflate/inflate of detail blobs as native Catalyst expressions —
   * the columnar analog of the reference's zlib detail compression
-  * (`src/egraph_compression_util.erl`, `src/egraph_zlib_util.erl`).
-  * No dictionary support yet (the reference's dictionary table is
-  * an optimization over the same codec).
+  * (`src/egraph_compression_util.erl`, `src/egraph_zlib_util.erl`),
+  * including the dictionary-primed variant mirroring the
+  * reference's shared per-id dictionaries
+  * (`models/egraph_dictionary_model.erl`).
   */
 object Compression {
 
