@@ -273,6 +273,24 @@ object EgraphQueries {
           length(Registry.inflate(Registry.deflate(col("text")))
             .cast("string")).as("n_roundtrip_chars"))
         .orderBy("doc_id")
+    },
+
+    "z_compress_dict" -> { (s, d) =>
+      Registry.registerAll(s)
+      // dictionary-primed variant (reference: per-id shared
+      // dictionaries, egraph_dictionary_model.erl): roundtrip
+      // through a corpus-derived dictionary must also restore the
+      // text exactly; compression-ratio superiority on short blobs
+      // is pinned in MiscSpec (ratios are codec-version-specific,
+      // so only the lossless contract is oracle-checked)
+      val dict = lit("key agg row scan slow fast table value part hash " +
+        "merge batch spark the line sort window order data column join")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(Registry.inflateDict(
+              Registry.deflateDict(col("text"), dict), dict)
+            .cast("string")).as("n_roundtrip_chars"))
+        .orderBy("doc_id")
     }
   )
 
@@ -536,6 +554,9 @@ object EgraphQueries {
            AS fn_revenue2
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "z_compress_roundtrip" ->
+      """SELECT doc_id, length(text) AS n_roundtrip_chars
+         FROM documents ORDER BY doc_id""",
+    "z_compress_dict" ->
       """SELECT doc_id, length(text) AS n_roundtrip_chars
          FROM documents ORDER BY doc_id"""
   )
