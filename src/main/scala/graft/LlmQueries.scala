@@ -380,6 +380,17 @@ object LlmQueries {
         .orderBy("doc_id", "frame_idx")
     },
 
+    "s_session_stats" -> { (s, d) =>
+      EventStreams.sessionStatsBatch(Tables.events(s, d))
+        .orderBy("user_id", "session_seq")
+    },
+
+    "t_perplexity2" -> { (s, d) =>
+      TextRetrieval.bigramPerplexity(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "s_dau_wau" -> { (s, d) =>
       Funnels.dauWau(Tables.events(s, d)).orderBy("day")
     },
@@ -816,6 +827,38 @@ object LlmQueries {
          UNION ALL SELECT 2, 'click', count(*) FROM s2
          UNION ALL SELECT 3, 'purchase', count(*) FROM s3
          ORDER BY step""",
+    "s_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus
+                    FROM events),
+         x AS (SELECT user_id, event_id, tus,
+                 CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id) IS NULL THEN 1
+                      WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                        ORDER BY tus, event_id) > 1800000000 THEN 1
+                      ELSE 0 END AS new_session FROM e),
+         s AS (SELECT user_id, tus,
+                 sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_seq
+               FROM x)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           max(tus) - min(tus) AS duration_us
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq""",
+    "t_perplexity2" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS tok
+                FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks))) AS i FROM t) x),
+         p AS (SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         cx AS (SELECT prev, sum(c2) AS c1 FROM p GROUP BY 1),
+         lp AS (SELECT prev, tok, ln(c2 / CAST(c1 AS DOUBLE)) AS lp
+                FROM p JOIN cx USING (prev)),
+         s AS (SELECT doc_id, avg(-lp) AS xent
+               FROM bg JOIN lp USING (prev, tok) GROUP BY 1)
+         SELECT doc_id, round(xent, 4) AS cross_entropy,
+           round(exp(xent), 4) AS ppl
+         FROM s ORDER BY doc_id""",
     "s_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
                      FROM events),

@@ -68,6 +68,27 @@ object EventStreams {
       .select(col("user_id"), col("event_id"), col("session_seq"))
   }
 
+  /** Per-session statistics (event count + duration) on top of the
+    * same gap rule as [[sessionizeBatch]] — the roll-up every
+    * session pipeline computes next. Exact integer microseconds
+    * throughout. */
+  def sessionStatsBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val gap = us - lag(us, 1).over(w)
+    events
+      .withColumn("tus", us)
+      .withColumn("new_session",
+        when(gap.isNull || gap > gapMinutes * 60000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tus")) - min(col("tus"))).as("duration_us"))
+  }
+
   /** Streaming exact dedup: drop events whose dedup key was already
     * seen, with the watermark bounding the dedup state (the
     * streaming form of the corpus exact-dedup operator). */

@@ -66,6 +66,42 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Bigram-LM cross-entropy / perplexity per document: every token
+    * from position 2 on is scored as -ln(c(prev, tok) / c(prev·)),
+    * with counts estimated on the corpus itself — the
+    * conditional-probability upgrade of [[unigramPerplexity]]
+    * (shuffled text scores near the unigram entropy; real word
+    * order scores lower). No smoothing needed for self-scoring: the
+    * corpus contains every bigram it is scored on. Docs shorter
+    * than 2 tokens have no bigram and drop out.
+    *
+    * Scale shape: bigram extraction is map-side (zip of the token
+    * array with its tail); the model is one partial-aggregated
+    * shuffle (bigram-type-sized); context totals derive from the
+    * bigram counts with a second small agg; scoring is a broadcast
+    * join + one per-doc re-aggregation. */
+  def bigramPerplexity(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    val bigrams = base
+      .select(col(idCol), explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("prev"), b.as("tok")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+    val pair = bigrams.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val ctx = pair.groupBy("prev").agg(sum("c2").as("c1"))
+    val logp = pair.join(ctx, "prev")
+      .select(col("prev"), col("tok"),
+        log(col("c2") / col("c1").cast("double")).as("lp"))
+    bigrams.join(broadcast(logp), Seq("prev", "tok"))
+      .groupBy(idCol)
+      .agg(avg(-col("lp")).as("xent"))
+      .select(col(idCol), round(col("xent"), 4).as("cross_entropy"),
+        round(exp(col("xent")), 4).as("ppl"))
+  }
+
   /** Unigram-LM cross-entropy / perplexity per document, with the
     * model estimated on the corpus itself (the CCNet / Gopher
     * "LM quality" signal, here with the simplest possible LM so the
