@@ -545,7 +545,7 @@ object LlmQueries {
                    i -> array_to_string(toks[i+1:i+2], ' '))) AS gram
                FROM t),
          c AS (SELECT doc_id, gram, count(*) AS n FROM g GROUP BY doc_id, gram)
-         SELECT doc_id, sum(n) AS n_grams, count(*) AS n_distinct,
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams, count(*) AS n_distinct,
            round(1 - count(*)::DOUBLE / sum(n), 4) AS dup_frac,
            round(max(n)::DOUBLE / sum(n), 4) AS top_frac
          FROM c GROUP BY doc_id ORDER BY doc_id""",
@@ -664,8 +664,8 @@ object LlmQueries {
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus
                     FROM events)
          SELECT user_id, event_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
-           ROWS UNBOUNDED PRECEDING) AS session_seq
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
          FROM (
            SELECT user_id, event_id, tus,
              CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
@@ -837,9 +837,9 @@ object LlmQueries {
                         ORDER BY tus, event_id) > 1800000000 THEN 1
                       ELSE 0 END AS new_session FROM e),
          s AS (SELECT user_id, tus,
-                 sum(new_session) OVER (PARTITION BY user_id
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
                    ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)
-                   AS session_seq
+                   AS BIGINT) AS session_seq
                FROM x)
          SELECT user_id, session_seq, count(*) AS n_events,
            max(tus) - min(tus) AS duration_us
