@@ -31,6 +31,19 @@ object EgraphQueries {
         UNION ALL
         SELECT dst_key AS a, src_key AS b FROM ($edgesSql))"""
 
+  /** Undirected supplier-chain edges (s:i — s:i+1, both directions).
+    * Disjoint from the bipartite customer→supplier adjacency (no
+    * supplier–supplier edge exists there) and internally duplicate-free,
+    * so the union with `undirectedFor` needs no distinct. */
+  private def supplierChainOverlay(s: SparkSession, d: String): DataFrame = {
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"))
+    val chain = supp.as("x").join(supp.as("y"),
+        col("y.s_suppkey") === col("x.s_suppkey") + 1)
+      .select(concat(lit("s:"), col("x.s_suppkey").cast("string")).as("a"),
+        concat(lit("s:"), col("y.s_suppkey").cast("string")).as("b"))
+    chain.unionByName(chain.select(col("b").as("a"), col("a").as("b")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_nodes_build" -> { (s, d) =>
       GraphBuilder.nodes(s, d).select("key_data", "details")
@@ -118,9 +131,15 @@ object EgraphQueries {
     },
 
     "g_triangles_node" -> { (s, d) =>
-      // per-node triangle participation (nodes in ≥1 triangle; the
-      // zero rows are exactly the complement of the oracle's unnest)
-      GraphXBridge.trianglesPerNode(GraphBuilder.undirectedFor(s, d))
+      // per-node triangle participation (nodes in ≥1 triangle). The
+      // demo customer→supplier graph is bipartite (triangle-free), so
+      // the query runs over it PLUS a supplier-chain overlay
+      // (s:i — s:i+1): every customer buying from two consecutive
+      // suppliers closes a triangle, giving the oracle a non-empty
+      // row set to compare.
+      GraphXBridge.trianglesPerNode(
+          GraphBuilder.undirectedFor(s, d)
+            .unionByName(supplierChainOverlay(s, d)))
         .filter(col("n_triangles") > 0)
         .orderBy("node")
     },
@@ -481,7 +500,13 @@ object EgraphQueries {
           FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
             ON e3.a = e1.a AND e3.b = e2.b""",
     "g_triangles_node" ->
-      s"""WITH ue AS ($undirectedSql), e AS (SELECT a, b FROM ue WHERE a < b),
+      s"""WITH ue0 AS ($undirectedSql),
+          ch AS (SELECT 's:' || x.s_suppkey AS a, 's:' || y.s_suppkey AS b
+                 FROM supplier x JOIN supplier y
+                 ON y.s_suppkey = x.s_suppkey + 1),
+          ue AS (SELECT a, b FROM ue0 UNION ALL SELECT a, b FROM ch
+                 UNION ALL SELECT b, a FROM ch),
+          e AS (SELECT a, b FROM ue WHERE a < b),
           tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
                   FROM e e1 JOIN e e2 ON e2.a = e1.b
                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)

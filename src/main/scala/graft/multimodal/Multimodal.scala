@@ -44,7 +44,8 @@ object Multimodal {
         .as("out_h"))
 
   /** Frame sampling for video-like payloads: treat the payload as
-    * ⌈n_bytes / frameBytes⌉ frames (min 1) and take every
+    * ⌊n_bytes / frameBytes⌋ frames (min 1 — a trailing partial frame
+    * is not a frame; the stride below is the ceiling) and take every
     * ⌈n_frames / maxFrames⌉-th frame — uniform temporal sampling,
     * ≤ `maxFrames` refs per doc. Map-side only (`sequence` +
     * `explode`, no shuffle); each ref carries the byte offset a real

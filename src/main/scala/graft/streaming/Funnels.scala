@@ -23,10 +23,17 @@ object Funnels {
     * filters events to ONE type (pushed to the scan) and joins the
     * (shrinking) qualified-user frame — AQE broadcasts it as soon
     * as it fits. Output is `steps.length` rows.
+    *
+    * Step names must be distinct: the batch `tus >= tcur` bound lets
+    * one event satisfy two consecutive steps of the SAME type, while
+    * the streaming state machine consumes each event once — the
+    * require keeps the two forms provably count-equal.
     */
   def funnel(events: DataFrame, steps: Seq[String],
       windowUs: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "funnel steps must be distinct (repeated step types break batch/stream parity)")
     val ev = events.select(col("user_id"), col("event_type"),
       unix_micros(col("ts").cast("timestamp")).as("tus"))
     val first = ev.filter(col("event_type") === steps.head)
@@ -63,6 +70,8 @@ object Funnels {
       windowUs: Long): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      "funnel steps must be distinct (repeated step types break batch/stream parity)")
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -99,7 +108,11 @@ object Funnels {
     * calendar days whose trailing window it falls in, then one
     * distinct + count — same shape at any scale, and the explode
     * factor is the window length, not the data. Leading days keep
-    * their partial windows (standard practice). */
+    * their partial windows (standard practice). Only days with ≥1
+    * active user are emitted: a zero-activity gap day inside the
+    * range (which would still have a nonzero trailing WAU) is
+    * omitted, by the inner join below — calendar densification is
+    * the caller's generate-series join if they need it. */
   def dauWau(events: DataFrame): DataFrame = {
     val day = to_date(col("ts").cast("timestamp"))
     val ud = events.select(col("user_id"), day.as("d")).distinct()

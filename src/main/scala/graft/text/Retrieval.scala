@@ -78,8 +78,11 @@ object Retrieval {
     * Scale shape: bigram extraction is map-side (zip of the token
     * array with its tail); the model is one partial-aggregated
     * shuffle (bigram-type-sized); context totals derive from the
-    * bigram counts with a second small agg; scoring is a broadcast
-    * join + one per-doc re-aggregation. */
+    * bigram counts with a second small agg; scoring joins the model
+    * back without a broadcast HINT — bigram type counts grow far
+    * faster than Heaps'-law unigram vocabularies, so the model is
+    * not guaranteed driver-sized at corpus scale; AQE broadcasts it
+    * when it measures small and shuffles when it doesn't. */
   def bigramPerplexity(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val base = docs.select(col(idCol),
@@ -95,7 +98,7 @@ object Retrieval {
     val logp = pair.join(ctx, "prev")
       .select(col("prev"), col("tok"),
         log(col("c2") / col("c1").cast("double")).as("lp"))
-    bigrams.join(broadcast(logp), Seq("prev", "tok"))
+    bigrams.join(logp, Seq("prev", "tok"))
       .groupBy(idCol)
       .agg(avg(-col("lp")).as("xent"))
       .select(col(idCol), round(col("xent"), 4).as("cross_entropy"),
