@@ -35,15 +35,38 @@ object Bench {
     // sorted name order: deterministic and reproducible run to run
     // (Map iteration order scattered which query paid the shared
     // adjacency/graph cold-build cost between runs)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a swallowed failure used to record as a near-zero wall
+          // time — indistinguishable from a perf win; record it
+          errors(name) = s"${e.getClass.getSimpleName}: ${
+            Option(e.getMessage).getOrElse("").take(200)}"
+      }
+      // -1 marks a failed query unambiguously in the timings map too
+      name -> (if (errors.contains(name)) -1.0
+               else (System.nanoTime() - t0) / 1e9)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\]", "_")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    println(line)
+    // stdout capture has truncated mid-JSON before (sbt epilogue raced
+    // the tail) — persist the artifact to a known path as well
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    // exit 0 even with per-query errors: the JSON line itself is the
+    // artifact; a nonzero exit would make sbt fail the whole run and
+    // could cost the driver the (still valid) timings of the others
     spark.stop()
   }
 }

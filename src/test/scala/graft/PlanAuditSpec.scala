@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 /** Plan-shape regression tests: the scale contract (SURVEY.md §5)
   * says filters reach the scan, projections prune columns, and dim
@@ -74,6 +75,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"), s"top-k global-sorted:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"), // 1-row stats × docs
       s"stats not broadcast:\n$p")
+  }
+
+  test("geo knn: the expanding-ring box is pushed to a parquet scan") {
+    import spark.implicits._
+    // a stored layout with native lat/lon columns — the 100 TB shape
+    // (the query-gate form computes coords from the key, which no
+    // engine can push; this pins the claim geoKnnPoints makes)
+    val dir = java.nio.file.Files.createTempDirectory("geoknn").toString
+    (1 to 500).map(i => (s"p:$i", (i % 100).toDouble, (i % 73).toDouble))
+      .toDF("node_key", "lat", "lon")
+      .write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val res = graft.index.TypedIndexes.geoKnnPoints(pts, 50.0, 36.0, k = 10)
+    // default 100-char scan metadata truncation cuts PushedFilters off
+    // mid-list — widen it for the assertion only
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    val p = try res.queryExecution.executedPlan.toString
+            finally spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(lat,") &&
+      p.contains("LessThanOrEqual(lat,") &&
+      p.contains("GreaterThanOrEqual(lon,"),
+      s"ring box not pushed to the scan:\n$p")
+    // and the probe is still exact: same rows as the full-scan top-k
+    val brute = pts.select(col("node_key"), col("lat"), col("lon"),
+        round(sqrt(pow(col("lat") - 50.0, 2) + pow(col("lon") - 36.0, 2)), 4)
+          .as("dist"))
+      .orderBy(col("dist").asc, col("node_key").asc).limit(10)
+    assert(res.collect().toSeq == brute.collect().toSeq)
   }
 
   test("no declarative query degenerates into an unplanned product") {
