@@ -35,6 +35,20 @@ object Registry {
       exprs => Compression.DeflateDictExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_inflate_dict",
       exprs => Compression.InflateDictExpr(exprs(0), exprs(1)), "built-in")
+    // Spark's own bloom sketch expressions, surfaced by name: the
+    // aggregate builds the filter distributed (partial buffers merged
+    // like any TypedImperativeAggregate — no driver treeAggregate),
+    // and might_contain is a codegen'd predicate, so a map-side bloom
+    // probe stays inside WholeStageCodegen where a Scala UDF would
+    // break the span. Hash the value to int64 (xxhash64) on BOTH
+    // sides — the aggregate's input contract is long.
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
     // Business function of the kind the reference stores per-name:
     // net revenue of a line item. Decimal arithmetic end to end: the
     // inputs encode exact 2-dp decimals, so the product is exact and
@@ -94,4 +108,13 @@ object Registry {
     call_function("graft_jaccard_sorted", a, b)
   def cdcCuts(tokens: Column): Column =
     call_function("graft_cdc_cuts", tokens)
+  /** Distributed bloom build over an int64 (pre-hashed) column;
+    * returns the serialized filter as binary. */
+  def bloomAgg(hashed: Column, nItems: Column, nBits: Column): Column =
+    call_function("graft_bloom_agg", hashed, nItems, nBits)
+  /** Codegen'd bloom probe; `bloom` must be a foldable binary (a
+    * literal of the serialized filter), `hashed` the same xxhash64
+    * used at build time. */
+  def mightContain(bloom: Column, hashed: Column): Column =
+    call_function("graft_might_contain", bloom, hashed)
 }

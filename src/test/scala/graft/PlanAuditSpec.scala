@@ -106,6 +106,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(res.collect().toSeq == brute.collect().toSeq)
   }
 
+  test("bloom decontamination probes with the native predicate, not a UDF") {
+    val p = executedPlan("d_decontaminate_bloom")
+    assert(!p.contains("ScalaUDF"), s"bloom probe fell back to a Scala UDF:\n$p")
+    assert(p.contains("might_contain"), s"native bloom probe missing:\n$p")
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²
