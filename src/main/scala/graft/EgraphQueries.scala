@@ -137,7 +137,7 @@ object EgraphQueries {
       // (s:i — s:i+1): every customer buying from two consecutive
       // suppliers closes a triangle, giving the oracle a non-empty
       // row set to compare.
-      GraphXBridge.trianglesPerNode(
+      Algorithms.trianglesPerNode(
           GraphBuilder.undirectedFor(s, d)
             .unionByName(supplierChainOverlay(s, d)))
         .filter(col("n_triangles") > 0)

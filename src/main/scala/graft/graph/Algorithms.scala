@@ -33,7 +33,24 @@ object Algorithms {
     * bounds by O(m^1.5) even on skewed graphs — the id-ordered
     * variant degenerates to hub-degree² wedges on power-law graphs.
     */
-  def triangleCount(undirectedEdges: DataFrame): DataFrame = {
+  def triangleCount(undirectedEdges: DataFrame): DataFrame =
+    triangleStream(undirectedEdges).agg(count(lit(1)).as("n_triangles"))
+
+  /** Per-node triangle participation on the same degree-ordered
+    * wedge join as [[triangleCount]] — each matched triangle emits
+    * its three corners, one explode + one agg on top of the m^1.5
+    * stream. Preferred over the GraphX kernel on the query path when
+    * the input is a one-off frame (an overlaid graph): the Pregel
+    * form pays a full private graph build that the memoized shared
+    * graph normally amortizes. */
+  def trianglesPerNode(undirectedEdges: DataFrame): DataFrame =
+    triangleStream(undirectedEdges)
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+
+  /** One row per triangle (u, w1, w2), degree-ordered enumeration —
+    * each triangle exactly once. */
+  private def triangleStream(undirectedEdges: DataFrame): DataFrame = {
     // degree from BOTH endpoint columns: correct whether the input
     // materializes both directions (symmetric input → 2×degree,
     // which orders identically) or only the canonical a<b rows
@@ -71,7 +88,6 @@ object Algorithms {
     val closing =
       if (e.count() <= triangleBroadcastEdges) broadcast(canon) else canon
     wedges.join(closing, Seq("w1", "w2"))
-      .agg(count(lit(1)).as("n_triangles"))
   }
 
   /** Edge-count ceiling for broadcasting the triangle-closure side. */
@@ -255,7 +271,14 @@ object Algorithms {
     * min_by over (count desc, label asc). */
   def labelPropagation(undirectedEdges: DataFrame,
       steps: Int = 5): DataFrame = {
-    val edges = undirectedEdges.repartition(col("b")).localCheckpoint()
+    // the edge frame is used as-is: callers hand the memoized
+    // checkpointed adjacency, and because every round references the
+    // IDENTICAL edge subplan, ReuseExchange ships its shuffle once
+    // even on the cluster-scale shuffle-join path — an explicit
+    // repartition(b) + localCheckpoint here re-shuffled and re-wrote
+    // ~2|E| rows into an already-pressured block manager on every
+    // call (part of the 14.5 s mid-bench cost vs 2.3 s isolated).
+    val edges = undirectedEdges
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     // rounds chain as ONE lazy plan — at a small fixed step count
@@ -273,8 +296,14 @@ object Algorithms {
           col("label").as("l"))).as("label"))
         .withColumnRenamed("a", "node")
     }
-    val canon = labels.groupBy("label").agg(min("node").as("community"))
-    labels.join(canon, "label").select("node", "community")
+    // materialize the final |V|-row label frame ONCE before the
+    // canonicalization join: `labels` feeds BOTH join branches, and
+    // if AQE misses the exchange-reuse the whole 5-round chain would
+    // execute twice. A tiny eager localCheckpoint guarantees single
+    // execution and cuts the round lineage.
+    val mat = labels.localCheckpoint()
+    val canon = mat.groupBy("label").agg(min("node").as("community"))
+    mat.join(canon, "label").select("node", "community")
   }
 
   /** Deterministic "random" walks of `length` steps from every

@@ -104,6 +104,12 @@ class GraphXSpec extends AnyFunSuite with SparkFixture {
     // Σ per-node = 3 × global
     val global = GraphXBridge.triangleCount(edges).head().getLong(0)
     assert(got.values.sum == 3 * global)
+    // the DataFrame wedge-join form (the query path for one-off
+    // overlaid graphs) agrees with the Pregel kernel; it emits only
+    // nodes in ≥1 triangle, so compare on the nonzero support
+    val df = graft.graph.Algorithms.trianglesPerNode(edges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == got.filter(_._2 > 0L))
   }
 
   test("dataframe LPA separates disjoint cliques and is deterministic") {
