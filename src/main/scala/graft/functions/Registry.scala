@@ -92,6 +92,29 @@ object Registry {
       }, "sql_udf")
   }
 
+  /** Escape hatch for stored functions that need loops, recursion,
+    * or conditional state — the part of the reference's surface
+    * `define` cannot cover: egraph compiles FULL Erlang function
+    * sources at runtime (`src/egraph_compiler.erl:1-120`,
+    * `models/egraph_function_model.erl`), while `define` bodies are
+    * single SQL expressions. A closure registered here runs as a
+    * Scala UDF: semantically unrestricted but opaque to Catalyst
+    * (no codegen, no pushdown through it, a serialization boundary
+    * per call) — so the contract is: reach for `define` whenever the
+    * body is expressible as a SQL expression, and for this only when
+    * it genuinely is not. Like the reference, the function is named
+    * and session-scoped, callable from SQL and the Column API. */
+  def defineClosure[A: reflect.runtime.universe.TypeTag,
+      R: reflect.runtime.universe.TypeTag](
+      spark: SparkSession, name: String, f: A => R): Unit =
+    spark.udf.register(name, org.apache.spark.sql.functions.udf(f))
+
+  def defineClosure2[A: reflect.runtime.universe.TypeTag,
+      B: reflect.runtime.universe.TypeTag,
+      R: reflect.runtime.universe.TypeTag](
+      spark: SparkSession, name: String, f: (A, B) => R): Unit =
+    spark.udf.register(name, org.apache.spark.sql.functions.udf(f))
+
   def deflate(c: Column): Column = call_function("graft_deflate", c)
   def inflate(c: Column): Column = call_function("graft_inflate", c)
   def revenue(price: Column, discount: Column): Column =

@@ -156,15 +156,18 @@ object GraphStore {
 
   private def pruneOld(spark: SparkSession, root: String,
       table: String): Unit =
+    pruneVersions(spark, root, table, spark.conf
+      .getOption("graft.store.pruneRetentionMs").map(_.toLong)
+      .getOrElse(defaultPruneRetentionMs))
+
+  private def pruneVersions(spark: SparkSession, root: String,
+      table: String, retentionMs: Long): Unit =
     try {
       val dir = s"$root/$table"
       val p = new Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val pinned = currentEpoch(spark, root).get(table)
-      val retention = spark.conf
-        .getOption("graft.store.pruneRetentionMs").map(_.toLong)
-        .getOrElse(defaultPruneRetentionMs)
-      val cutoff = System.currentTimeMillis() - retention
+      val cutoff = System.currentTimeMillis() - retentionMs
       def age(v: String): Long = // version names embed their write ms
         scala.util.Try(v.stripPrefix("v").takeWhile(_.isDigit).toLong)
           .getOrElse(Long.MaxValue)
@@ -172,6 +175,43 @@ object GraphStore {
         .filter(age(_) < cutoff)
         .foreach(v => fs.delete(new Path(dir, v), true))
     } catch { case _: java.io.IOException => () } // pruning is best-effort
+
+  /** Explicit version GC across the store's tables — the maintenance
+    * half of the reference's expiry story (epoch dirs are this
+    * layout's unit of reclamation). Never collected, at ANY
+    * retention: the 2 newest complete versions of each table and
+    * every epoch-pinned version — so a reader resolving through the
+    * committed epoch always survives a GC, no matter how old the
+    * pinned snapshot is. */
+  def gcVersions(spark: SparkSession, root: String,
+      retentionMs: Long = defaultPruneRetentionMs): Unit =
+    Seq("nodes", "edges", "indexes")
+      .foreach(t => pruneVersions(spark, root, t, retentionMs))
+
+  /** Stamp rows with an absolute expiry instant — the reference's
+    * optional expiry seconds on create/update
+    * (`models/egraph_fquery_model.erl:86-92`). Expiry is LAZY, like
+    * the reference's TTL caches: loaders filter expired rows at read
+    * time (the comparison pushes to the parquet scan), and
+    * [[compactExpiredNodes]] physically reclaims them. Rows without
+    * the column, or with it null, never expire. */
+  def withExpiry(df: DataFrame, ttlSeconds: Long,
+      nowUs: Long = System.currentTimeMillis() * 1000L): DataFrame =
+    df.withColumn("expires_at_us", lit(nowUs + ttlSeconds * 1000000L))
+
+  private def notExpired(df: DataFrame): DataFrame =
+    if (df.columns.contains("expires_at_us"))
+      df.filter(col("expires_at_us").isNull ||
+        col("expires_at_us") > lit(System.currentTimeMillis() * 1000L))
+    else df
+
+  /** Rewrite the node table without its expired rows (physical
+    * reclamation of lazily-expired data): a new version under the
+    * same crash-safe save path, pin advancing as usual. Returns the
+    * version written. */
+  def compactExpiredNodes(spark: SparkSession, root: String,
+      shardBits: Int = 6): String =
+    saveNodes(loadNodes(spark, root).drop("shard"), root, shardBits)
 
   /** Returns the version name the frame was written under. When the
     * root already has an epoch and `publish` is true (the default),
@@ -224,7 +264,7 @@ object GraphStore {
       : (DataFrame, DataFrame, DataFrame) = {
     val epoch = currentEpoch(spark, root)
     def read(table: String) =
-      spark.read.parquet(resolveWith(spark, epoch, root, table))
+      notExpired(spark.read.parquet(resolveWith(spark, epoch, root, table)))
     (read("nodes"), read("edges"), read("indexes"))
   }
 
@@ -249,13 +289,13 @@ object GraphStore {
   }
 
   def loadNodes(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(resolve(spark, root, "nodes"))
+    notExpired(spark.read.parquet(resolve(spark, root, "nodes")))
 
   def loadEdges(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(resolve(spark, root, "edges"))
+    notExpired(spark.read.parquet(resolve(spark, root, "edges")))
 
   def loadIndexes(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(resolve(spark, root, "indexes"))
+    notExpired(spark.read.parquet(resolve(spark, root, "indexes")))
 
   /** Point lookup against the stored node partitioning: computes the
     * shard from the key so the scan prunes to one directory. */
