@@ -144,6 +144,24 @@ object EgraphQueries {
         .orderBy("node")
     },
 
+    "g_clustering" -> { (s, d) =>
+      // local clustering coefficient = 2·tri(v) / (deg(v)·(deg(v)−1))
+      // over the triangle-bearing overlaid graph (the bipartite base
+      // alone has coefficient 0 everywhere); nodes with deg < 2 have
+      // no defined coefficient and are excluded
+      val ug = GraphBuilder.undirectedFor(s, d)
+        .unionByName(supplierChainOverlay(s, d))
+      val deg = ug.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      val tri = Algorithms.trianglesPerNode(ug)
+      deg.filter(col("deg") >= 2)
+        .join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          round(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2.0
+            / (col("deg") * (col("deg") - 1)), 4).as("coeff"))
+        .orderBy("node")
+    },
+
     "g_linkpredict" -> { (s, d) =>
       // Adamic-Adar from 5 customer seeds, top 10 candidates each
       Algorithms.adamicAdar(GraphBuilder.undirectedFor(s, d),
@@ -513,6 +531,26 @@ object EgraphQueries {
           SELECT n AS node, count(*) AS n_triangles
           FROM (SELECT unnest([x, y, z]) AS n FROM tri) t
           GROUP BY n ORDER BY n""",
+    "g_clustering" ->
+      s"""WITH ue0 AS ($undirectedSql),
+          ch AS (SELECT 's:' || x.s_suppkey AS a, 's:' || y.s_suppkey AS b
+                 FROM supplier x JOIN supplier y
+                 ON y.s_suppkey = x.s_suppkey + 1),
+          ue AS (SELECT a, b FROM ue0 UNION ALL SELECT a, b FROM ch
+                 UNION ALL SELECT b, a FROM ch),
+          dg AS (SELECT a AS node, count(*) AS deg FROM ue GROUP BY a),
+          e AS (SELECT a, b FROM ue WHERE a < b),
+          tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                  FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+          tn AS (SELECT n AS node, count(*) AS n_triangles
+                 FROM (SELECT unnest([x, y, z]) AS n FROM tri) t
+                 GROUP BY n)
+          SELECT d.node, d.deg, coalesce(tn.n_triangles, 0) AS n_triangles,
+            round(coalesce(tn.n_triangles, 0)::DOUBLE * 2
+              / (d.deg * (d.deg - 1)), 4) AS coeff
+          FROM dg d LEFT JOIN tn ON tn.node = d.node
+          WHERE d.deg >= 2 ORDER BY d.node""",
     // rank on the ROUNDED score so the rank-10 cut and its b-asc
     // tie-break resolve identically under either engine's double
     // summation order

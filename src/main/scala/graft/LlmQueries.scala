@@ -294,6 +294,25 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    "d_semdedup" -> { (s, d) =>
+      // SemDeDup: nearest-centroid clustering, then near-dup removal
+      // ONLY within each cluster — the cluster-local join is what
+      // keeps semantic dedup sub-quadratic at corpus scale
+      Knn.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          "label", dim, threshold = 0.35)
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id")
+    },
+
+    "t_mixture" -> { (s, d) =>
+      // token-budget corpus mixing: every source capped at the same
+      // token budget by deterministic Bernoulli downsampling
+      TextAnalysis.mixToBudget(Tables.documents(s, d), "doc_id", "text",
+          "source", budgetTokens = 1300L)
+        .orderBy("doc_id")
+    },
+
     "t_bm25" -> { (s, d) =>
       TextRetrieval.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "join", "stream"), k = 25)
@@ -581,6 +600,55 @@ object LlmQueries {
                FROM s)
          SELECT vec_id, label, assigned_label, round(sim, 4) AS sim
          FROM r WHERE rk = 1 ORDER BY vec_id""",
+    // same centroid/assignment replay as e_cluster_assign, then the
+    // cluster-LOCAL pair join (y.cl = x.cl) — cross-cluster pairs are
+    // never enumerated, exactly like the Spark side
+    "d_semdedup" ->
+      """WITH u AS (SELECT label, i, avg(embedding[i]::DOUBLE) AS cv
+                    FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+         c AS (SELECT label AS c_label, list(round(cv, 6) ORDER BY i) AS centroid
+               FROM u GROUP BY label),
+         s AS (SELECT e.vec_id, c.c_label,
+                 list_sum(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * c.centroid[i]))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                      i -> c.centroid[i] * c.centroid[i])))) AS sim
+               FROM embeddings e CROSS JOIN c),
+         r AS (SELECT vec_id, c_label,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, c_label) AS rk
+               FROM s),
+         asg AS (SELECT vec_id, c_label AS cl FROM r WHERE rk = 1),
+         e2 AS (SELECT e.vec_id, e.embedding, a.cl,
+                  sqrt(list_sum(list_transform(range(1, 65),
+                    i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))
+                    AS nm
+                FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id),
+         p AS (SELECT x.cl, x.vec_id AS a, y.vec_id AS b,
+                 list_sum(list_transform(range(1, 65),
+                   i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+                 / (x.nm * y.nm) AS sim
+               FROM e2 x JOIN e2 y ON y.cl = x.cl AND y.vec_id < x.vec_id)
+         SELECT a AS vec_id, cl AS cluster, min(b) AS dup_of,
+           round(min_by(sim, b), 4) AS sim
+         FROM p WHERE sim >= 0.35 GROUP BY a, cl ORDER BY vec_id""",
+    // rate replayed UNROUNDED in the keep decision (floor × 65536 is
+    // exact in doubles), rounded only in the output — same as t_sample
+    "t_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+                      len(string_split(text, ' ')) AS n_toks
+                    FROM documents),
+         r AS (SELECT source,
+                 least(1.0, 1300.0 / CAST(sum(n_toks) AS DOUBLE)) AS rate
+               FROM t GROUP BY source)
+         SELECT t.doc_id, t.source, t.n_toks, round(r.rate, 4) AS rate
+         FROM t JOIN r ON r.source = t.source
+         WHERE r.rate >= 1.0
+            OR substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) <
+               printf('%04x', CAST(floor(r.rate * 65536) AS INT))
+         ORDER BY doc_id""",
     "t_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          c AS (SELECT doc_id, toks,

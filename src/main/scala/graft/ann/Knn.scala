@@ -113,6 +113,42 @@ object Knn {
     scored
   }
 
+  /** SemDeDup-style semantic dedup: cluster the corpus (nearest
+    * mean-centroid assignment, deterministic — [[centroidAssign]]),
+    * then drop every vector that has a CLUSTER-MATE with smaller id
+    * and cosine ≥ `threshold`. Returns the dropped rows with their
+    * canonical keeper (`dup_of` = smallest qualifying mate) and the
+    * similarity to it.
+    *
+    * Scale shape: the pair join is cluster-LOCAL (equi-join on the
+    * assigned label) — the SemDeDup trick that makes semantic dedup
+    * tractable at corpus scale: clusters bound the quadratic term,
+    * cross-cluster pairs are never enumerated. With k centroids the
+    * work is Σ|cluster|², not n²; more centroids = finer buckets,
+    * exactly like IVF cells. Assignment itself is one broadcast
+    * argmax scan. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int, threshold: Double): DataFrame = {
+    Registry.registerAll(corpus.sparkSession)
+    val assigned = centroidAssign(corpus, idCol, vecCol, labelCol, dim)
+      .select(col(idCol).as("id"), col("assigned_label").as("cl"))
+    val base = withNorm(corpus, "id", "v", "nm", idCol, vecCol)
+      .join(assigned, "id")
+    val x = base.select(col("cl"), col("id").as("a"),
+      col("v").as("va"), col("nm").as("na"))
+    val y = base.select(col("cl"), col("id").as("b"),
+      col("v").as("vb"), col("nm").as("nb"))
+    x.join(y, "cl")
+      .filter(col("b") < col("a"))
+      .select(col("cl"), col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("cl"), col("a"))
+      .agg(min("b").as("dup_of"), min_by(col("sim"), col("b")).as("sim"))
+      .select(col("a").as(idCol), col("cl").as("cluster"),
+        col("dup_of"), col("sim"))
+  }
+
   /** Scale path for embedding near-dup: banded sign-LSH candidate
     * generation, then exact-cosine verification — the n² pair join
     * of [[nearDupPairs]] replaced by a per-(band, bucket) local join,

@@ -182,6 +182,32 @@ object TextAnalysis {
       .otherwise(substring(md5(id.cast("string")), 1, 4) < cutoff)
   }
 
+  /** Token-budget corpus mixing: give every source the SAME target
+    * token budget and downsample each to it — per-source whitespace
+    * token totals, keep rate min(1, budget/total), then the
+    * deterministic [[sampleKeep]] Bernoulli decision per document.
+    * The standard mixture-rebalancing move (cap the dominant crawl
+    * source, keep small curated sources whole); the realized sample
+    * carries ≈ min(budget, total) tokens per source.
+    *
+    * Scale shape: one tiny per-source aggregate broadcast back over
+    * the scan; the keep decision is map-side and content-independent,
+    * so the mix is reproducible and stable under corpus growth. */
+  def mixToBudget(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, budgetTokens: Long): DataFrame = {
+    val toks = docs.select(col(idCol), col(sourceCol),
+      size(wsTokens(col(textCol))).as("n_toks"))
+    val rates = toks.groupBy(sourceCol)
+      .agg(sum("n_toks").as("src_toks"))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          lit(budgetTokens).cast("double") / col("src_toks")).as("rate"))
+    toks.join(broadcast(rates), sourceCol)
+      .filter(sampleKeep(col(idCol), col("rate")))
+      .select(col(idCol), col(sourceCol), col("n_toks"),
+        round(col("rate"), 4).as("rate"))
+  }
+
   /** Order-sensitive rolling polynomial hash over the token-hash
     * sequence (multiplier 1000003, masked to 32 bits each step so
     * the multiply never overflows a long under ANSI mode) — the
