@@ -35,8 +35,14 @@ object Bench {
     // sorted name order: deterministic and reproducible run to run
     // (Map iteration order scattered which query paid the shared
     // adjacency/graph cold-build cost between runs)
+    // SPARK_GRAFT_ONLY=q1,q2 restricts to a comma-separated subset —
+    // for scale probes of individual operators without the full run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
