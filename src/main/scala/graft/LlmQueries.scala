@@ -318,6 +318,28 @@ object LlmQueries {
         Seq("spark", "join", "stream"), k = 25)
     },
 
+    "e_hybrid_rrf" -> { (s, d) =>
+      // hybrid retrieval: BM25 keyword list fused with the embedding
+      // cosine list by reciprocal-rank fusion (doc 0's embedding as
+      // the semantic query, the bm25 terms as the lexical one)
+      TextRetrieval.hybridRrf(Tables.documents(s, d),
+        Tables.embeddings(s, d), "doc_id", "text", "vec_id", "embedding",
+        dim, Seq("spark", "join", "stream"), queryVecId = 0L, k = 25)
+    },
+
+    "t_filter_rules" -> { (s, d) =>
+      // Gopher-style rule gate: five features + pass flags + keep
+      TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    "d_dedup_spans" -> { (s, d) =>
+      // ExactSubstr-style duplicated spans: maximal token ranges
+      // covered by word-8-grams that also occur in another document
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
     "t_perplexity" -> { (s, d) =>
       TextRetrieval.unigramPerplexity(Tables.documents(s, d),
           "doc_id", "text")
@@ -805,6 +827,101 @@ object LlmQueries {
          FROM w, g)
          SELECT doc_id, round(score, 4) AS bm25 FROM s
          ORDER BY round(score, 4) DESC, doc_id LIMIT 25""",
+    // same per-list orderings as the t_bm25 / e_knn_brute oracles;
+    // 1.0::DOUBLE keeps DuckDB out of DECIMAL division (Spark's
+    // lit(1.0) is a double)
+    "e_hybrid_rrf" ->
+      """WITH w AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+           len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf0,
+           len(list_filter(string_split(text, ' '), x -> x = 'join')) AS tf1,
+           len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf2
+         FROM documents),
+         g AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+           sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM w),
+         s AS (SELECT doc_id,
+             ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * (1.2 + 1))
+               / (tf0 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+           + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * (1.2 + 1))
+               / (tf1 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl))
+           + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * (1.2 + 1))
+               / (tf2 + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)) AS score
+         FROM w, g),
+         lex AS (SELECT doc_id AS id,
+             CAST(row_number() OVER (ORDER BY round(score, 4) DESC, doc_id)
+               AS BIGINT) AS rk_lex
+           FROM s ORDER BY round(score, 4) DESC, doc_id LIMIT 50),
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         sims AS (SELECT e.vec_id AS id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS sim
+           FROM embeddings e, q WHERE e.vec_id <> 0),
+         sem AS (SELECT id,
+             CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rk_sem
+           FROM sims ORDER BY sim DESC, id LIMIT 50),
+         f AS (SELECT coalesce(lex.id, sem.id) AS id,
+             round(coalesce(1.0::DOUBLE / (60 + rk_lex), 0.0)
+               + coalesce(1.0::DOUBLE / (60 + rk_sem), 0.0), 6) AS rrf,
+             rk_lex, rk_sem
+           FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+         SELECT id, rrf, rk_lex, rk_sem FROM f ORDER BY rrf DESC, id LIMIT 25""",
+    "t_filter_rules" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 4)
+             AS mean_token_len,
+           round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+             / len(toks), 4) AS alpha_frac,
+           round(len(list_filter(toks,
+             x -> contains(x, '#') OR contains(x, '...')))::DOUBLE
+             / len(toks), 4) AS symbol_frac,
+           CAST(len(list_filter(toks,
+             x -> x IN ('the','a','of','to','and','in','is','that')))
+             AS BIGINT) AS stop_hits
+         FROM t)
+         SELECT doc_id, n_tokens, mean_token_len, alpha_frac, symbol_frac,
+           stop_hits,
+           n_tokens BETWEEN 50 AND 100000 AS ok_len,
+           mean_token_len BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+           alpha_frac >= 0.8 AS ok_alpha,
+           symbol_frac <= 0.1 AS ok_symbol,
+           stop_hits >= 2 AS ok_stop,
+           (n_tokens BETWEEN 50 AND 100000)
+             AND (mean_token_len BETWEEN 3.0 AND 10.0)
+             AND alpha_frac >= 0.8 AND symbol_frac <= 0.1
+             AND stop_hits >= 2 AS keep
+         FROM f ORDER BY doc_id""",
+    // gaps-and-islands over duplicated-gram positions; coalesce(-1)
+    // replays Spark's isNull new-island test (pos >= 0 always)
+    "d_dedup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i+7], ' ')) AS g
+               FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7))
+                 AS i) u),
+         d AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         m AS (SELECT doc_id, pos FROM g JOIN d USING (g)),
+         i AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, -1)
+                   THEN 1 ELSE 0 END AS nw
+               FROM m),
+         ii AS (SELECT doc_id, pos,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM i)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_dup_tokens
+         FROM ii GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     "t_perplexity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),

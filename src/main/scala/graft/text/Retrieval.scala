@@ -66,6 +66,45 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Hybrid retrieval: the BM25 keyword ranking fused with an
+    * embedding cosine ranking by Reciprocal Rank Fusion
+    * (Cormack/Clarke/Büttcher 2009): `score(d) = Σ_lists 1/(c+rank)`,
+    * missing from a list contributes 0. The standard first step of a
+    * RAG / retrieval pipeline once a corpus carries both a token
+    * index and an embedding column.
+    *
+    * Ranks, not scores, are fused — so the two lists need no score
+    * calibration, and the fusion is replayable cross-engine (integer
+    * ranks; the per-list orderings are each already oracle-pinned by
+    * t_bm25 / e_knn_brute). The final-rank windows run on k-row
+    * frames AFTER each list's top-k cut, so the single-partition
+    * window is trivially safe at any corpus scale; everything heavy
+    * happened inside the per-list pipelines (BM25: scan + one-row
+    * broadcast agg + TakeOrdered; cosine: broadcast query × scan +
+    * TakeOrdered). Fusing joins two k-row frames. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+      idCol: String, textCol: String, vecIdCol: String, vecCol: String,
+      dim: Int, terms: Seq[String], queryVecId: Long, k: Int,
+      poolK: Int = 50, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(docs, idCol, textCol, terms, poolK)
+      .select(col(idCol).as("id"),
+        row_number().over(Window.orderBy(col("bm25").desc, col(idCol)))
+          .cast("long").as("rk_lex"))
+    val sem = graft.ann.Knn.bruteForceTopK(embeddings,
+        embeddings.filter(col(vecIdCol) === queryVecId),
+        vecIdCol, vecCol, dim, poolK)
+      .select(col("neighbor_id").as("id"), col("rk").cast("long").as("rk_sem"))
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"),
+        round(coalesce(lit(1.0) / (lit(c) + col("rk_lex")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(c) + col("rk_sem")), lit(0.0)), 6)
+          .as("rrf"),
+        col("rk_lex"), col("rk_sem"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
   /** Bigram-LM cross-entropy / perplexity per document: every token
     * from position 2 on is scored as -ln(c(prev, tok) / c(prev·)),
     * with counts estimated on the corpus itself — the

@@ -208,6 +208,46 @@ object TextAnalysis {
         round(col("rate"), 4).as("rate"))
   }
 
+  /** Gopher-style rule-based document filtering (Rae et al. 2021
+    * §A1.1, plus C4's alpha-word rule): per document, the five rule
+    * features and their pass flags, and the overall keep decision —
+    * the gate a curation pipeline runs before any expensive dedup.
+    *   - token count within [minTokens, maxTokens]
+    *   - mean token length within [3, 10]
+    *   - fraction of tokens containing an alphabetic char ≥ 0.8
+    *   - fraction of symbol-ish tokens (# or ellipsis) ≤ 0.1
+    *   - at least 2 stopword hits
+    * Features are rounded to 4 decimals BEFORE the threshold
+    * comparison so the booleans are replayable cross-engine (a raw
+    * double at the boundary could flip under reordered summation).
+    * Entirely map-side — no shuffle, one scan, codegen'd. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val toks = col("__toks")
+    val n = size(toks)
+    df.select(col(idCol), col(textCol), wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        n.cast("long").as("n_tokens"),
+        // mean token length via total chars minus separators — the
+        // same engine-exact formula as quality()'s avg_token_len
+        round((length(col(textCol)) - (n - 1)).cast("double") / n, 4)
+          .as("mean_token_len"),
+        round(size(filter(toks, t => t.rlike("[A-Za-z]")))
+          .cast("double") / n, 4).as("alpha_frac"),
+        round(size(filter(toks, t => t.contains("#") || t.contains("...")))
+          .cast("double") / n, 4).as("symbol_frac"),
+        countIn(toks, stopwords("en")).cast("long").as("stop_hits"))
+      .withColumn("ok_len",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("ok_mean_len",
+        col("mean_token_len") >= 3.0 && col("mean_token_len") <= 10.0)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("ok_symbol", col("symbol_frac") <= 0.1)
+      .withColumn("ok_stop", col("stop_hits") >= 2L)
+      .withColumn("keep", col("ok_len") && col("ok_mean_len") &&
+        col("ok_alpha") && col("ok_symbol") && col("ok_stop"))
+  }
+
   /** Order-sensitive rolling polynomial hash over the token-hash
     * sequence (multiplier 1000003, masked to 32 bits each step so
     * the multiply never overflows a long under ANSI mode) — the

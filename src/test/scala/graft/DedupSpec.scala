@@ -111,4 +111,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert((fpsA intersect fpsB).size >= fpsA.size - 2,
       s"expected near-total chunk reuse, got ${fpsA.size} vs shared ${(fpsA intersect fpsB).size}")
   }
+
+  test("duplicate spans: cross-doc runs merge into maximal islands") {
+    import spark.implicits._
+    val c = (0 until 10).map(i => s"c$i").mkString(" ")  // shared run 1
+    val e = (0 until 10).map(i => s"e$i").mkString(" ")  // shared run 2
+    val docs = Seq(
+      (1L, s"a0 a1 a2 a3 a4 $c a5 a6 a7"),               // c at pos 5..14
+      (2L, s"$c b0 b1 b2 b3 b4 b5 $e"),                  // c at 0..9, e at 16..25
+      (3L, s"x0 x1 $e x2")                               // e at 2..11
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // a 10-token shared run covers 8-gram starts [s, s+2] → span [s, s+9]
+    assert(spans.toSeq == Seq(
+      (1L, 5L, 14L, 10L),
+      (2L, 0L, 9L, 10L), (2L, 16L, 25L, 10L),  // two islands: gap 10..15
+      (3L, 2L, 11L, 10L)))
+    // within-doc repetition alone is NOT a cross-doc duplicate
+    val selfRep = Seq((1L, ("r0 r1 r2 r3 r4 r5 r6 r7 " * 2).trim),
+        (2L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(selfRep, "doc_id", "text", n = 8).count() == 0)
+  }
 }

@@ -86,4 +86,34 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getString(1)).toSet
     assert(!fromY.contains("z")) // adjacent
   }
+
+  test("hybrid rrf fuses the bm25 and cosine lists by rank") {
+    val docs = Tables.documents(spark, sfDir)
+    val emb = Tables.embeddings(spark, sfDir)
+    val terms = Seq("spark", "join", "stream")
+    val fused = Retrieval.hybridRrf(docs, emb, "doc_id", "text",
+      "vec_id", "embedding", 64, terms, queryVecId = 0L, k = 25)
+      .collect()
+    assert(fused.length == 25)
+    // rrf is exactly the sum of the reciprocal-rank terms it reports
+    fused.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("rk_lex"))
+        .map(rk => 1.0 / (60 + rk)).getOrElse(0.0)
+      val sem = Option(r.getAs[java.lang.Long]("rk_sem"))
+        .map(rk => 1.0 / (60 + rk)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") -
+        math.rint((lex + sem) * 1e6) / 1e6) < 1e-9)
+      assert(r.getAs[java.lang.Long]("rk_lex") != null ||
+        r.getAs[java.lang.Long]("rk_sem") != null)
+    }
+    // descending fused score, ties by id ascending
+    val scores = fused.map(r => (-r.getAs[Double]("rrf"), r.getAs[Long]("id")))
+    assert(scores.sameElements(scores.sorted))
+    // a doc in BOTH lists must outrank one with only the same single-
+    // list rank: rank-1-in-both beats everything with one list only
+    val both = fused.filter(r => r.getAs[java.lang.Long]("rk_lex") != null &&
+      r.getAs[java.lang.Long]("rk_sem") != null)
+    if (both.nonEmpty)
+      assert(fused.head.getAs[Double]("rrf") >= both.map(_.getAs[Double]("rrf")).max)
+  }
 }

@@ -84,4 +84,33 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(k50.size / 2000.0 - 0.5) < 0.05)
     assert(kept(0.25) == k25) // re-run identical
   }
+
+  test("gopher rules: each rule trips on its own pathology") {
+    import spark.implicits._
+    val good = ("the a " + (0 until 58).map(i => f"tok$i%02d").mkString(" "))
+    val docs = Seq(
+      (1L, good),                                        // passes all
+      (2L, "the a tiny document here"),                  // too short (mean len ok)
+      (3L, "the a " + Seq.fill(58)("supercalifragilistic").mkString(" ")), // mean len
+      (4L, "the a " + (0 until 58).map(_ => "####").mkString(" ")), // symbols+alpha
+      (5L, (0 until 60).map(i => f"tok$i%02d").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    def flags(i: Int) = (r(i).getAs[Boolean]("ok_len"),
+      r(i).getAs[Boolean]("ok_mean_len"), r(i).getAs[Boolean]("ok_alpha"),
+      r(i).getAs[Boolean]("ok_symbol"), r(i).getAs[Boolean]("ok_stop"),
+      r(i).getAs[Boolean]("keep"))
+    assert(flags(0) == (true, true, true, true, true, true))
+    assert(flags(1) == (false, true, true, true, true, false))
+    assert(flags(2) == (true, false, true, true, true, false))
+    assert(flags(3)._4 == false) // symbol_frac = 58/60 > 0.1
+    assert(flags(3)._3 == false) // #### has no alpha either
+    assert(flags(4) == (true, true, true, true, false, false))
+    // keep is exactly the conjunction on every row
+    val all = TextAnalysis.gopherRules(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    assert(all.filter(col("keep") =!= (col("ok_len") && col("ok_mean_len") &&
+      col("ok_alpha") && col("ok_symbol") && col("ok_stop"))).count() == 0)
+  }
 }
