@@ -130,6 +130,20 @@ object LlmQueries {
         .orderBy("query_id", "rk")
     },
 
+    "e_knn_pq" -> { (s, d) =>
+      // product-quantization ANN: coded corpus + ADC + exact re-rank
+      // (rows-only: Lloyd means are float-sum order-dependent, like
+      // IVF; semantics pinned in AnnSpec)
+      val emb = Tables.embeddings(s, d)
+      val model = ann.Pq.train(emb, "vec_id", "embedding", dim,
+        m = 4, k = 16)
+      ann.Pq.topK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim, k = 5, model)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+
     "t_token_stats" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
           size(TextAnalysis.wsTokens(col("text"))).as("n_ws_tokens"),
@@ -331,6 +345,20 @@ object LlmQueries {
       // Gopher-style rule gate: five features + pass flags + keep
       TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    "m_phash" -> { (s, d) =>
+      // perceptual hash of every media payload (stub decode)
+      Multimodal.phash(Multimodal.attachMedia(Tables.documents(s, d)))
+        .toDF().orderBy("doc_id")
+    },
+
+    "m_phash_dedup" -> { (s, d) =>
+      // image near-dup pairs: hamming-banded phash join + exact
+      // bit_count verification (the visual analog of d_dedup_simhash)
+      Multimodal.phashPairs(
+          Multimodal.phash(Multimodal.attachMedia(Tables.documents(s, d))))
+        .orderBy("a", "b")
     },
 
     "d_dedup_spans" -> { (s, d) =>
@@ -870,6 +898,45 @@ object LlmQueries {
              rk_lex, rk_sem
            FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
          SELECT id, rrf, rk_lex, rk_sem FROM f ORDER BY rrf DESC, id LIMIT 25""",
+    // the stub decode's 61 positional segments replayed with the same
+    // floor((p-1)·61/n) split over ascii() of the characters (payloads
+    // are the UTF-8 text bytes; ASCII); list_sum yields HUGEINT →
+    // cast back to BIGINT
+    "m_phash" ->
+      """WITH ch AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(range(0, 61), i ->
+                   list_sum(list_transform(range(1, len(cs) + 1), p ->
+                     CASE WHEN (p - 1) * 61 // len(cs) = i
+                          THEN ascii(cs[p]) ELSE 0 END))) AS seg
+               FROM ch)
+         SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 60),
+             i -> CASE WHEN seg[i+1] > seg[i+2]
+                  THEN 1::BIGINT << (59 - i) ELSE 0 END)) AS BIGINT) AS phash
+         FROM h ORDER BY doc_id""",
+    "m_phash_dedup" ->
+      """WITH ch AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+         h AS (SELECT doc_id,
+                 list_transform(range(0, 61), i ->
+                   list_sum(list_transform(range(1, len(cs) + 1), p ->
+                     CASE WHEN (p - 1) * 61 // len(cs) = i
+                          THEN ascii(cs[p]) ELSE 0 END))) AS seg
+               FROM ch),
+         p AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(range(0, 60),
+                   i -> CASE WHEN seg[i+1] > seg[i+2]
+                        THEN 1::BIGINT << (59 - i) ELSE 0 END)) AS BIGINT)
+                   AS phash
+               FROM h),
+         bb AS (SELECT doc_id, phash, band,
+                  (phash >> (15 * band)) & 32767 AS block
+                FROM p, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) u),
+         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                    CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+                  FROM bb x JOIN bb y ON x.band = y.band AND x.block = y.block
+                    AND x.doc_id < y.doc_id)
+         SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""",
     "t_filter_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),

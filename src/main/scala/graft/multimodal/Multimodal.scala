@@ -63,6 +63,67 @@ object Multimodal {
         (col("frame_idx") * frameBytes).as("byte_offset"))
   }
 
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** Perceptual hash (dHash) over the decoded payload — the image
+    * near-dup primitive: split the payload into 61 positional
+    * segments (the stub's stand-in for the 61 pixel columns of a
+    * downscaled grayscale image), sum the byte values in each, and
+    * take the 60 gradient bits (bit i = segment i outranks segment
+    * i+1) — exactly dHash's structure, so small local edits flip few
+    * bits while reordering the content is a different image. 60 bits
+    * (not 64) keeps the code positive in every engine's signed
+    * 64-bit integer, the same portability choice as the checksum
+    * below; the oracle replays the segmentation with integer
+    * arithmetic over ascii() of the characters (payloads here are
+    * ASCII text bytes). */
+  def phash(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val seg = new Array[Long](61)
+      it.map { r =>
+        java.util.Arrays.fill(seg, 0L)
+        val n = r.media.length
+        var i = 0
+        while (i < n) {
+          // segment = floor(i·61 / n): the same 61-way split however
+          // long the payload, exact in integer arithmetic
+          seg((i.toLong * 61 / n).toInt) += (r.media(i) & 0xFF)
+          i += 1
+        }
+        var code = 0L
+        i = 0
+        while (i < 60) {
+          code = (code << 1) | (if (seg(i) > seg(i + 1)) 1L else 0L)
+          i += 1
+        }
+        MediaHash(r.doc_id, code)
+      }
+    }
+  }
+
+  /** Near-dup pairs by perceptual hash: hamming-banded candidate
+    * generation (4 bands × 15 bits — pigeonhole: any pair within
+    * hamming ≤ 3 shares at least one intact band) + exact
+    * `bit_count(xor)` verification. The same banded-join shape as
+    * SimHash text dedup: per-bucket joins, never n², and the whole
+    * pipeline is integer arithmetic every engine replays. */
+  def phashPairs(hashes: Dataset[MediaHash], maxHamming: Int = 3): DataFrame = {
+    val banded = hashes.toDF().select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("block",
+        call_function("shiftright", col("phash"),
+          (lit(15) * col("band")).cast("int")).bitwiseAND(lit(0x7FFFL)))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.block") === col("y.block") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** STUB decode: stands in for an image decoder. Deterministic
     * dimensions/checksum from the bytes; processes each partition
     * in batches of `batchSize` the way a vectorized decoder would.

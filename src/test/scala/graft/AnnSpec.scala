@@ -120,4 +120,34 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(Knn.centroidAssign(df, "vec_id", "embedding", "label", 3)
       .groupBy("vec_id").count().filter(col("count") =!= 1).count() == 0)
   }
+
+  test("pq knn: exact re-ranked sims, recall tracks brute force") {
+    val model = graft.ann.Pq.train(emb, "vec_id", "embedding", dim,
+      m = 4, k = 16)
+    // every subspace codebook is complete and the right width
+    assert(model.codebooks.size == 4)
+    assert(model.codebooks.forall(cb => cb.size == 16 &&
+      cb.forall(_._2.size == 16)))
+    val pq = graft.ann.Pq.topK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", dim, k = 5, model).cache()
+    // one row per (query, rank), ranks 1..5, self excluded
+    assert(pq.count() == 50)
+    assert(pq.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // reported sims are EXACT cosines (the re-rank contract): agree
+    // with an independent brute-force computation wherever both rank
+    val brute = Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", dim, k = 500)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    assert(pq.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("sim") - col("bsim")) > 1e-12).count() == 0)
+    // recall@5 vs brute: ADC over 4×16 codes + exact re-rank of 32
+    val b5 = Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", dim, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got5 = pq.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got5 & b5).size.toDouble / b5.size
+    assert(recall >= 0.5, s"pq recall@5 = $recall")
+  }
 }

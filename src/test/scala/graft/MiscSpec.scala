@@ -107,6 +107,31 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
     assert(sample.n_bytes > 0)
   }
 
+  test("phash: dHash contract — local edits flip few bits, dups collide") {
+    import spark.implicits._
+    val base = (0 until 244).map(i => ('a' + (i * i * 31) % 26).toChar).mkString
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                    // exact duplicate
+      (3L, base.substring(0, 100) + "zzzz" + base.substring(104)), // local edit
+      (4L, base.reverse)                             // same bytes, other order
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val h = Multimodal.phash(Multimodal.attachMedia(docs))
+      .collect().map(m => m.doc_id -> m.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    assert(ham(h(1L), h(3L)) > 0 && ham(h(1L), h(3L)) <= 6,
+      s"local edit should flip few bits, flipped ${ham(h(1L), h(3L))}")
+    assert(ham(h(1L), h(4L)) > 10,
+      "reordered payload is a different image")
+    // banded pairs find the duplicate and the near-dup, not the reorder
+    val pairs = Multimodal.phashPairs(
+        Multimodal.phash(Multimodal.attachMedia(docs)), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
   test("stored function registry: revenue matches inline expression") {
     Registry.registerAll(spark)
     val li = Tables.lineitem(spark, sfDir)
