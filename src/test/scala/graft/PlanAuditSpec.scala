@@ -112,6 +112,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("might_contain"), s"native bloom probe missing:\n$p")
   }
 
+  test("filter rules: one scan, zero shuffles (map-side gate)") {
+    val p = executedPlan("t_filter_rules")
+    // the orderBy is the only exchange-like op (range partitioning
+    // for output determinism); the gate itself must not shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"rule gate introduced a hash shuffle:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("phash dedup: banded equi-join, never a nested-loop product") {
+    val p = executedPlan("m_phash_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"phash pairs lost the band/block equi keys:\n$p")
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²
