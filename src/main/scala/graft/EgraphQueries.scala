@@ -182,6 +182,13 @@ object EgraphQueries {
         .orderBy("a", "b")
     },
 
+    "g_node_sim" -> { (s, d) =>
+      // neighbor-set Jaccard between suppliers over shared customers
+      // (item-item co-occurrence similarity); top 25 pairs
+      Algorithms.nodeSimilarity(GraphBuilder.edges(s, d), topK = 25)
+        .orderBy(col("j").desc, col("a"), col("b"))
+    },
+
     "g_walks" -> { (s, d) =>
       // 4-step deterministic walks from every node (md5-argmin
       // choice — exactly replayable by the SQL oracle)
@@ -589,6 +596,18 @@ object EgraphQueries {
                    ORDER BY round(score, 4) DESC, b) AS rk FROM nc)
           SELECT a, b, round(score, 4) AS aa_score FROM rk
           WHERE rk <= 10 ORDER BY a, b""",
+    "g_node_sim" ->
+      s"""WITH e AS (SELECT src_key AS c, dst_key AS s FROM ($edgesSql)),
+          deg AS (SELECT s, count(*) AS d FROM e GROUP BY 1),
+          inter AS (SELECT x.s AS a, y.s AS b, count(*) AS i
+                    FROM e x JOIN e y ON x.c = y.c AND x.s < y.s
+                    GROUP BY 1, 2),
+          j AS (SELECT a, b,
+                  round(i::DOUBLE / (da.d + db.d - i), 4) AS j
+                FROM inter
+                JOIN deg da ON da.s = inter.a
+                JOIN deg db ON db.s = inter.b)
+          SELECT a, b, j FROM j ORDER BY j DESC, a, b LIMIT 25""",
     "g_walks" ->
       s"""WITH RECURSIVE ue AS ($undirectedSql),
           ch AS (SELECT a AS cur, t,

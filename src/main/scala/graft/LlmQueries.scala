@@ -385,6 +385,19 @@ object LlmQueries {
         .orderBy("window_start", "event_type")
     },
 
+    "s_trending" -> { (s, d) =>
+      // daily trending: top-2 event types per calendar day by count,
+      // produced by the custom TopKPerKeyExec (bounded heap per day,
+      // no partition sort) — the same operator as q7_topk_native in
+      // its streaming-analytics role
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.plans.TopK.perKey(daily, Seq("day"),
+          Seq("n" -> false, "event_type" -> true), k = 2)
+        .orderBy("day", "event_type")
+    },
+
     "s_overlap_join" -> { (s, d) =>
       // interval×interval overlap: purchase influence windows
       // [t, t+24h) × click activity windows [t, t+2h) per user —
@@ -1027,6 +1040,16 @@ object LlmQueries {
          SELECT window_start, event_type, count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "s_trending" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n
+         FROM events GROUP BY 1, 2),
+         r AS (SELECT day, event_type, n,
+           row_number() OVER (PARTITION BY day
+             ORDER BY n DESC, event_type) AS rk
+         FROM d)
+         SELECT day, event_type, n FROM r WHERE rk <= 2
+         ORDER BY day, event_type""",
     "t_reservoir" ->
       """WITH r AS (SELECT source, doc_id,
            md5(CAST(doc_id AS VARCHAR)) AS h,

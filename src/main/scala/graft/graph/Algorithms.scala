@@ -357,6 +357,36 @@ object Algorithms {
     all.reduce(_ unionByName _)
   }
 
+  /** Structural similarity between destination-side nodes of a
+    * bipartite edge list: neighbor-set Jaccard — for suppliers x, y,
+    * J = |N(x)∩N(y)| / |N(x)∪N(y)| over their customer sets ("who
+    * is bought by the same customers"), the classic co-occurrence
+    * similarity behind item-item recommendations. Top `topK` pairs
+    * by (rounded J desc, ids).
+    *
+    * Scale shape: the intersection comes from the co-neighbor wedge
+    * join keyed on the SHARED neighbor (fan-out bounded by neighbor
+    * degree, the same Σdeg² envelope as the triangle wedge — skewed
+    * hub neighbors would salt the same way), union sizes derive from
+    * two degree joins that AQE broadcasts, and the top-k is a
+    * TakeOrdered, never a global sort. Never materializes all-pairs:
+    * only pairs with ≥1 shared neighbor exist. */
+  def nodeSimilarity(edges: DataFrame, topK: Int): DataFrame = {
+    val e = edges.select(col("src_key").as("c"), col("dst_key").as("s"))
+    val deg = e.groupBy("s").agg(count(lit(1)).as("d"))
+    val inter = e.as("x").join(e.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter.join(deg.select(col("s").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("s").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        round(col("i").cast("double") / (col("da") + col("db") - col("i")), 4)
+          .as("j"))
+      .orderBy(col("j").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   /** Adamic-Adar link prediction from a seed set: for each seed `a`
     * and each non-adjacent candidate `b` reachable in two hops,
     * score = Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)) — common neighbors,

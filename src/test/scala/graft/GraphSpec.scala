@@ -128,4 +128,19 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == est)
   }
+
+  test("node similarity: neighbor-set jaccard with hand-computed values") {
+    import spark.implicits._
+    // s1: {c1,c2,c3}  s2: {c2,c3,c4}  s3: {c4}
+    // J(s1,s2) = 2/4 = 0.5; J(s2,s3) = 1/3; J(s1,s3) = 0 (no shared
+    // customer → pair never materializes)
+    val e = Seq(("c1", "s1"), ("c2", "s1"), ("c3", "s1"),
+        ("c2", "s2"), ("c3", "s2"), ("c4", "s2"),
+        ("c4", "s3"))
+      .toDF("src_key", "dst_key")
+    val got = Algorithms.nodeSimilarity(e, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == Map(("s1", "s2") -> 0.5, ("s2", "s3") -> 0.3333))
+  }
 }
