@@ -127,6 +127,46 @@ object Analytics {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    "q12_rolling" -> { (s, d) =>
+      // rolling 30-day spend per customer: a RANGE-frame window
+      // (value-based, not row-based — peers at the same date share
+      // one frame, so ties are deterministic in any engine). Decimal
+      // accumulation, cast once at the end.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("sec"))
+        .rangeBetween(-2592000L, 0L)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          // NTZ→timestamp cast is wall-clock under the pinned UTC
+          // session tz — the same instant DuckDB's epoch_ns reads
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000")
+            .as("sec"),
+          money(col("o_totalprice")).as("p"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("p")).over(w).cast("double").as("spend_30d"),
+          count(lit(1)).over(w).as("n_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "q13_pivot" -> { (s, d) =>
+      // PIVOT: order counts per status × priority, explicit value
+      // list so the output schema is static (the streaming-safe and
+      // 100 TB-safe form — an implicit pivot scans twice to discover
+      // values); absent cells coalesce to 0 like SQL's FILTER form
+      val p = Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+      p.select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p1_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p2_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p3_medium"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p4_none"),
+          coalesce(col("5-LOW"), lit(0L)).as("p5_low"))
+        .orderBy("o_orderstatus")
+    },
+
     "q10_percentiles" -> { (s, d) =>
       // exact interpolated percentiles (both engines do linear
       // interpolation over the sorted values) + exact distinct count.
@@ -240,6 +280,26 @@ object Analytics {
          count(*) AS n_orders
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    // timestamp→long in Spark is epoch seconds; epoch_ns//1e9
+    // replays it exactly as BIGINT (DuckDB's epoch() is a double)
+    "q12_rolling" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY epoch_ns(o_orderdate) // 1000000000
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS spend_30d,
+         count(*) OVER (
+           PARTITION BY o_custkey ORDER BY epoch_ns(o_orderdate) // 1000000000
+           RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q13_pivot" ->
+      """SELECT o_orderstatus,
+         count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+         count(*) FILTER (o_orderpriority = '2-HIGH') AS p2_high,
+         count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+         count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_none,
+         count(*) FILTER (o_orderpriority = '5-LOW') AS p5_low
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q10_percentiles" ->
       """SELECT o_orderstatus,
          round(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -19,6 +19,17 @@ import org.apache.spark.sql.graftbridge.PlanBridge
   * keeps a bounded heap per key, so memory is O(keys·k) and the
   * only shuffle is the clustering on the key.
   *
+  * Relation to stock Spark: since 3.5 `InferWindowGroupLimit`
+  * rewrites the same filtered-rank idiom into partial/final
+  * `WindowGroupLimitExec` — but that form still SORTS every
+  * partition on both sides of the exchange (rank semantics via
+  * sorted scan). This operator is the sort-free variant: heap
+  * selection only, no ordering of survivors. We deliberately do NOT
+  * install an optimizer rule to auto-rewrite user windows (the
+  * built-in rule already bounds the rows; duplicating it would
+  * fight the stock optimizer) — callers opt in via [[TopK.perKey]]
+  * when they don't need the rank column.
+  *
   * Full custom-operator stack: logical node → planner strategy →
   * physical node, installed per-session via
   * `spark.experimental.extraStrategies` (or
