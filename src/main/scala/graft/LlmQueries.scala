@@ -368,6 +368,13 @@ object LlmQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    "d_dup_stats" -> { (s, d) =>
+      // the per-doc report over the spans: duplicated-token count and
+      // fraction — the drop/trim decision signal
+      Dedup.duplicationStats(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
+
     "t_perplexity" -> { (s, d) =>
       TextRetrieval.unigramPerplexity(Tables.documents(s, d),
           "doc_id", "text")
@@ -1002,6 +1009,37 @@ object LlmQueries {
            CAST(max(pos) + 7 AS BIGINT) AS span_end,
            CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_dup_tokens
          FROM ii GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "d_dup_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents WHERE len(string_split(text, ' ')) >= 8),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i+7], ' ')) AS g
+               FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7))
+                 AS i) u),
+         d AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         m AS (SELECT doc_id, pos FROM g JOIN d USING (g)),
+         i AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, -1)
+                   THEN 1 ELSE 0 END AS nw
+               FROM m),
+         ii AS (SELECT doc_id, pos,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM i),
+         sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 7 AS e0
+                FROM ii GROUP BY doc_id, island),
+         agg AS (SELECT doc_id, CAST(sum(e0 - s0 + 1) AS BIGINT) AS dup_tokens,
+                   count(*) AS n_spans
+                 FROM sp GROUP BY doc_id)
+         SELECT dd.doc_id,
+           CAST(len(string_split(dd.text, ' ')) AS BIGINT) AS n_tokens,
+           coalesce(agg.dup_tokens, 0) AS dup_tokens,
+           coalesce(agg.n_spans, 0) AS n_spans,
+           round(coalesce(agg.dup_tokens, 0)::DOUBLE
+             / len(string_split(dd.text, ' ')), 4) AS dup_frac
+         FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id
+         ORDER BY dd.doc_id""",
     "t_perplexity" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                     FROM documents),

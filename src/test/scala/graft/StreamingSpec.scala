@@ -264,4 +264,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed == batch.filter(_._2 > 0),
       s"streamed=$streamed batch=$batch")
   }
+
+  test("streaming trending: windowed counts + per-batch top-k equals batch") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = eventsSample
+    val stream = MemoryStream[Ev]
+    // daily counts maintained by the stream (complete mode: the day
+    // totals grow as data arrives); the top-k cut runs on the tiny
+    // aggregated state via the SAME custom TopKPerKeyExec as batch —
+    // the standard "aggregate in the stream, rank at the sink" split
+    val counts = stream.toDF()
+      .groupBy(window(col("ts"), "1 day").getField("start").cast("date")
+        .as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("trend_counts")
+      .outputMode("complete").start()
+    val (first, second) = evs.splitAt(evs.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(second); q.processAllAvailable()
+    val topk = graft.plans.TopK.perKey(spark.table("trend_counts"),
+        Seq("day"), Seq("n" -> false, "event_type" -> true), k = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    q.stop()
+    val batch = SparkEntry.queries("s_trending")(spark, sfDir)
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(topk == batch)
+  }
 }
