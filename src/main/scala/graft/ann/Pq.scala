@@ -66,8 +66,11 @@ object Pq {
   }
 
   private def unit(v: Column): Column = {
+    // zero vectors pass through unscaled (÷0 would code them as NaN
+    // argmin garbage) — the same guard as Ivf.normalize
     val n = sqrt(Knn.dot(v, v))
-    transform(v, x => x.cast("double") / n)
+    transform(v, x => when(n === 0d, x.cast("double"))
+      .otherwise(x.cast("double") / n))
   }
 
   /** Train the per-subspace codebooks: deterministic seeding (first

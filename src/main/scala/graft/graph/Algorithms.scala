@@ -370,7 +370,11 @@ object Algorithms {
     * hub neighbors would salt the same way), union sizes derive from
     * two degree joins that AQE broadcasts, and the top-k is a
     * TakeOrdered, never a global sort. Never materializes all-pairs:
-    * only pairs with ≥1 shared neighbor exist. */
+    * only pairs with ≥1 shared neighbor exist.
+    *
+    * Input contract: one row per (src, dst) pair — GraphBuilder.edges
+    * guarantees this (it is a group-by output). Multi-edges would
+    * inflate both the intersection and the degrees. */
   def nodeSimilarity(edges: DataFrame, topK: Int): DataFrame = {
     val e = edges.select(col("src_key").as("c"), col("dst_key").as("s"))
     val deg = e.groupBy("s").agg(count(lit(1)).as("d"))

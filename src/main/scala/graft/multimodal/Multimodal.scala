@@ -84,6 +84,8 @@ object Multimodal {
       it.map { r =>
         java.util.Arrays.fill(seg, 0L)
         val n = r.media.length
+        // empty payload → all-zero segments → code 0 (the division
+        // below would otherwise throw on the first byte of nothing)
         var i = 0
         while (i < n) {
           // segment = floor(i·61 / n): the same 61-way split however
