@@ -347,6 +347,24 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "t_normalize" -> { (s, d) =>
+      // unicode normalization (native graft_nfc / graft_fold):
+      // DECOMPOSED accents are synthesized deterministically
+      // ('a' → 'a'+U+0301) so the pass has real work — NFC composes
+      // them (shorter string), accent folding strips them back to
+      // the original ASCII text
+      graft.functions.Registry.registerAll(s)
+      val synth = regexp_replace(col("text"), "a", "a\u0301")
+      Tables.documents(s, d).select(col("doc_id"),
+          md5(call_function("graft_nfc", synth)).as("nfc_fp"),
+          md5(call_function("graft_fold", synth)).as("fold_fp"),
+          (length(call_function("graft_nfc", synth)) < length(synth))
+            .as("composed"),
+          (call_function("graft_fold", synth) === col("text"))
+            .as("fold_restores"))
+        .orderBy("doc_id")
+    },
+
     "m_phash" -> { (s, d) =>
       // perceptual hash of every media payload (stub decode)
       Multimodal.phash(Multimodal.attachMedia(Tables.documents(s, d)))
@@ -918,6 +936,18 @@ object LlmQueries {
              rk_lex, rk_sem
            FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
          SELECT id, rrf, rk_lex, rk_sem FROM f ORDER BY rrf DESC, id LIMIT 25""",
+    // chr(769) = U+0301 combining acute — the same decomposed synth;
+    // DuckDB's nfc_normalize / strip_accents replay the JDK
+    // Normalizer exactly on Latin text
+    "t_normalize" ->
+      """WITH p AS (SELECT doc_id, text,
+           regexp_replace(text, 'a', 'a' || chr(769), 'g') AS s
+         FROM documents)
+         SELECT doc_id, md5(nfc_normalize(s)) AS nfc_fp,
+           md5(strip_accents(s)) AS fold_fp,
+           length(nfc_normalize(s)) < length(s) AS composed,
+           strip_accents(s) = text AS fold_restores
+         FROM p ORDER BY doc_id""",
     // the stub decode's 61 positional segments replayed with the same
     // floor((p-1)·61/n) split over ascii() of the characters (payloads
     // are the UTF-8 text bytes; ASCII); list_sum yields HUGEINT →

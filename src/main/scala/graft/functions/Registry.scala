@@ -27,6 +27,10 @@ object Registry {
       exprs => VectorExpressions.JaccardSortedExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cdc_cuts",
       exprs => VectorExpressions.CdcCutsExpr(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      exprs => TextNormalize.NfcExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_fold",
+      exprs => TextNormalize.FoldExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate",
       exprs => Compression.DeflateExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_inflate",

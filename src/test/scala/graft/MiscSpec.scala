@@ -56,6 +56,31 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
       Seq(DotProductExpr(a, b), DotProductExpr(a, a), DotProductExpr(b, b)))
   }
 
+  test("unicode normalization: NFC composes, fold strips, codegen compiles") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextNormalize
+    val pre = "caf\u00e9 ni\u00f1o"       // precomposed é, ñ
+    val dec = java.text.Normalizer.normalize(
+      pre, java.text.Normalizer.Form.NFD)  // genuinely decomposed
+    assert(dec.length == pre.length + 2)
+    assert(TextNormalize.nfc(UTF8String.fromString(dec)).toString == pre)
+    assert(TextNormalize.fold(UTF8String.fromString(dec)).toString == "cafe nino")
+    assert(TextNormalize.fold(UTF8String.fromString(pre)).toString == "cafe nino")
+    // idempotent; ASCII is a fixed point
+    assert(TextNormalize.nfc(UTF8String.fromString(pre)).toString == pre)
+    assert(TextNormalize.fold(UTF8String.fromString("plain")).toString == "plain")
+    // generate (not create) throws instead of silently interpreting
+    val s = BoundReference(0, StringType, nullable = true)
+    GenerateUnsafeProjection.generate(
+      Seq(TextNormalize.NfcExpr(s), TextNormalize.FoldExpr(s),
+        TextNormalize.FoldExpr(TextNormalize.NfcExpr(s))))
+    // null-safe through the expression path
+    assert(TextNormalize.NfcExpr(Literal(null, StringType)).eval() == null)
+  }
+
   test("geo bounding box never drops in-radius rows") {
     import graft.index.TypedIndexes
     // pure haversine (no box) as ground truth, incl. antimeridian
