@@ -127,6 +127,24 @@ object Analytics {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    "q14_grouping_sets" -> { (s, d) =>
+      // explicit GROUPING SETS with grouping_id: the status totals and
+      // the priority totals in ONE pass (rollup/cube's general form —
+      // Spark expands to a single expand+agg, no double scan), plus
+      // the grouping_id disambiguator for NULL-valued group keys
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT)
+                 AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus, o_orderpriority""")
+    },
+
     "q12_rolling" -> { (s, d) =>
       // rolling 30-day spend per customer: a RANGE-frame window
       // (value-based, not row-based — peers at the same date share
@@ -280,6 +298,15 @@ object Analytics {
          count(*) AS n_orders
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q14_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+         CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+           AS BIGINT) AS gid,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
     // timestamp→long in Spark is epoch seconds; epoch_ns//1e9
     // replays it exactly as BIGINT (DuckDB's epoch() is a double)
     "q12_rolling" ->
