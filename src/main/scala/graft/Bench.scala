@@ -79,10 +79,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
     println(line)
     // stdout capture has truncated mid-JSON before (sbt epilogue raced
-    // the tail) — persist the artifact to a known path as well
-    java.nio.file.Files.write(
+    // the tail) — persist the artifact to a known path as well.
+    // Best-effort: a failed write (read-only checkout, other cwd) must
+    // not turn already-printed valid timings into a nonzero sbt exit
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/bench_last.json"),
       (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] artifact write failed: $e") }
     // exit 0 even with per-query errors: the JSON line itself is the
     // artifact; a nonzero exit would make sbt fail the whole run and
     // could cost the driver the (still valid) timings of the others

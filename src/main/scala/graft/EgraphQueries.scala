@@ -48,11 +48,13 @@ object EgraphQueries {
   // triangle family (per-node counts, clustering coefficients) the
   // SAME frame instance is what lets Algorithms' triangle-stream
   // cache share one wedge join across them (immutable input dirs,
-  // same contract as GraphBuilder.edgeCache)
-  private val overlayCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
+  // same contract as GraphBuilder.edgeCache: BOUNDED, so a long-lived
+  // multi-store service can't pin sessions + checkpoints forever;
+  // eviction drops the reference only — see the edgeCache note)
+  private val overlayCache =
+    new graft.util.LruCache[(SparkSession, String), DataFrame](16)
   private def overlaidFor(s: SparkSession, d: String): DataFrame =
-    overlayCache.getOrElseUpdate((s, d),
+    overlayCache.getOrElseUpdate((s, d))(
       GraphBuilder.undirectedFor(s, d)
         .unionByName(supplierChainOverlay(s, d)).localCheckpoint())
 

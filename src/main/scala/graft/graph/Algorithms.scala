@@ -34,7 +34,14 @@ object Algorithms {
     * variant degenerates to hub-degree² wedges on power-law graphs.
     */
   def triangleCount(undirectedEdges: DataFrame): DataFrame =
-    triangleStream(undirectedEdges).agg(count(lit(1)).as("n_triangles"))
+    // reuse an already-materialized enumeration, but never FORCE one
+    // for a bare count: the single-row aggregate streams over the
+    // wedge join in O(1) extra space, while an eager checkpoint would
+    // store every (u,w1,w2) row (up to O(m^1.5) on clustered graphs)
+    // just to count them
+    triangleCache.get(undirectedEdges).getOrElse(
+        triangleStreamBuild(undirectedEdges))
+      .agg(count(lit(1)).as("n_triangles"))
 
   /** Per-node triangle participation on the same degree-ordered
     * wedge join as [[triangleCount]] — each matched triangle emits

@@ -132,18 +132,26 @@ object TypedIndexes {
     * r + 1e-4 so rounding at the rim can never swap a member out of
     * the pool. */
   def geoKnnPoints(points: DataFrame, lat0: Double, lon0: Double,
-      k: Int, r0: Double = 1.0): DataFrame = {
+      k: Int, r0: Double = 1.0, maxExtent: Double = 512.0): DataFrame = {
+    require(k > 0 && r0 > 0 && maxExtent >= r0,
+      s"need k > 0, r0 > 0 and maxExtent >= r0, got ($k, $r0, $maxExtent)")
     val distX = sqrt(pow(col("lat") - lat0, 2) + pow(col("lon") - lon0, 2))
     def ring(r: Double) = points
       .filter(col("lat").between(lat0 - r, lat0 + r) &&
         col("lon").between(lon0 - r, lon0 + r))
       .filter(distX <= r)
-    // max planar extent of the degree grid is < 512, so the loop is
-    // bounded; the counts are driver-side but each is a tiny
-    // box-pruned aggregate — the standard expanding-ring probe shape
+    // each count is a tiny box-pruned aggregate; the doubling is
+    // capped at maxExtent (default: the demo grid's planar extent),
+    // and if even that ring holds fewer than k points the pool falls
+    // back to the UNBOXED exact scan — never a silent short answer
     var r = r0
-    while (r < 512.0 && ring(r).limit(k).count() < k) r *= 2
-    ring(math.min(r, 512.0) + 1e-4)
+    var enough = ring(r).limit(k).count() >= k
+    while (!enough && r < maxExtent) {
+      r = math.min(r * 2, maxExtent)
+      enough = ring(r).limit(k).count() >= k
+    }
+    val pool = if (enough) ring(r + 1e-4) else points
+    pool
       .select(col("node_key"), col("lat"), col("lon"),
         round(distX, 4).as("dist"))
       .orderBy(col("dist").asc, col("node_key").asc)

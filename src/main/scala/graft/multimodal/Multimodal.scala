@@ -104,26 +104,20 @@ object Multimodal {
     }
   }
 
-  /** Near-dup pairs by perceptual hash: hamming-banded candidate
-    * generation (4 bands × 15 bits — pigeonhole: any pair within
-    * hamming ≤ 3 shares at least one intact band) + exact
-    * `bit_count(xor)` verification. The same banded-join shape as
-    * SimHash text dedup: per-bucket joins, never n², and the whole
-    * pipeline is integer arithmetic every engine replays. */
+  /** Near-dup pairs by perceptual hash: the shared banded-hamming
+    * kernel ([[graft.dedup.Dedup.bandedHammingPairs]]) at 4 bands ×
+    * 15 bits + exact `bit_count(xor)` verification — per-bucket
+    * joins, never n², integer arithmetic every engine replays.
+    * Unlike SimHash's documented-heuristic wider radius, this
+    * surface PROMISES pigeonhole recall, so radii past the 4-band
+    * guarantee are rejected rather than silently lossy. */
   def phashPairs(hashes: Dataset[MediaHash], maxHamming: Int = 3): DataFrame = {
-    val banded = hashes.toDF().select(col("doc_id"), col("phash"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("block",
-        call_function("shiftright", col("phash"),
-          (lit(15) * col("band")).cast("int")).bitwiseAND(lit(0x7FFFL)))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.block") === col("y.block") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
-          .cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    require(maxHamming <= 3,
+      s"4×15-bit banding guarantees recall only for hamming ≤ 3; " +
+        s"got $maxHamming — add bands instead of widening the radius")
+    graft.dedup.Dedup.bandedHammingPairs(hashes.toDF(), "doc_id", "phash",
+        bands = 4, bandBits = 15, maxHamming)
+      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
   }
 
   /** STUB decode: stands in for an image decoder. Deterministic

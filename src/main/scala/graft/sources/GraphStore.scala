@@ -201,8 +201,13 @@ object GraphStore {
 
   private def notExpired(df: DataFrame): DataFrame =
     if (df.columns.contains("expires_at_us"))
+      // current_timestamp(), not a driver-side literal frozen at
+      // DataFrame construction: ComputeCurrentTime folds it to a
+      // fresh constant per EXECUTION (so it still pushes to the
+      // scan), and a long-lived or re-executed frame re-evaluates
+      // "now" instead of resurrecting rows that have since expired
       df.filter(col("expires_at_us").isNull ||
-        col("expires_at_us") > lit(System.currentTimeMillis() * 1000L))
+        col("expires_at_us") > expr("unix_micros(current_timestamp())"))
     else df
 
   /** Rewrite the node table without its expired rows (physical

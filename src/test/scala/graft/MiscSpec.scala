@@ -151,7 +151,7 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
       "reordered payload is a different image")
     // banded pairs find the duplicate and the near-dup, not the reorder
     val pairs = Multimodal.phashPairs(
-        Multimodal.phash(Multimodal.attachMedia(docs)), maxHamming = 6)
+        Multimodal.phash(Multimodal.attachMedia(docs)), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
     assert(!pairs.contains((1L, 4L)))
