@@ -222,6 +222,32 @@ object Analytics {
         .orderBy("o_orderstatus")
     },
 
+    "q15_correlated" -> { (s, d) =>
+      // TPC-H Q15 shape: supplier(s) whose windowed revenue equals
+      // the global max — the scalar-correlated-subquery pattern. The
+      // revenue CTE is computed ONCE (both consumers reference the
+      // same frame, Catalyst reuses the exchange); the scalar max is
+      // a single-row aggregate broadcast into the equality filter,
+      // and the surviving row set (≥1 row, usually 1) broadcasts
+      // into the supplier join — at any SF the only fact-sized work
+      // is the initial filtered scan+agg. Revenue is exact decimal
+      // arithmetic cast once to double, so the max-equality compares
+      // identical float64 values in both engines.
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(dsum(discounted(col("l_extendedprice"), col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max("total_revenue").as("__mx"))
+      val top = rev.join(broadcast(mx), col("total_revenue") === col("__mx"))
+        .select("l_suppkey", "total_revenue")
+      Tables.supplier(s, d)
+        .join(broadcast(top), col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
     "q9_exists" -> { (s, d) =>
       // Customers with ≥1 order (semi) minus those with any F order
       // (anti) — EXISTS / NOT EXISTS as left_semi / left_anti joins.
@@ -333,6 +359,21 @@ object Analytics {
          round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
          count(DISTINCT o_custkey) AS n_custs
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q15_correlated" ->
+      """WITH revenue AS (
+           SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier, revenue
+         WHERE s_suppkey = l_suppkey
+           AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
     "q9_exists" ->
       """SELECT c_custkey, c_name,
          CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal

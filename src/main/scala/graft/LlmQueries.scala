@@ -517,6 +517,25 @@ object LlmQueries {
       Dedup.crossSplitContaminationBloom(Tables.documents(s, d),
           "doc_id", "text", n = 8)
         .orderBy("doc_id")
+    },
+
+    "t_collocations" -> { (s, d) =>
+      // PMI collocation mining: the corpus's most associated adjacent
+      // word pairs (phrase/vocab discovery)
+      TextRetrieval.collocations(Tables.documents(s, d), "doc_id", "text",
+        minCount = 5, k = 100)
+    },
+
+    "t_winnow" -> { (s, d) =>
+      // winnowing (MOSS) fingerprint selection: min-hash per sliding
+      // gram window, ties rightmost
+      TextAnalysis.winnow(Tables.documents(s, d), "doc_id", "text",
+        k = 3, w = 4)
+    },
+
+    "s_interarrival" -> { (s, d) =>
+      EventStreams.interArrivalBatch(Tables.events(s, d))
+        .orderBy("event_type")
     }
   )
 
@@ -1249,6 +1268,64 @@ object LlmQueries {
            CAST(date_diff('day', cohort_week, wk) / 7 AS INT) AS week_offset,
            count(*) AS n_active
          FROM e JOIN c USING (user_id)
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // PMI with every division an explicit double and ln applied to
+    // the same ratio-of-ratios both engines compute; rounded to 4
+    // decimals BEFORE the ORDER BY so the top-k cut replays
+    "t_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         uni AS (SELECT u.w, count(*) AS cw
+                 FROM t, unnest(toks) AS u(w) GROUP BY 1),
+         nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS n_uni FROM uni),
+         pair AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS n_pair
+                  FROM t, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+                  GROUP BY 1, 2),
+         nb AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n_bi FROM pair)
+         SELECT w1, w2, n_pair,
+           round(ln((CAST(n_pair AS DOUBLE) / n_bi)
+             / ((CAST(u1.cw AS DOUBLE) / n_uni)
+                * (CAST(u2.cw AS DOUBLE) / n_uni))), 4) AS pmi
+         FROM pair, nu, nb, uni u1, uni u2
+         WHERE pair.w1 = u1.w AND pair.w2 = u2.w AND n_pair >= 5
+         ORDER BY pmi DESC, w1, w2 LIMIT 100""",
+    // winnowing: k=3-token grams, w=4-gram windows; min hash per
+    // window with rightmost tie-break encoded as h*2^21 + (2^20-pos),
+    // decoded by exact integer arithmetic; partial trailing window
+    // only for docs with fewer than w grams (cnt = least(w, total))
+    "t_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                 ('0x' || substring(md5(array_to_string(toks[i:i+2], ' ')),
+                   1, 8))::BIGINT AS h
+               FROM t, unnest(generate_series(1, len(toks) - 2)) AS s(i)
+               WHERE len(toks) >= 3),
+         m AS (SELECT doc_id,
+                 min(h * 2097152 + (1048576 - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+                 count(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt,
+                 count(*) OVER (PARTITION BY doc_id) AS total
+               FROM g)
+         SELECT DISTINCT doc_id, 1048576 - (m % 2097152) AS pos,
+           m // 2097152 AS fp
+         FROM m WHERE cnt = least(4, total)
+         ORDER BY doc_id, pos""",
+    "s_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_ns(ts) // 1000 AS tus FROM events),
+         g AS (SELECT event_type,
+                 tus - lag(tus) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id) AS gap_us
+               FROM e)
+         SELECT event_type, count(*) AS n_gaps,
+           round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000, 4)
+             AS avg_gap_s,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -89,6 +89,32 @@ object EventStreams {
         (max(col("tus")) - min(col("tus"))).as("duration_us"))
   }
 
+  /** Inter-arrival gap statistics: the time between each user's
+    * consecutive events (lag over the per-user event-time order),
+    * rolled up by the event type that ENDED the gap — the latency
+    * profile behind session-gap tuning (is 30 min the right
+    * threshold?) and arrival-rate anomaly baselines. Gaps are exact
+    * integer microseconds; the mean is the only float and both
+    * engines compute it by the same double division order. Scale
+    * shape: one window shuffle on user_id + one small agg on
+    * event_type — the same partitioning a sessionization pipeline
+    * already pays, so this rides along free in practice. */
+  def interArrivalBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1))
+          / lit(1000000.0), 4).as("avg_gap_s"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
   /** Streaming exact dedup: drop events whose dedup key was already
     * seen, with the watermark bounding the dedup state (the
     * streaming form of the corpus exact-dedup operator). */

@@ -144,6 +144,58 @@ object Retrieval {
         round(exp(col("xent")), 4).as("ppl"))
   }
 
+  /** PMI collocation mining: the corpus's most strongly associated
+    * adjacent word pairs — `pmi(x,y) = ln( p(xy) / (p(x)·p(y)) )`
+    * with probabilities estimated from corpus counts (Church & Hanks
+    * 1990). The phrase-discovery primitive (multi-word expressions,
+    * named entities, domain terms) a tokenizer- or vocab-building
+    * pipeline runs over a new corpus.
+    *
+    * `minCount` floors the pair count so low-frequency accidents
+    * (whose PMI is inflated by construction) never surface. Output:
+    * top `k` pairs by PMI, ties broken lexicographically; PMI is
+    * rounded to 4 decimals BEFORE ranking so the cut is replayable
+    * cross-engine (the ratio-of-doubles + ln differs only past the
+    * rounded digit).
+    *
+    * Scale shape: bigram/unigram extraction is map-side; each count
+    * is one partial-aggregated shuffle (type-sized, not corpus-
+    * sized); the totals are single-row broadcast aggregates; the
+    * pair→unigram-count joins go UN-hinted — unigram vocabularies
+    * are Heaps'-law bounded but this library refuses to promise
+    * driver-sized frames on corpus-derived keys (see
+    * [[bigramPerplexity]]), so AQE broadcasts when it measures
+    * small. The final top-k is a `TakeOrdered`, never a full sort. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5, k: Int = 100): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val base = docs.select(col(idCol),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nUni = uni.agg(sum("cw").cast("double").as("n_uni"))
+    val pair = base
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val nBi = pair.agg(sum("n_pair").cast("double").as("n_bi"))
+    pair.filter(col("n_pair") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1"),
+        "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2"),
+        "w2")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") / col("n_bi"))
+          / ((col("c1").cast("double") / col("n_uni"))
+             * (col("c2").cast("double") / col("n_uni")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Unigram-LM cross-entropy / perplexity per document, with the
     * model estimated on the corpus itself (the CCNet / Gopher
     * "LM quality" signal, here with the simplest possible LM so the

@@ -248,6 +248,69 @@ object TextAnalysis {
         col("ok_alpha") && col("ok_symbol") && col("ok_stop"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS algorithm): hash every k-token gram, slide a w-gram
+    * window, and keep each window's minimum hash (ties → rightmost).
+    * Guarantees: every shared run of w+k−1 tokens between two
+    * documents yields at least one shared fingerprint, and the
+    * selected density is ~2/(w+1) — the classic local, position-
+    * robust alternative to [[rollingFingerprint]]'s whole-document
+    * hash. Documents shorter than k tokens have no gram and drop
+    * out; documents with fewer than w grams contribute their single
+    * (partial) trailing window, per the paper's boundary convention.
+    *
+    * Cross-engine determinism: gram hash = first 32 md5 bits (the
+    * same portable token hash as [[rollingFingerprint]]); the
+    * min-with-rightmost-tie-break is ENCODED into one integer —
+    * `hash·2^21 + (2^20 − pos)` — so a plain window `min` resolves
+    * both criteria at once and decodes exactly in any engine
+    * (positions are required < 2^20; a 1M-token document at k=3
+    * would overflow the encoding, fail loudly, not silently).
+    *
+    * Scale shape: gram hashing is map-side; the ONLY shuffle is the
+    * per-document window (same doc-id partitioning every per-doc
+    * text operator here uses); fingerprints emerge deduplicated by
+    * a per-doc distinct that rides the same partitioning. */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got ($k, $w)")
+    val toks = col("__toks")
+    val grams = df
+      .select(col(idCol), wsTokens(col(textCol)).as("__toks"))
+      .filter(size(toks) >= k)
+      .select(col(idCol), posexplode(transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .as(Seq("pos", "gram")))
+    val ghash = conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+    val wf = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(w - 1), 0)
+    val wd = Window.partitionBy(idCol)
+    // the promised loud overflow failure: a pos ≥ 2^20 would silently
+    // corrupt the tie-break encoding, so it errors instead; the guard
+    // feeds the encoding itself, so column pruning can't drop it
+    val checkedPos = when(col("pos") < 1048576L, col("pos"))
+      .otherwise(raise_error(concat(
+        lit("winnow: gram position overflows the 2^20 encoding: "),
+        col("pos").cast("string"))))
+    grams
+      .select(col(idCol), col("pos"),
+        (ghash * 2097152L + (lit(1048576L) - checkedPos)).as("comb"))
+      .select(col(idCol),
+        min(col("comb")).over(wf).as("m"),
+        count(lit(1)).over(wf).as("cnt"),
+        count(lit(1)).over(wd).as("total"))
+      .filter(col("cnt") === least(lit(w.toLong), col("total")))
+      // 2097152 = 2^21, so the hash half decodes as an exact shift
+      // (long `/` would go through double division, whose rounding at
+      // the r=1 boundary sits exactly on a half-ulp)
+      .select(col(idCol), (lit(1048576L) - col("m") % 2097152L).as("pos"),
+        call_function("shiftright", col("m"), lit(21)).as("fp"))
+      .distinct()
+      .orderBy(col(idCol), col("pos"))
+  }
+
   /** Order-sensitive rolling polynomial hash over the token-hash
     * sequence (multiplier 1000003, masked to 32 bits each step so
     * the multiply never overflows a long under ANSI mode) — the

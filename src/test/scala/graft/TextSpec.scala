@@ -113,4 +113,98 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(all.filter(col("keep") =!= (col("ok_len") && col("ok_mean_len") &&
       col("ok_alpha") && col("ok_symbol") && col("ok_stop"))).count() == 0)
   }
+
+  test("winnow: shared w+k-1 token run shares a fingerprint; density ~2/(w+1)") {
+    import spark.implicits._
+    val k = 3; val w = 4
+    // two documents sharing a 6-token run (= w+k-1): the winnowing
+    // guarantee says at least one fingerprint must match
+    val shared = "one two three four five six"
+    val docs = Seq(
+      (1L, "aa bb cc " + shared + " dd ee"),
+      (2L, "xx yy " + shared + " zz"),
+      (3L, "pp qq rr ss")) // 4 tokens: 2 grams < w → single partial window
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnow(docs, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val f1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, "shared run must yield a shared fingerprint")
+    // short doc: at least one fingerprint from its partial window
+    assert(fps.count(_._1 == 3L) >= 1)
+    // every selected position is a valid gram position
+    assert(fps.forall { case (_, pos, _) => pos >= 0 })
+    // density on real data: expected ~2/(w+1) of grams selected;
+    // allow a broad band (hash ties and boundary windows move it)
+    val real = Tables.documents(spark, sfDir)
+    val nGrams = real.select(
+        greatest(size(split(col("text"), " ")) - (k - 1), lit(0)).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val nSel = TextAnalysis.winnow(real, "doc_id", "text", k, w).count()
+    val density = nSel.toDouble / nGrams
+    assert(density > 0.2 && density < 0.6,
+      s"winnow density $density far from 2/(w+1)=0.4")
+  }
+
+  test("winnow tie-break is rightmost and selection is position-robust") {
+    import spark.implicits._
+    // identical windows: a doc of one repeated token — every gram
+    // hash equal, so each window's min is its RIGHTMOST gram; with
+    // w=4, selected positions advance one per window → all positions
+    val rep = Seq((1L, Seq.fill(10)("same").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sel = TextAnalysis.winnow(rep, "doc_id", "text", 3, 4)
+      .collect().map(_.getLong(1)).sorted
+    // grams 0..7; full windows end at 3..7, min picks window end
+    assert(sel.toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+    // prefix insertion shifts positions but preserves fingerprints
+    val a = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "pre1 pre2 alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val fa = TextAnalysis.winnow(a, "doc_id", "text", 3, 4)
+      .collect().map(_.getLong(2)).toSet
+    val fb = TextAnalysis.winnow(b, "doc_id", "text", 3, 4)
+      .collect().map(_.getLong(2)).toSet
+    assert((fa & fb).size >= (fa.size - 1),
+      "fingerprints selected away from the edit must survive a prefix shift")
+  }
+
+  test("collocations: frozen pair tops PMI, minCount floors accidents") {
+    import spark.implicits._
+    // "ad hoc" always adjacent and rare: highest PMI; "the cat"
+    // frequent but 'the' promiscuous: low PMI; single-shot pair
+    // excluded by minCount
+    val docs = (1 to 6).map(i =>
+      (i.toLong, "the cat sat on the mat ad hoc " + s"only$i once$i")) ++
+      Seq((7L, "the dog sat on the rug ad hoc unique pair"))
+    val r = graft.text.Retrieval.collocations(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minCount = 5, k = 10)
+      .collect()
+    assert(r.nonEmpty)
+    val top = (r(0).getString(0), r(0).getString(1))
+    assert(top == ("ad", "hoc"), s"expected (ad,hoc) on top, got $top")
+    val pairs = r.map(x => (x.getString(0), x.getString(1))).toSet
+    assert(!pairs.contains(("unique", "pair")), "minCount must floor 1-shot pairs")
+    // PMI of a pair with independent parts is near 0; of (ad, hoc):
+    // p(xy)=p(x)=p(y) ⇒ pmi = ln(N_uni²/(N_bi·c)) > 0
+    assert(r(0).getDouble(3) > 1.0)
+  }
+
+  test("inter-arrival gaps are exact and typed per ending event") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L, "a", 0.0),
+      (2L, ts("2024-01-01 10:00:10"), 5L, "b", 0.0),  // gap 10s ends at b
+      (3L, ts("2024-01-01 10:01:10"), 5L, "a", 0.0),  // gap 60s ends at a
+      (4L, ts("2024-01-01 10:00:00"), 6L, "a", 0.0))  // other user: no gap
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.streaming.EventStreams.interArrivalBatch(ev)
+      .orderBy("event_type").collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(r(0).getLong(1) == 1L && r(0).getLong(3) == 60000000L)
+    assert(r(1).getLong(1) == 1L && r(1).getDouble(2) == 10.0)
+  }
 }
