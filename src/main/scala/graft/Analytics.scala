@@ -261,6 +261,114 @@ object Analytics {
         .select(col("c_custkey"), col("c_name"),
           money(col("c_acctbal")).cast("double").as("acctbal"))
         .orderBy("c_custkey")
+    },
+
+    "q16_supplier_cnt" -> { (s, d) =>
+      // TPC-H Q16 shape: distinct-supplier breadth per part attribute
+      // group, minus an excluded-supplier set (the "complaints" anti
+      // join). part⋈lineitem shuffles on partkey once; the excluded
+      // set is a small fraction of suppliers at any SF → broadcast
+      // anti join; count(DISTINCT) pays the one extra shuffle a
+      // distinct aggregation inherently needs (partial distinct on
+      // (group, suppkey) first, so the wide shuffle dedups map-side).
+      val p = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val excluded = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 1000).select("s_suppkey")
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    "q17_small_qty" -> { (s, d) =>
+      // TPC-H Q17 shape: per-part average-quantity correlated
+      // subquery — revenue from lineitems under half their part's
+      // mean quantity. The correlated scalar becomes one per-partkey
+      // aggregate joined back on the SAME key the brand join uses, so
+      // the plan is two shuffles on l_partkey (agg + join), no
+      // re-scan per row. Cross-engine exactness: l_quantity is
+      // integral-valued, so every partial double sum is exact and
+      // avg = sum/count is the correctly-rounded quotient in any
+      // accumulation order; 0.5*avg is an exponent shift.
+      val li = Tables.lineitem(s, d)
+      val partAvg = li.groupBy(col("l_partkey").as("pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      val brand = Tables.part(s, d).filter(col("p_brand") === "Brand#3")
+        .select("p_partkey")
+      li.join(brand, col("l_partkey") === col("p_partkey"))
+        .join(partAvg, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg((dsum(money(col("l_extendedprice"))) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    },
+
+    "q18_big_orders" -> { (s, d) =>
+      // TPC-H Q18 shape: large-quantity orders via group-HAVING, then
+      // the winner set (tiny) drives the orders/customer joins — at
+      // scale only the initial lineitem agg is fact-sized; AQE
+      // broadcasts the filtered aggregate into both joins.
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(dsum(money(col("l_quantity"))).as("total_qty"))
+        .filter(col("total_qty") > 190)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          money(col("o_totalprice")).cast("double").as("totalprice"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    "q19_disjunctive" -> { (s, d) =>
+      // TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+      // sides. Each disjunct's per-side implication is stated
+      // explicitly (brand IN-list on part, quantity envelope on
+      // lineitem) because an optimizer cannot derive single-side
+      // prefilters from an OR that references both tables — with
+      // them, each scan prunes BEFORE the join (PushedFilters carries
+      // the IN-list and the quantity range).
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_quantity").between(1, 45))
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 21)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 45))
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(dsum(discounted(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    "q22_idle_rich" -> { (s, d) =>
+      // TPC-H Q22 shape: scalar-subquery threshold + anti join. The
+      // positive-balance mean is ONE row broadcast into the filter
+      // (computed as exact-decimal sum → double, / bigint count, so
+      // both engines IEEE-divide identical operands); customers above
+      // it with no URGENT order roll up per nation.
+      val cust = Tables.customer(s, d)
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg((dsum(money(col("c_acctbal"))) / count(lit(1))).as("thr"))
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .filter(money(col("c_acctbal")).cast("double") > col("thr"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_custs"),
+          dsum(money(col("c_acctbal"))).as("total_bal"))
+        .orderBy("c_nationkey")
     }
   )
 
@@ -381,6 +489,64 @@ object Analytics {
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+         count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                 WHERE s_acctbal < 1000)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q17_small_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS avg_yearly,
+         count(*) AS n_items
+         FROM lineitem l, part
+         WHERE p_partkey = l.l_partkey AND p_brand = 'Brand#3'
+           AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)""",
+    "q18_big_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+         total_qty
+         FROM orders, customer,
+           (SELECT l_orderkey,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 190) t
+         WHERE o_orderkey = l_orderkey AND o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey LIMIT 100""",
+    "q19_disjunctive" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue,
+         count(*) AS n_items
+         FROM lineitem, part
+         WHERE p_partkey = l_partkey
+           AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+           AND l_quantity BETWEEN 1 AND 45
+           AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 21)
+             OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                 AND l_quantity BETWEEN 10 AND 30)
+             OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                 AND l_quantity BETWEEN 20 AND 45))""",
+    "q22_idle_rich" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM customer
+         WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
+           (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*)
+            FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderpriority = '1-URGENT')
+         GROUP BY c_nationkey ORDER BY c_nationkey"""
   )
 }
