@@ -205,6 +205,14 @@ object EgraphQueries {
         .orderBy("node")
     },
 
+    "g_harmonic" -> { (s, d) =>
+      // HyperBall harmonic centrality ≤3 hops (rows-only:
+      // sketch-based; exact-on-path-graph equality pinned in
+      // GraphSpec, where small-cardinality HLL is exact)
+      Algorithms.harmonicCentrality(GraphBuilder.undirectedFor(s, d), 3)
+        .orderBy("node")
+    },
+
     // the three heavyweight iterative algorithms run on the GraphX/
     // Pregel backend (the north-star scale path for batch graph
     // analytics); the DataFrame implementations in Algorithms/

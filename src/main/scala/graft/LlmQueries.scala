@@ -410,6 +410,21 @@ object LlmQueries {
         .orderBy("window_start", "event_type")
     },
 
+    "s_transitions" -> { (s, d) =>
+      // first-order Markov transition matrix over each user's
+      // time-ordered event sequence
+      EventStreams.transitionsBatch(Tables.events(s, d))
+        .orderBy("from_type", "to_type")
+    },
+
+    "t_heavyhitters" -> { (s, d) =>
+      // Space-Saving top-25 tokens (bounded-memory one-pass; this
+      // corpus runs in the no-eviction regime where the summary is
+      // provably exact — err_bound 0 — so the oracle is exact counts;
+      // the eviction-regime error bound is pinned in TextSpec)
+      text.HeavyHitters.topTokens(Tables.documents(s, d), "text", k = 25)
+    },
+
     "s_trending" -> { (s, d) =>
       // daily trending: top-2 event types per calendar day by count,
       // produced by the custom TopKPerKeyExec (bounded heap per day,
@@ -1313,6 +1328,24 @@ object LlmQueries {
            m // 2097152 AS fp
          FROM m WHERE cnt = least(4, total)
          ORDER BY doc_id, pos""",
+    "s_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_ns(ts) // 1000 AS tus FROM events),
+         p AS (SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id) AS to_type
+               FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS n
+               FROM p WHERE to_type IS NOT NULL
+               GROUP BY from_type, to_type)
+         SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+         FROM c ORDER BY from_type, to_type""",
+    "t_heavyhitters" ->
+      """SELECT t AS token, count(*) AS est, CAST(0 AS BIGINT) AS err_bound
+         FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         GROUP BY t ORDER BY est DESC, token LIMIT 25""",
     "s_interarrival" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                       epoch_ns(ts) // 1000 AS tus FROM events),

@@ -278,6 +278,47 @@ object Algorithms {
       expr("hll_sketch_estimate(sketch)").cast("long").as("est_reach"))
   }
 
+  /** Harmonic centrality for EVERY node, HyperBall-estimated
+    * (Boldi & Vigna 2014): H(v) = Σ_{u≠v} 1/d(u,v), accumulated from
+    * the ball-size deltas H(v) ≈ Σ_t (|ball_t(v)| − |ball_{t−1}(v)|)/t.
+    * Exact all-pairs BFS is |V| frontier expansions — quadratic
+    * output at 100 TB — while this reuses [[neighborhoodSizes]]'s
+    * round shape (one join + one mergeable HLL union-agg per round)
+    * and reads each round's estimate off the sketch.
+    *
+    * Unlike the lazily-chained reach query, every round here is BOTH
+    * the next round's input and an output (its estimate), so each
+    * sketch frame is localCheckpoint'ed once — otherwise round t's
+    * plan would re-run rounds 1..t−1 per consumer. At small
+    * cardinalities the HLL sketch is exact (sparse register mode),
+    * so the spec pins exact harmonic values on a path graph; at scale
+    * the estimate inherits HLL's ~1.6 % relative error (lgk=12). */
+  def harmonicCentrality(undirectedEdges: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val nodes = undirectedEdges.select(col("a")).distinct()
+    val edges = undirectedEdges
+      .unionByName(nodes.select(col("a"), col("a").as("b")))
+      .repartition(col("b")).localCheckpoint()
+    var sk = nodes.select(col("a").as("node"))
+      .groupBy("node").agg(expr("hll_sketch_agg(node, 12)").as("sketch"))
+      .localCheckpoint()
+    def est(f: DataFrame): DataFrame = f.select(col("node"),
+      expr("hll_sketch_estimate(sketch)").as("est"))
+    var harmonic = est(sk).select(col("node"), col("est").as("prev"),
+      lit(0.0).as("h"))
+    for (t <- 1 to maxDepth) {
+      sk = edges.join(sk, edges("b") === sk("node"))
+        .select(col("a").as("node"), col("sketch"))
+        .groupBy("node")
+        .agg(expr("hll_union_agg(sketch, true)").as("sketch"))
+        .localCheckpoint()
+      harmonic = harmonic.join(est(sk), "node")
+        .select(col("node"), col("est").as("prev"),
+          (col("h") + (col("est") - col("prev")) / lit(t.toDouble)).as("h"))
+    }
+    harmonic.select(col("node"), round(col("h"), 4).as("harmonic"))
+  }
+
   /** DataFrame label propagation: each round every node adopts its
     * neighbors' most frequent label, ties broken toward the
     * SMALLEST label — fully deterministic, unlike classic

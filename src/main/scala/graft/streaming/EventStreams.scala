@@ -115,6 +115,34 @@ object EventStreams {
         max(col("gap_us")).as("max_gap_us"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): for
+    * each user's time-ordered event sequence, count consecutive
+    * (from_type → to_type) pairs and their transition probability.
+    * One window shuffle on user_id (the same partitioning
+    * sessionization pays — lead() rides it), then one tiny agg on
+    * the type pair; the per-from normalizer is a window sum over the
+    * already-aggregated |types|² frame, so the probability division
+    * costs nothing at any scale. Ordering and ties are pinned to
+    * (integer µs, event_id) exactly like sessionize, and the
+    * probability is one BIGINT/BIGINT double division — both engines
+    * IEEE-divide identical operands. */
+  def transitionsBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wf), 6))
+      .select("from_type", "to_type", "n", "p")
+  }
+
   /** Streaming exact dedup: drop events whose dedup key was already
     * seen, with the watermark bounding the dedup state (the
     * streaming form of the corpus exact-dedup operator). */

@@ -129,6 +129,21 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(again == est)
   }
 
+  test("harmonic centrality is exact on a path graph (sparse-mode HLL)") {
+    // path a—b—c—d, depth 3: H(a) = 1 + 1/2 + 1/3 = 1.8333,
+    // H(b) = 1 + 1 + 1/2 = 2.5 (symmetric for c, d). At 4 nodes the
+    // HLL sketches are in exact sparse mode, so the ball-size deltas
+    // — and therefore the centralities — are exact, not estimates.
+    val e = und("a" -> "b", "b" -> "c", "c" -> "d")
+    val got = Algorithms.harmonicCentrality(e, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 1.8333, "b" -> 2.5, "c" -> 2.5, "d" -> 1.8333))
+    // determinism: HLL register merges are max-based, order-free
+    val again = Algorithms.harmonicCentrality(e, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
   test("node similarity: neighbor-set jaccard with hand-computed values") {
     import spark.implicits._
     // s1: {c1,c2,c3}  s2: {c2,c3,c4}  s3: {c4}

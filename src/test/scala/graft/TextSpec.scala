@@ -6,6 +6,34 @@ import graft.text.TextAnalysis
 
 class TextSpec extends AnyFunSuite with SparkFixture {
 
+  test("space-saving heavy hitters: exact in no-eviction regime, " +
+      "bounded in eviction regime") {
+    import spark.implicits._
+    // skewed stream: token "hot" ×60, "warm" ×20, then 40 singletons
+    val toks = Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 40).map(i => f"rare$i%02d")
+    val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // capacity ≥ distinct: provably exact, err_bound 0
+    val wide = text.HeavyHitters.topTokens(docs, "text", k = 5,
+        capacity = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(wide.forall(_._3 == 0L))
+    assert(wide.take(2).map(t => t._1 -> t._2).toSeq ==
+      Seq("hot" -> 60L, "warm" -> 20L))
+    // capacity 8 ≪ 42 distinct: estimates overcount by ≤ err_bound,
+    // and the dominant token (count > N/capacity) must survive
+    val tight = text.HeavyHitters.topTokens(docs, "text", k = 8,
+        capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    tight.foreach { case (tok, est, err) =>
+      val truth = exact.getOrElse(tok, 0L)
+      assert(truth <= est && est - err <= truth,
+        s"$tok est=$est err=$err true=$truth")
+    }
+    assert(tight.head._1 == "hot" && tight.head._2 >= 60L)
+  }
+
   test("langid picks the language whose stopwords dominate") {
     import spark.implicits._
     val df = Seq(
