@@ -417,6 +417,20 @@ object LlmQueries {
         .orderBy("from_type", "to_type")
     },
 
+    "s_pattern_match" -> { (s, d) =>
+      // CEP pattern: clicks within 1 h of a signup with no purchase
+      // in between (running conditional maxima, one window shuffle)
+      EventStreams.patternMatchBatch(Tables.events(s, d))
+        .orderBy("click_id")
+    },
+
+    "t_entropy" -> { (s, d) =>
+      // token-distribution Shannon entropy per doc (order-pinned
+      // left fold so the doubles match DuckDB bit-for-bit)
+      text.TextAnalysis.entropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "t_heavyhitters" -> { (s, d) =>
       // Space-Saving top-25 tokens (bounded-memory one-pass; this
       // corpus runs in the no-eviction regime where the summary is
@@ -1346,6 +1360,47 @@ object LlmQueries {
       """SELECT t AS token, count(*) AS est, CAST(0 AS BIGINT) AS err_bound
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          GROUP BY t ORDER BY est DESC, token LIMIT 25""",
+    "s_pattern_match" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_ns(ts) // 1000 AS tus FROM events),
+         m AS (SELECT user_id, event_id, event_type, tus,
+                 max(CASE WHEN event_type = 'signup' THEN tus END)
+                   OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS tsig,
+                 max(CASE WHEN event_type = 'purchase' THEN tus END)
+                   OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS tpur
+               FROM e)
+         SELECT user_id, event_id AS click_id,
+           CAST(tus - tsig AS BIGINT) AS gap_us
+         FROM m
+         WHERE event_type = 'click' AND tsig IS NOT NULL
+           AND (tpur IS NULL OR tsig > tpur)
+           AND tus - tsig <= 3600000000
+         ORDER BY click_id""",
+    // entropy folds left-to-right over token-sorted counts so both
+    // engines execute the identical IEEE op sequence (see
+    // TextAnalysis.entropy); list(... ORDER BY token) mirrors
+    // Spark's sort_array(collect_list(struct(token, c)))
+    "t_entropy" ->
+      """WITH c AS (SELECT doc_id, t AS token, count(*) AS c
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                          FROM documents)
+                    GROUP BY doc_id, t),
+         a AS (SELECT doc_id,
+                 list(c ORDER BY token) AS cs,
+                 CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS n
+               FROM c GROUP BY doc_id)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(cs) AS INT) AS n_distinct,
+           round(list_reduce(
+             list_prepend(0.0::DOUBLE,
+               list_transform(cs,
+                 cv -> -(cv::DOUBLE / n) * log2(cv::DOUBLE / n))),
+             (a, b) -> a + b), 6) AS entropy
+         FROM a ORDER BY doc_id""",
     "s_interarrival" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                       epoch_ns(ts) // 1000 AS tus FROM events),

@@ -143,6 +143,35 @@ object EventStreams {
       .select("from_type", "to_type", "n", "p")
   }
 
+  /** CEP-style pattern match (a MATCH_RECOGNIZE-lite): clicks whose
+    * most recent preceding signup (a) exists, (b) is more recent than
+    * any preceding purchase, and (c) happened within `windowUs`.
+    * The "most recent preceding X" states are running conditional
+    * maxima over a ROWS UNBOUNDED..1 PRECEDING frame — ONE window
+    * shuffle on user_id evaluates every state, the same partitioning
+    * sessionize/transitions pay; no self-joins, no per-pattern scans.
+    * A signup and purchase at the SAME microsecond count as a broken
+    * pattern (tsig > tpur is strict) — deterministic in both engines
+    * without depending on intra-tick row order. */
+  def patternMatchBatch(events: DataFrame,
+      windowUs: Long = 3600000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("tsig",
+        max(when(col("event_type") === "signup", col("tus"))).over(w))
+      .withColumn("tpur",
+        max(when(col("event_type") === "purchase", col("tus"))).over(w))
+      .filter(col("event_type") === "click" && col("tsig").isNotNull &&
+        (col("tpur").isNull || col("tsig") > col("tpur")) &&
+        col("tus") - col("tsig") <= windowUs)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        (col("tus") - col("tsig")).as("gap_us"))
+  }
+
   /** Streaming exact dedup: drop events whose dedup key was already
     * seen, with the watermark bounding the dedup state (the
     * streaming form of the corpus exact-dedup operator). */

@@ -30,6 +30,33 @@ object TextAnalysis {
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
+  /** Token-distribution Shannon entropy per document — the
+    * repetitiveness/diversity quality signal (low entropy = the doc
+    * is a few tokens repeated; gibberish with unique tokens maxes at
+    * log2(n)). Plan: one (doc, token) count shuffle + one per-doc
+    * collect — both keyed on doc_id, so the second agg rides the
+    * first's partitioning.
+    *
+    * Cross-engine exactness: floating-point summation is order-
+    * dependent, so H is folded LEFT-TO-RIGHT over counts sorted by
+    * token — both engines then execute the identical IEEE op
+    * sequence and the doubles match bit-for-bit before the final
+    * round(6) (the same discipline as the fingerprint fold). */
+  def entropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(wsTokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("token"), col("c"))))
+          .as("cs"),
+        sum(col("c")).cast("double").as("n"))
+      .select(col(idCol),
+        col("n").cast("long").as("n_tokens"),
+        size(col("cs")).as("n_distinct"),
+        round(aggregate(col("cs"), lit(0.0), (acc, x) => {
+          val p = x.getField("c").cast("double") / col("n")
+          acc - p * log2(p)
+        }), 6).as("entropy"))
+
   /** (n_tokens, n_chars, avg_token_len, stopword_ratio) per doc —
     * the length/punct/stopword quality features. Tokens are
     * materialized once per row: the output expressions reference
