@@ -286,37 +286,51 @@ object Algorithms {
     * round shape (one join + one mergeable HLL union-agg per round)
     * and reads each round's estimate off the sketch.
     *
-    * Unlike the lazily-chained reach query, every round here is BOTH
-    * the next round's input and an output (its estimate), so each
-    * sketch frame is localCheckpoint'ed once — otherwise round t's
-    * plan would re-run rounds 1..t−1 per consumer. At small
-    * cardinalities the HLL sketch is exact (sparse register mode),
-    * so the spec pins exact harmonic values on a path graph; at scale
-    * the estimate inherits HLL's ~1.6 % relative error (lgk=12). */
+    * The rounds chain as ONE lazy plan with each round referenced
+    * exactly once, like [[neighborhoodSizes]] — the trick is that the
+    * running harmonic sum and the previous ball size travel INSIDE
+    * the round state, delivered back to their own node's group by the
+    * self-loop row (every node has one; the same self-loop that folds
+    * "keep my own ball" into the join). Multi-reference formulations
+    * all benched badly at sf0.1: estimate taps re-execute round
+    * prefixes (19 s), per-round localCheckpoint pays block-manager
+    * pressure (42 s), and persist() pins the cached subplan's
+    * partitioning, which blocks AQE's shuffle→broadcast conversion
+    * for the round join (86 s). This form: single job, one join + one
+    * agg per round (~10 s cold, same as the reach query).
+    *
+    * At small cardinalities the HLL sketch is exact (sparse register
+    * mode), so the spec pins exact harmonic values on a path graph;
+    * at scale the estimate inherits HLL's ~1.6 % relative error
+    * (lgk=12). */
   def harmonicCentrality(undirectedEdges: DataFrame,
       maxDepth: Int): DataFrame = {
     val nodes = undirectedEdges.select(col("a")).distinct()
     val edges = undirectedEdges
       .unionByName(nodes.select(col("a"), col("a").as("b")))
       .repartition(col("b")).localCheckpoint()
-    var sk = nodes.select(col("a").as("node"))
+    // state: (node, sketch of ball_t, prev = |ball_{t-1}| est, h).
+    // |ball_0| = 1 exactly (single-item sparse sketch).
+    var state = nodes.select(col("a").as("node"))
       .groupBy("node").agg(expr("hll_sketch_agg(node, 12)").as("sketch"))
-      .localCheckpoint()
-    def est(f: DataFrame): DataFrame = f.select(col("node"),
-      expr("hll_sketch_estimate(sketch)").as("est"))
-    var harmonic = est(sk).select(col("node"), col("est").as("prev"),
-      lit(0.0).as("h"))
+      .select(col("node"), col("sketch"), lit(1.0).as("prev"),
+        lit(0.0).as("h"))
     for (t <- 1 to maxDepth) {
-      sk = edges.join(sk, edges("b") === sk("node"))
-        .select(col("a").as("node"), col("sketch"))
-        .groupBy("node")
-        .agg(expr("hll_union_agg(sketch, true)").as("sketch"))
-        .localCheckpoint()
-      harmonic = harmonic.join(est(sk), "node")
-        .select(col("node"), col("est").as("prev"),
+      val joined = edges.join(state, edges("b") === state("node"))
+        .select(edges("a").as("node"),
+          (edges("b") === edges("a")).as("self"),
+          col("sketch"), col("prev"), col("h"))
+      state = joined.groupBy("node")
+        .agg(expr("hll_union_agg(sketch, true)").as("sketch"),
+          max(when(col("self"), col("prev"))).as("prev"),
+          max(when(col("self"), col("h"))).as("h"))
+        .select(col("node"), col("sketch"),
+          expr("hll_sketch_estimate(sketch)").as("est"),
+          col("prev"), col("h"))
+        .select(col("node"), col("sketch"), col("est").as("prev"),
           (col("h") + (col("est") - col("prev")) / lit(t.toDouble)).as("h"))
     }
-    harmonic.select(col("node"), round(col("h"), 4).as("harmonic"))
+    state.select(col("node"), round(col("h"), 4).as("harmonic"))
   }
 
   /** DataFrame label propagation: each round every node adopts its
