@@ -351,6 +351,49 @@ object Analytics {
           count(lit(1)).as("n_items"))
     },
 
+    "q20_supplier_share" -> { (s, d) =>
+      // TPC-H Q20 shape: nested-aggregate semi-join chain — suppliers
+      // who shipped >80 % of some part's 1995 volume. The part-level
+      // total re-aggregates the (supplier, part) frame instead of
+      // re-scanning lineitem (one fact scan, second agg is
+      // candidate-pair-sized), and the winner set semi-joins into the
+      // supplier dim. Quantities are integral-valued, so double sums
+      // are exact in any accumulation order (< 2^53) and the 0.8
+      // share compare sees identical IEEE operands in both engines.
+      val sp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(col("l_quantity")).as("q"))
+      val pt = sp.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("q")).as("tq"))
+      val dominant = sp.join(pt, col("l_partkey") === col("pk"))
+        .filter(col("q") > lit(0.8) * col("tq"))
+        .select("l_suppkey")
+      Tables.supplier(s, d)
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    },
+
+    "q21_deciles" -> { (s, d) =>
+      // ntile decile stats per order status: ntile is deterministic
+      // once the window order is total — (totalprice, orderkey)
+      // breaks all ties identically in both engines.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("o_orderstatus", "decile")
+        .agg(count(lit(1)).as("n_orders"),
+          min(money(col("o_totalprice"))).cast("double").as("min_price"),
+          max(money(col("o_totalprice"))).cast("double").as("max_price"))
+        .orderBy("o_orderstatus", "decile")
+    },
+
     "q22_idle_rich" -> { (s, d) =>
       // TPC-H Q22 shape: scalar-subquery threshold + anti join. The
       // positive-balance mean is ONE row broadcast into the filter
@@ -536,6 +579,31 @@ object Analytics {
                  AND l_quantity BETWEEN 10 AND 30)
              OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                  AND l_quantity BETWEEN 20 AND 45))""",
+    "q20_supplier_share" ->
+      """WITH sp AS (SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+                     FROM lineitem
+                     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+                       AND l_shipdate < TIMESTAMP '1996-01-01'
+                     GROUP BY l_suppkey, l_partkey),
+         p AS (SELECT l_partkey AS pk, sum(q) AS tq FROM sp GROUP BY pk)
+         SELECT s_suppkey, s_name, n_name
+         FROM supplier, nation
+         WHERE s_nationkey = n_nationkey
+           AND s_suppkey IN (SELECT l_suppkey FROM sp, p
+                             WHERE sp.l_partkey = p.pk AND sp.q > 0.8 * p.tq)
+         ORDER BY s_suppkey""",
+    "q21_deciles" ->
+      """SELECT o_orderstatus, decile, count(*) AS n_orders,
+         CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS min_price,
+         CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS max_price
+         FROM (SELECT o_orderstatus, o_totalprice,
+                 ntile(10) OVER (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey) AS decile
+               FROM orders)
+         GROUP BY o_orderstatus, decile
+         ORDER BY o_orderstatus, decile""",
     "q22_idle_rich" ->
       """SELECT c_nationkey, count(*) AS n_custs,
          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
