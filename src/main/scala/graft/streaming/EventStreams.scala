@@ -229,6 +229,49 @@ object EventStreams {
     * flatMapGroupsWithState — state size scales with active users,
     * not event volume. Assumes per-user event-time order within a
     * batch (enforced by sorting each group's batch slice). */
+  case class PatternState(tsig: Long, tpur: Long)
+  case class PatternOut(user_id: Long, click_id: Long, gap_us: Long)
+
+  /** Streaming form of [[patternMatchBatch]]: per-user state is just
+    * the two running conditional maxima (latest signup / latest
+    * purchase time — 2 longs, bounded regardless of stream length).
+    * Each click is evaluated against the state BEFORE the current
+    * event folds in, replaying the batch form's strictly-preceding
+    * (ROWS ..1 PRECEDING) frame; the strict tsig > tpur compare is
+    * on values, so same-microsecond signup+purchase breaks the
+    * pattern identically in both forms. Assumes per-user event-time
+    * order across batches, like sessionizeStream (within a batch the
+    * group's slice is sorted). */
+  def patternMatchStream(events: Dataset[Ev],
+      windowUs: Long = 3600000000L): Dataset[PatternOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PatternState, PatternOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[PatternState]) =>
+          def us(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+          val sorted = evs.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var st = state.getOption
+            .getOrElse(PatternState(Long.MinValue, Long.MinValue))
+          val out = scala.collection.mutable.ListBuffer.empty[PatternOut]
+          sorted.foreach { e =>
+            val t = us(e.ts)
+            e.event_type match {
+              case "click"
+                  if st.tsig != Long.MinValue && st.tsig > st.tpur &&
+                    t - st.tsig <= windowUs =>
+                out += PatternOut(user, e.event_id, t - st.tsig)
+              case "signup" => st = st.copy(tsig = math.max(st.tsig, t))
+              case "purchase" => st = st.copy(tpur = math.max(st.tpur, t))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._

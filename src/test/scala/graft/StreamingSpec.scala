@@ -238,6 +238,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(bucketed.count() == plain.count())
   }
 
+  test("streaming pattern match equals the batch window form, across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val evs = eventsSample
+    val stream = MemoryStream[Ev]
+    val out = EventStreams.patternMatchStream(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("patterns")
+      .outputMode("append").start()
+    // split on EVENT TIME: per-user event-time order across batches
+    // is the operator's documented assumption
+    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = sorted.splitAt(sorted.size / 2)
+    stream.addData(first); q.processAllAvailable()
+    stream.addData(second); q.processAllAvailable()
+    val streamed = spark.table("patterns")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    val batch = EventStreams.patternMatchBatch(Tables.events(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming funnel matches the batch funnel counts, across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
