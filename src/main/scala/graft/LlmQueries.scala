@@ -431,6 +431,14 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "d_dsir" -> { (s, d) =>
+      // DSIR importance weights: target domain = English slice,
+      // raw = whole corpus
+      text.Retrieval.dsirWeights(Tables.documents(s, d), "doc_id",
+          "text", col("lang") === "en")
+        .orderBy("doc_id")
+    },
+
     "t_heavyhitters" -> { (s, d) =>
       // Space-Saving top-25 tokens (bounded-memory one-pass; this
       // corpus runs in the no-eviction regime where the summary is
@@ -1380,6 +1388,37 @@ object LlmQueries {
            AND (tpur IS NULL OR tsig > tpur)
            AND tus - tsig <= 3600000000
          ORDER BY click_id""",
+    // same ordered-fold discipline as t_entropy: both engines sum
+    // identical doubles in identical order (DuckDB `/` on integers is
+    // float division, matching the explicit double casts)
+    "d_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS tgt,
+                         unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+         v AS (SELECT tok, count(*) AS c_all,
+                 count(*) FILTER (tgt) AS c_tgt
+               FROM toks GROUP BY tok),
+         tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_all,
+                   CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+                   count(*) AS nv
+                 FROM v),
+         lr AS (SELECT tok,
+                  ln((c_tgt + 1)::DOUBLE / (n_tgt + nv)::DOUBLE)
+                    - ln((c_all + 1)::DOUBLE / (n_all + nv)::DOUBLE) AS lr
+                FROM v, tot),
+         pd AS (SELECT doc_id, tok, count(*) AS c
+                FROM toks GROUP BY doc_id, tok),
+         a AS (SELECT pd.doc_id,
+                 list(struct_pack(c := pd.c, lr := lr.lr)
+                   ORDER BY pd.tok) AS arr,
+                 CAST(sum(pd.c) AS BIGINT) AS n
+               FROM pd JOIN lr USING (tok) GROUP BY pd.doc_id)
+         SELECT doc_id, n AS n_tokens,
+           round(list_reduce(
+             list_prepend(0.0::DOUBLE,
+               list_transform(arr, x -> x.c::DOUBLE * x.lr)),
+             (a, b) -> a + b), 4) AS llr
+         FROM a ORDER BY doc_id""",
     // entropy folds left-to-right over token-sorted counts so both
     // engines execute the identical IEEE op sequence (see
     // TextAnalysis.entropy); list(... ORDER BY token) mirrors

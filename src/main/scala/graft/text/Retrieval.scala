@@ -219,4 +219,50 @@ object Retrieval {
       .select(col(idCol), round(col("xent"), 4).as("cross_entropy"),
         round(exp(col("xent")), 4).as("ppl"))
   }
+
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-doc
+    * log-likelihood ratio between a target-domain unigram LM and the
+    * whole-corpus LM, w(d) = Σ_t c_d(t)·[ln p_tgt(t) − ln p_all(t)].
+    * Positive = the doc looks more like the target domain than like
+    * the average of the corpus — the resampling weight a
+    * data-selection pipeline feeds exp(w) into.
+    *
+    * Both LMs are add-one smoothed over the SHARED corpus vocabulary
+    * (so the ratio is defined for every token, including ones absent
+    * from the target slice). Plan: one (token) count shuffle builds
+    * both models in a single aggregate (conditional count for the
+    * target slice), the single-row totals broadcast back, the
+    * vocab-sized log-ratio table broadcasts into the per-doc join
+    * (Heaps'-law bounded, same argument as the perplexity ops), and
+    * the per-doc weight folds LEFT-TO-RIGHT over token-sorted
+    * (count, ratio) pairs so both engines run the identical IEEE op
+    * sequence — bit-for-bit doubles before round(4).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val toks = docs.select(col(idCol), isTarget.as("tgt"),
+      explode(TextAnalysis.wsTokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok")
+      .agg(count(lit(1)).as("c_all"),
+        count(when(col("tgt"), lit(1))).as("c_tgt"))
+    val totals = vocab.agg(sum("c_all").as("n_all"),
+      sum("c_tgt").as("n_tgt"), count(lit(1)).as("nv"))
+    val lr = vocab.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (log((col("c_tgt") + 1).cast("double") /
+            (col("n_tgt") + col("nv")).cast("double")) -
+          log((col("c_all") + 1).cast("double") /
+            (col("n_all") + col("nv")).cast("double"))).as("lr"))
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .join(broadcast(lr), "tok")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("tok"), col("c"), col("lr"))))
+          .as("arr"),
+        sum(col("c")).as("n"))
+      .select(col(idCol), col("n").as("n_tokens"),
+        round(aggregate(col("arr"), lit(0.0), (acc, x) =>
+          acc + x.getField("c").cast("double") * x.getField("lr")), 4)
+          .as("llr"))
+  }
 }
