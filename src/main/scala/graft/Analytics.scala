@@ -355,16 +355,22 @@ object Analytics {
       // TPC-H Q20 shape: nested-aggregate semi-join chain — suppliers
       // who shipped >80 % of some part's 1995 volume. The part-level
       // total re-aggregates the (supplier, part) frame instead of
-      // re-scanning lineitem (one fact scan, second agg is
-      // candidate-pair-sized), and the winner set semi-joins into the
-      // supplier dim. Quantities are integral-valued, so double sums
-      // are exact in any accumulation order (< 2^53) and the 0.8
-      // share compare sees identical IEEE operands in both engines.
+      // re-scanning lineitem, and the winner set semi-joins into the
+      // supplier dim. The pair frame is persisted because it feeds
+      // BOTH the share join and the part-total agg: Spark plans a
+      // self-referencing frame as two full subtrees and (measured)
+      // ReuseExchange does NOT collapse them at runtime — unpersisted,
+      // lineitem scans twice; persisted, once (pinned in
+      // PlanAuditSpec). Quantities are integral-valued, so double
+      // sums are exact in any accumulation order (< 2^53) and the
+      // 0.8 share compare sees identical IEEE operands in both
+      // engines.
       val sp = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(sum(col("l_quantity")).as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pt = sp.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("q")).as("tq"))
       val dominant = sp.join(pt, col("l_partkey") === col("pk"))

@@ -128,6 +128,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"phash pairs lost the band/block equi keys:\n$p")
   }
 
+  test("q19: the per-side disjunction implications reach both scans") {
+    val p = executedPlan("q19_disjunctive")
+    // lineitem scan carries the quantity envelope, part scan the
+    // brand IN-list — the prefilters an optimizer cannot derive from
+    // the cross-table OR (see the query's scaladoc)
+    val scans = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("l_quantity") &&
+      (l.contains("GreaterThanOrEqual") || l.contains("LessThanOrEqual"))),
+      s"quantity envelope not pushed:\n$p")
+    assert(scans.exists(l => l.contains("p_brand") && l.contains("In(")),
+      s"brand IN-list not pushed:\n$p")
+  }
+
+  test("q20: part totals re-aggregate the pair frame - one lineitem scan") {
+    // the pair frame is persisted (see the query's scaladoc: measured,
+    // ReuseExchange does not collapse the duplicated subtrees) — both
+    // consumers must read the cache, leaving exactly one fact scan
+    val p = executedPlan("q20_supplier_share")
+    val liScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans == 1, s"expected ONE lineitem scan, got $liScans:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"pair frame not cached:\n$p")
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²
