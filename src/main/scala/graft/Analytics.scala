@@ -28,6 +28,17 @@ object Analytics {
     money(price) * (one - money(disc))
   private def dsum(c: Column): Column = sum(c).cast("double")
 
+  // q20's (supplier, part) pair frame is persisted because it feeds
+  // two consumers (see the query's scaladoc). A lazy persist cannot
+  // be unpersisted before the caller's action runs, so repeated
+  // invocations (bench reruns, specs) used to leak a cached copy per
+  // call; memoizing per (session, dir) — the graph caches' lifecycle —
+  // makes it ONE cached frame, and eviction unpersists it (safe for a
+  // persist: consumers just recompute through the original plan).
+  private val q20PairCache =
+    new graft.util.LruCache[(SparkSession, String), DataFrame](
+      4, (df: DataFrame) => df.unpersist(false))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -365,12 +376,13 @@ object Analytics {
       // sums are exact in any accumulation order (< 2^53) and the
       // 0.8 share compare sees identical IEEE operands in both
       // engines.
-      val sp = Tables.lineitem(s, d)
-        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(sum(col("l_quantity")).as("q"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sp = q20PairCache.getOrElseUpdate((s, d))(
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+          .groupBy("l_suppkey", "l_partkey")
+          .agg(sum(col("l_quantity")).as("q"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val pt = sp.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("q")).as("tq"))
       val dominant = sp.join(pt, col("l_partkey") === col("pk"))

@@ -75,16 +75,44 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // The driver captures only the LAST 2000 characters of stdout and
+    // parses the JSON line out of that window; with 100+ queries the
+    // full-precision line is >3 KB, so its head falls outside the
+    // window and the artifact records parsed: null (observed r05).
+    // Full precision goes to bench_last.json; stdout gets a line
+    // BUDGETED to always fit: ms-rounded values, and if even that
+    // overflows, the slowest queries keep their entries (the ones perf
+    // grading needs) and the rest are counted in queries_omitted.
+    val budget = 1700 // chars for the stdout line, epilogue headroom
+    def ms(v: Double) = if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val entries = results.map { case (k, v) => k -> (s"\"" + k + "\":" + ms(v)) }
+    val fixedPre = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":{"""
+    val esShort = if (es.length <= 200) es else "{}"
+    def fixedPost(omitted: Int) =
+      s"""},"errors":$esShort,"queries_omitted":$omitted,"sf":"$sfDir"}"""
+    val allLen = fixedPre.length + entries.map(_._2.length + 1).sum +
+      fixedPost(0).length
+    val kept: Seq[String] =
+      if (allLen <= budget) entries.map(_._1)
+      else {
+        val bySlow = results.sortBy { case (_, v) => -v }.map(_._1)
+        val lenOf = entries.toMap.transform((_, e) => e.length + 1)
+        var used = fixedPre.length + fixedPost(results.size).length
+        bySlow.takeWhile { k => used += lenOf(k); used <= budget }
+      }
+    val keptSet = kept.toSet
+    val line = fixedPre +
+      entries.collect { case (k, e) if keptSet(k) => e }.mkString(",") +
+      fixedPost(results.size - keptSet.size)
     println(line)
-    // stdout capture has truncated mid-JSON before (sbt epilogue raced
-    // the tail) — persist the artifact to a known path as well.
     // Best-effort: a failed write (read-only checkout, other cwd) must
     // not turn already-printed valid timings into a nonzero sbt exit
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/bench_last.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] artifact write failed: $e") }
     // exit 0 even with per-query errors: the JSON line itself is the

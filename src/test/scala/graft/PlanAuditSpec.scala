@@ -145,11 +145,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // the pair frame is persisted (see the query's scaladoc: measured,
     // ReuseExchange does not collapse the duplicated subtrees) — both
     // consumers must read the cache, leaving exactly one fact scan
-    val p = executedPlan("q20_supplier_share")
-    val liScans = p.linesIterator
-      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
-    assert(liScans == 1, s"expected ONE lineitem scan, got $liScans:\n$p")
-    assert(p.contains("InMemoryTableScan"), s"pair frame not cached:\n$p")
+    // assert on the cache-replaced LOGICAL plan: counting "Scan
+    // parquet" lines in the executed-plan STRING was order-dependent
+    // (each InMemoryRelation occurrence prints its cachedPlan subtree,
+    // so the count flips with cache materialization state across the
+    // suite). InMemoryRelation is a leaf — collect() does not descend
+    // into its cachedPlan — so "no lineitem relation outside an IMR"
+    // is exactly "the only fact scan is the one populating the cache".
+    val planned = SparkEntry.queries("q20_supplier_share")(spark, sfDir)
+      .queryExecution.withCachedData
+    val imrs = planned.collect {
+      case p if p.nodeName == "InMemoryRelation" => p }
+    assert(imrs.size == 2, s"both consumers must read the pair cache:\n$planned")
+    val raw = planned.collect {
+      case p if p.nodeName == "LogicalRelation" &&
+        p.toString.contains("lineitem") => p }
+    assert(raw.isEmpty, s"lineitem scanned outside the pair cache:\n$planned")
   }
 
   test("no declarative query degenerates into an unplanned product") {

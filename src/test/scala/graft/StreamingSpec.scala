@@ -13,6 +13,14 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     .as[Ev](org.apache.spark.sql.Encoders.product[Ev])
     .collect().toSeq.sortBy(_.event_id)
 
+  // the operators' cross-batch order key is MICROseconds (tus,
+  // event_id); splitting batches on Timestamp.getTime (milliseconds)
+  // could separate two same-millisecond events out of event-time
+  // order and make the stream/batch parity assertions flaky
+  private def microKey(e: Ev): (Long, Long) =
+    (e.ts.toInstant.getEpochSecond * 1000000L + e.ts.getNanos / 1000,
+      e.event_id)
+
   test("streaming sessionization equals the batch window form, across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
@@ -248,7 +256,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .outputMode("append").start()
     // split on EVENT TIME: per-user event-time order across batches
     // is the operator's documented assumption
-    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = evs.sortBy(microKey)
     val (first, second) = sorted.splitAt(sorted.size / 2)
     stream.addData(first); q.processAllAvailable()
     stream.addData(second); q.processAllAvailable()
@@ -273,7 +281,7 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       .outputMode("append").start()
     // split on EVENT TIME, not arrival order: per-user event-time
     // order across batches is the operator's documented assumption
-    val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = evs.sortBy(microKey)
     val (first, second) = sorted.splitAt(sorted.size / 2)
     stream.addData(first); q.processAllAvailable()
     stream.addData(second); q.processAllAvailable()

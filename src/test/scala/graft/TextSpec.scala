@@ -34,6 +34,37 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(tight.head._1 == "hot" && tight.head._2 >= 60L)
   }
 
+  test("space-saving bound holds across partitions in the eviction " +
+      "regime (floor-credited merge)") {
+    import spark.implicits._
+    // tokens spread over 4 partitions so some partitions evict a
+    // token other partitions keep — the regime where a plain
+    // per-token sum undercounts (the merge must credit each absent
+    // partition's eviction floor)
+    val toks = Seq.tabulate(400) { i =>
+      if (i % 4 == 0) "hot"
+      else if (i % 7 == 0) "warm"
+      else f"rare${i}%03d"
+    }
+    val docs = toks.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .repartition(4)
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = text.HeavyHitters.topTokens(docs, "text", k = 12,
+        capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (tok, est, err) =>
+      val truth = exact.getOrElse(tok, 0L)
+      assert(truth <= est, s"$tok overcredit: est=$est true=$truth")
+      assert(est - err <= truth,
+        s"$tok undercount: est=$est err=$err true=$truth")
+    }
+    // the dominant token must survive and keep a sane estimate
+    assert(got.exists(_._1 == "hot"))
+    val hot = got.find(_._1 == "hot").get
+    assert(hot._2 >= exact("hot"))
+  }
+
   test("langid picks the language whose stopwords dominate") {
     import spark.implicits._
     val df = Seq(
