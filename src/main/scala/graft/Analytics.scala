@@ -430,6 +430,214 @@ object Analytics {
         .agg(count(lit(1)).as("n_custs"),
           dsum(money(col("c_acctbal"))).as("total_bal"))
         .orderBy("c_nationkey")
+    },
+
+    "q2_min_cost" -> { (s, d) =>
+      // TPC-H Q2 shape: per-group correlated MIN driving a winner
+      // join. The tables have no partsupp, so "cost" is the min unit
+      // price a supplier ever charged for the part (exact-decimal min
+      // — equality on it replays in any engine). Only the (part,
+      // supplier) pair agg is fact-sized: the part filter and the
+      // region's supplier set prune the scan BEFORE the shuffle, the
+      // per-part min re-aggregates the pair frame, and dims broadcast.
+      val regionSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val parts = Tables.part(s, d)
+        .filter(col("p_type") === "STANDARD" &&
+          col("p_size").between(10, 20))
+        .select("p_partkey")
+      // the pair frame feeds BOTH the per-part min and the winner
+      // join; like q20, Spark plans a self-referencing frame as two
+      // full subtrees (two lineitem scans). It is small (filtered
+      // parts × region suppliers), so materialize once via eager
+      // localCheckpoint — ContextCleaner reclaims the blocks, no
+      // per-call cache leak.
+      val pairs = Tables.lineitem(s, d)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(regionSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(money(col("l_extendedprice"))).as("cost"))
+        .localCheckpoint(true)
+      val perPart = pairs.groupBy(col("l_partkey").as("pk"))
+        .agg(min(col("cost")).as("min_cost"))
+      pairs
+        .join(perPart,
+          col("l_partkey") === col("pk") && col("cost") === col("min_cost"))
+        .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("cost").cast("double").as("cost"))
+        .orderBy("p_partkey", "s_suppkey")
+    },
+
+    "q4_priority" -> { (s, d) =>
+      // TPC-H Q4 shape: EXISTS with a correlated cross-table
+      // predicate, then a tiny group count. The tables carry no
+      // commitdate, so "late" is shipped > 365 days after the order
+      // date (timestamp + interval is exact integer arithmetic in
+      // both engines). The semi join shuffles each side once on the
+      // order key; the priority rollup is dimension-sized.
+      val ord = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q8_market_share" -> { (s, d) =>
+      // TPC-H Q8 shape: per-year revenue share of one supplier nation
+      // within one customer region — two independent nation lookups
+      // (customer side restricts the scan, supplier side only tags
+      // rows). Share = exact-decimal national / total revenue, cast to
+      // double and divided as identical IEEE operands in both engines.
+      val cn = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"), "left_semi")
+        .select("c_custkey")
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("s_nation"))
+      val rev = discounted(col("l_extendedprice"), col("l_discount"))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          (sum(when(col("s_nation") === "NATION_2", rev)
+            .otherwise(lit(new java.math.BigDecimal("0.00")))).cast("double") /
+            dsum(rev)).as("mkt_share"),
+          dsum(rev).as("total_rev"))
+        .orderBy("o_year")
+    },
+
+    "q10_returns" -> { (s, d) =>
+      // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+      // Only the lineitem-side agg is fact-sized; the returnflag
+      // filter is pushed to the scan, and the customer join runs on
+      // the already-aggregated per-order frame.
+      val returned = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(dsum(discounted(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+      Tables.customer(s, d).select("c_custkey", "c_name")
+        .join(returned, col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name", "revenue", "n_items")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    "q13_custdist" -> { (s, d) =>
+      // TPC-H Q13 shape: LEFT OUTER join with a join-condition filter
+      // (customers with zero qualifying orders MUST survive with
+      // count 0 — a WHERE would drop them), then a histogram of the
+      // per-customer counts. Two shuffles total: the outer join and
+      // the tiny histogram agg.
+      val ord = Tables.orders(s, d)
+        .select("o_custkey", "o_orderkey", "o_orderpriority")
+      Tables.customer(s, d).select("c_custkey")
+        .join(ord,
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "5-LOW",
+          "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    "q14_promo" -> { (s, d) =>
+      // TPC-H Q14 shape: conditional revenue share in one pass —
+      // sum(CASE)/sum over the same rows, no second scan. Both sums
+      // are exact decimals; the final (100.0 * promo) / total runs on
+      // identical IEEE operands in both engines.
+      val rev = discounted(col("l_extendedprice"), col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          ((lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(new java.math.BigDecimal("0.00")))).cast("double"))
+            / dsum(rev)).as("promo_share"),
+          count(lit(1)).as("n_items"))
+    },
+
+    "q21_late_solo" -> { (s, d) =>
+      // TPC-H Q21 shape: suppliers who were the ONLY late supplier on
+      // a multi-supplier order. The canonical form is two correlated
+      // EXISTS self-joins on the fact table; re-expressed Spark-first
+      // as ONE per-order aggregate — n_suppliers, n_late_suppliers,
+      // and (via max-when) the sole late supplier — which provably
+      // equals the EXISTS form: "exists another supplier" ⇔ n_supp ≥ 2,
+      // "not exists another late supplier" ⇔ n_late = 1 for the late
+      // one. The oracle deliberately stays in the canonical
+      // double-EXISTS form so the gate proves the equivalence. One
+      // fact shuffle on (order, supplier), one order-sized agg — the
+      // self-join form shuffles the fact table three times.
+      val pairs = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 730 DAYS"),
+          1).otherwise(0)).as("late"))
+      pairs.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("late")).as("n_late"),
+          max(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_late") === 1 && col("n_supp") >= 2)
+        .groupBy(col("late_supp").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d).select(
+          col("s_suppkey").as("sk"), col("s_name"))),
+          col("s_suppkey") === col("sk"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(50)
+    },
+
+    "q23_profile" -> { (s, d) =>
+      // Column profiling (the data-quality primitive every curation
+      // pipeline runs first): per-column row/null/distinct counts and
+      // min/max. One scan PER COLUMN, each pruned to that single
+      // column at the reader — at 100 TB this beats one
+      // count-distinct-per-column pass, whose Expand multiplies every
+      // row by the column count before the shuffle.
+      val li = Tables.lineitem(s, d)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+          li.select(col(c))
+            .agg(count(lit(1)).as("n_rows"),
+              count(when(col(c).isNull, 1)).as("n_nulls"),
+              count_distinct(col(c)).as("n_distinct"),
+              min(col(c)).cast("double").as("min_val"),
+              max(col(c)).cast("double").as("max_val"))
+            .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"), col("min_val"), col("max_val"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("column_name")
     }
   )
 
@@ -633,6 +841,125 @@ object Analytics {
            AND NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_custkey = c_custkey
                              AND o_orderpriority = '1-URGENT')
-         GROUP BY c_nationkey ORDER BY c_nationkey"""
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q2_min_cost" ->
+      """WITH rs AS (SELECT s_suppkey, s_name, n_name
+                     FROM supplier, nation, region
+                     WHERE s_nationkey = n_nationkey
+                       AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+         ps AS (SELECT l_partkey, l_suppkey,
+                  min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+                FROM lineitem
+                JOIN part ON p_partkey = l_partkey
+                JOIN rs ON l_suppkey = s_suppkey
+                WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+                GROUP BY 1, 2)
+         SELECT ps.l_partkey AS p_partkey, rs.s_suppkey, rs.s_name, rs.n_name,
+           CAST(cost AS DOUBLE) AS cost
+         FROM ps JOIN rs ON ps.l_suppkey = rs.s_suppkey
+         WHERE cost = (SELECT min(cost) FROM ps p2
+                       WHERE p2.l_partkey = ps.l_partkey)
+         ORDER BY p_partkey, s_suppkey""",
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 365 DAY)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+         CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+                  ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS mkt_share,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS total_rev
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         GROUP BY o_year ORDER BY o_year""",
+    "q10_returns" ->
+      """SELECT c_custkey, c_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue,
+         count(*) AS n_items
+         FROM customer, orders, lineitem
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q14_promo" ->
+      """SELECT (100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1.00 - CAST(l_discount AS DECIMAL(4,2)))
+                  ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE))
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1.00 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS promo_share,
+         count(*) AS n_items
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate < TIMESTAMP '1996-01-01'""",
+    // deliberately the CANONICAL double-EXISTS form: the Spark query
+    // computes the same relation with one per-order aggregate, and
+    // the gate proves the two formulations equivalent
+    "q21_late_solo" ->
+      """WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey
+                       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       WHERE l_shipdate > o_orderdate + INTERVAL 730 DAY),
+         sup AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+         SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM late t JOIN supplier ON s_suppkey = t.l_suppkey
+         WHERE EXISTS (SELECT 1 FROM sup o
+                       WHERE o.l_orderkey = t.l_orderkey
+                         AND o.l_suppkey <> t.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM late o2
+                           WHERE o2.l_orderkey = t.l_orderkey
+                             AND o2.l_suppkey <> t.l_suppkey)
+         GROUP BY s_suppkey, s_name
+         ORDER BY numwait DESC, s_suppkey LIMIT 50""",
+    "q23_profile" ->
+      """SELECT 'l_discount' AS column_name, count(*) AS n_rows,
+           count(CASE WHEN l_discount IS NULL THEN 1 END) AS n_nulls,
+           count(DISTINCT l_discount) AS n_distinct,
+           CAST(min(l_discount) AS DOUBLE) AS min_val,
+           CAST(max(l_discount) AS DOUBLE) AS max_val FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', count(*),
+           count(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+           count(DISTINCT l_extendedprice),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', count(*),
+           count(CASE WHEN l_quantity IS NULL THEN 1 END),
+           count(DISTINCT l_quantity),
+           CAST(min(l_quantity) AS DOUBLE),
+           CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+         UNION ALL
+         SELECT 'l_tax', count(*),
+           count(CASE WHEN l_tax IS NULL THEN 1 END),
+           count(DISTINCT l_tax),
+           CAST(min(l_tax) AS DOUBLE),
+           CAST(max(l_tax) AS DOUBLE) FROM lineitem
+         ORDER BY column_name"""
   )
 }

@@ -198,6 +198,12 @@ object EgraphQueries {
         .orderBy("start", "step")
     },
 
+    "g_assortativity" -> { (s, d) =>
+      // degree assortativity of the demo graph — integer sufficient
+      // statistics make the float correlation exactly oracle-checkable
+      Algorithms.assortativity(GraphBuilder.undirectedFor(s, d))
+    },
+
     "g_neighborhood_est" -> { (s, d) =>
       // HyperBall ≤3-hop reach estimates for every node (rows-only:
       // sketch-based; error bound vs exact pinned in GraphSpec)
@@ -631,6 +637,27 @@ object EgraphQueries {
             JOIN ch ON ch.cur = w.node AND ch.t = w.step + 1
             WHERE w.step < 4)
           SELECT start, step, node FROM w ORDER BY start, step""",
+    // the five sufficient statistics are integer sums (exact in any
+    // order); the one double formula then sees identical IEEE
+    // operands in both engines — mirror the cast structure EXACTLY
+    "g_assortativity" ->
+      s"""WITH ue AS ($undirectedSql),
+          deg AS (SELECT a AS n, count(*) AS deg FROM ue GROUP BY 1),
+          xy AS (SELECT da.deg AS x, db.deg AS y
+                 FROM ue JOIN deg da ON ue.a = da.n
+                         JOIN deg db ON ue.b = db.n),
+          s AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+                FROM xy)
+          SELECT CAST(m AS BIGINT) AS m_edges,
+            round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+              AS assortativity
+          FROM s""",
     "s_search_or" ->
       """SELECT event_id, event_type AS etype,
          CAST(json_extract_string(props, '$.k') AS INT) AS k

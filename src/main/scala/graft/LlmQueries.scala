@@ -573,6 +573,51 @@ object LlmQueries {
     "s_interarrival" -> { (s, d) =>
       EventStreams.interArrivalBatch(Tables.events(s, d))
         .orderBy("event_type")
+    },
+
+    "e_mmr" -> { (s, d) =>
+      // MMR diversified retrieval: top-10 for query vector 0 from a
+      // 50-candidate pool, λ=0.7 (0.3 spelled as its own literal —
+      // 1−0.7 is a DIFFERENT double and would break the oracle)
+      val emb = Tables.embeddings(s, d)
+      Knn.mmrTopK(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", dim, k = 10, candK = 50,
+        lambda = 0.7, oneMinusLambda = 0.3)
+    },
+
+    "s_rfm" -> { (s, d) =>
+      // RFM user segmentation over the event stream: recency (days
+      // since last activity, exact integer µs arithmetic), frequency,
+      // monetary (exact-decimal sum → double), quartiled into 4×4×4
+      // segments. The global-max timestamp is a single-row broadcast;
+      // the ntile windows run on the USER-level frame — orders of
+      // magnitude smaller than the events scan (the winner-set scale
+      // class; at billions of users, replace ntile with approx
+      // quantile cutoffs). Total window orders (metric, user_id) make
+      // every bucket engine-deterministic.
+      import org.apache.spark.sql.expressions.Window
+      val dayUs = 86400000000L
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("monetary"),
+          max(unix_micros(col("ts"))).as("umax"))
+      val gmax = perUser.agg(max(col("umax")).as("gmax"))
+      val rb = Window.orderBy(col("recency_days"), col("user_id"))
+      val fb = Window.orderBy(col("freq").desc, col("user_id"))
+      val mb = Window.orderBy(col("monetary").desc, col("user_id"))
+      perUser.crossJoin(broadcast(gmax))
+        .withColumn("recency_days",
+          expr(s"(gmax - umax) DIV $dayUs"))
+        .withColumn("r_bucket", ntile(4).over(rb))
+        .withColumn("f_bucket", ntile(4).over(fb))
+        .withColumn("m_bucket", ntile(4).over(mb))
+        .select(col("user_id"), col("recency_days"), col("freq"),
+          col("monetary"), col("r_bucket"), col("f_bucket"), col("m_bucket"),
+          concat_ws("-", col("r_bucket"), col("f_bucket"), col("m_bucket"))
+            .as("segment"))
+        .orderBy("user_id")
     }
   )
 
@@ -1453,6 +1498,67 @@ object LlmQueries {
            CAST(min(gap_us) AS BIGINT) AS min_gap_us,
            CAST(max(gap_us) AS BIGINT) AS max_gap_us
          FROM g WHERE gap_us IS NOT NULL
-         GROUP BY event_type ORDER BY event_type"""
+         GROUP BY event_type ORDER BY event_type""",
+    // replays the greedy MMR selection exactly: identical cosine
+    // folds, the same 0.7/0.3 literals, ties to the smaller id; the
+    // LATERAL argmax consumes the running `chosen` list each step
+    "e_mmr" ->
+      """WITH RECURSIVE
+         q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         cand AS (SELECT vec_id, embedding,
+             list_sum(list_transform(range(1, 65),
+               i -> qv[i]::DOUBLE * embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)))) AS rel
+           FROM embeddings, q WHERE vec_id <> 0
+           ORDER BY rel DESC, vec_id LIMIT 50),
+         pair AS (SELECT x.vec_id AS a, y.vec_id AS b,
+             list_sum(list_transform(range(1, 65),
+               i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))))
+               AS sim
+           FROM cand x JOIN cand y ON x.vec_id <> y.vec_id),
+         sel(rk, vec_id, score, chosen) AS (
+           SELECT 1, t.vec_id, t.score, [t.vec_id]
+           FROM (SELECT vec_id, 0.7 * rel AS score FROM cand
+                 ORDER BY score DESC, vec_id LIMIT 1) t
+           UNION ALL
+           SELECT s.rk + 1, n.vec_id, n.score,
+             list_append(s.chosen, n.vec_id)
+           FROM sel s, LATERAL (
+             SELECT c.vec_id,
+               0.7 * c.rel - 0.3 * (SELECT max(p.sim) FROM pair p
+                                    WHERE p.a = c.vec_id
+                                      AND list_contains(s.chosen, p.b))
+                 AS score
+             FROM cand c WHERE NOT list_contains(s.chosen, c.vec_id)
+             ORDER BY score DESC, c.vec_id LIMIT 1) n
+           WHERE s.rk < 10)
+         SELECT CAST(rk AS BIGINT) AS rk, vec_id, round(score, 4) AS score
+         FROM sel ORDER BY rk""",
+    "s_rfm" ->
+      """WITH u AS (SELECT user_id, count(*) AS freq,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary,
+             max(epoch_ns(ts) // 1000) AS umax
+           FROM events GROUP BY user_id),
+         g AS (SELECT max(umax) AS gmax FROM u),
+         r AS (SELECT user_id, freq, monetary,
+                 CAST((gmax - umax) // 86400000000 AS BIGINT)
+                   AS recency_days
+               FROM u, g),
+         b AS (SELECT *,
+                 ntile(4) OVER (ORDER BY recency_days, user_id) AS r_bucket,
+                 ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_bucket,
+                 ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_bucket
+               FROM r)
+         SELECT user_id, recency_days, freq, monetary,
+           r_bucket, f_bucket, m_bucket,
+           r_bucket || '-' || f_bucket || '-' || m_bucket AS segment
+         FROM b ORDER BY user_id"""
   )
 }

@@ -234,4 +234,72 @@ object Knn {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** Maximal Marginal Relevance diversified top-k (Carbonell &
+    * Goldstein 1998): greedily pick k results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` — relevance
+    * traded against redundancy with what's already picked.
+    *
+    * Scale shape: the DISTRIBUTED work is the candidate stage — an
+    * exact top-`candK` cosine pass over the corpus (one scan, bounded
+    * heap) plus the candK² pairwise cosines (self-join of the
+    * model-sized candidate frame). The greedy loop itself is
+    * inherently sequential (each pick depends on all prior picks), so
+    * it runs driver-side over ≤ candK·k score evaluations on the
+    * collected candidate set — the same bounded-collect contract as
+    * the IVF centroid model, NOT a corpus collect.
+    *
+    * Determinism: every similarity comes from the same graft_dot
+    * left-to-right fold the brute-force oracle replays, the λ
+    * constants are written as exact literals on both sides (0.7 and
+    * 0.3 are distinct doubles — never derive one from the other), and
+    * ties break toward the smaller id, so a recursive-CTE oracle
+    * replays the whole greedy selection bit-for-bit. */
+  def mmrTopK(corpus: DataFrame, queryVec: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, candK: Int,
+      lambda: Double, oneMinusLambda: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(corpus, queryVec, idCol, vecCol, dim, candK)
+      .select(col("neighbor_id").as("cid"), col("sim").as("rel"))
+      .localCheckpoint(true)
+    val cvecs = corpus
+      .join(cands.select(col("cid")), col(idCol) === col("cid"), "left_semi")
+    val cv = withNorm(cvecs, "cid", "v", "n", idCol, vecCol)
+    val pairSims = cv
+      .join(cv.select(col("cid").as("cid2"), col("v").as("v2"),
+        col("n").as("n2")), col("cid") < col("cid2"))
+      .select(col("cid"), col("cid2"),
+        (dot(col("v"), col("v2")) / (col("n") * col("n2"))).as("sim"))
+      .collect().flatMap { r =>
+        val (a, b, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> s, (b, a) -> s)
+      }.toMap
+    val rel = cands.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val remaining = scala.collection.mutable.LinkedHashSet(rel.map(_._1): _*)
+    val relMap = rel.toMap
+    while (chosen.size < k && remaining.nonEmpty) {
+      val best = remaining.iterator.map { c =>
+        val redundancy =
+          if (chosen.isEmpty) 0.0
+          else chosen.iterator.map(s => pairSims((c, s._1))).max
+        val score =
+          if (chosen.isEmpty) lambda * relMap(c)
+          else lambda * relMap(c) - oneMinusLambda * redundancy
+        (c, score)
+      }.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x
+      }
+      chosen += best
+      remaining -= best._1
+    }
+    chosen.toSeq.zipWithIndex
+      .map { case ((id, score), i) =>
+        // HALF_UP (away from zero), matching both engines' round()
+        (i + 1, id, BigDecimal(score)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toDF("rk", "vec_id", "score")
+  }
 }

@@ -491,4 +491,45 @@ object Algorithms {
       .filter(col("rk") <= perSeed)
       .select(col("a"), col("b"), round(col("score"), 4).as("aa_score"))
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * the endpoint degrees over the edge list. Positive = hubs attach
+    * to hubs, negative = hubs attach to leaves (the demo
+    * customer–supplier graph is strongly disassortative).
+    *
+    * Over the symmetric directed edge list (both directions present),
+    * so the coefficient is the standard undirected one. All five
+    * sufficient statistics are INTEGER sums (degrees are ints;
+    * Σxy ≤ m·d_max² stays far below 2^63), so they are exact in any
+    * accumulation order and partitioning — the one final double
+    * formula then runs on identical IEEE operands in any engine,
+    * which is what makes a float correlation oracle-checkable at all.
+    * (Σ deg² per edge stays below 2^63 up to ~10^9 edges with
+    * ~10^7-degree hubs; past that, cast x/y to decimal before the
+    * product sums.)
+    * Plan: one degree agg, two degree joins (AQE broadcasts the |V|
+    * frame), one scalar agg. Output: one row (m_edges, assortativity).
+    */
+  def assortativity(undirectedEdges: DataFrame): DataFrame = {
+    val deg = undirectedEdges.groupBy(col("a").as("n"))
+      .agg(count(lit(1)).as("deg"))
+    val xy = undirectedEdges
+      .join(deg.select(col("n").as("na"), col("deg").as("x")),
+        col("a") === col("na"))
+      .join(deg.select(col("n").as("nb"), col("deg").as("y")),
+        col("b") === col("nb"))
+    val s = xy.agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val m = col("m").cast("double")
+    def d(c: String) = col(c).cast("double")
+    s.select(col("m").as("m_edges"),
+      round((m * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(m * d("sxx") - d("sx") * d("sx")) *
+          sqrt(m * d("syy") - d("sy") * d("sy"))), 6)
+        .as("assortativity"))
+  }
 }
