@@ -617,6 +617,25 @@ object Analytics {
         .limit(50)
     },
 
+    "q24_histogram" -> { (s, d) =>
+      // equi-width histogram over a scalar-subquery range: the
+      // [min, max] envelope is a single-row broadcast; the bucket
+      // formula ((v−mn)·20)/(mx−mn) is spelled identically in the
+      // oracle so both engines floor the same double, and the v=max
+      // row clamps into the last bucket
+      val ord = Tables.orders(s, d)
+      val mm = ord.agg(min(money(col("o_totalprice"))).cast("double").as("mn"),
+        max(money(col("o_totalprice"))).cast("double").as("mx"))
+      ord.crossJoin(broadcast(mm))
+        .withColumn("v", money(col("o_totalprice")).cast("double"))
+        .withColumn("bucket", least(lit(19L),
+          floor((col("v") - col("mn")) * lit(20.0) / (col("mx") - col("mn")))))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("v")).as("lo_price"), max(col("v")).as("hi_price"))
+        .orderBy("bucket")
+    },
+
     "q23_profile" -> { (s, d) =>
       // Column profiling (the data-quality primitive every curation
       // pipeline runs first): per-column row/null/distinct counts and
@@ -960,6 +979,19 @@ object Analytics {
            count(DISTINCT l_tax),
            CAST(min(l_tax) AS DOUBLE),
            CAST(max(l_tax) AS DOUBLE) FROM lineitem
-         ORDER BY column_name"""
+         ORDER BY column_name""",
+    "q24_histogram" ->
+      """WITH mm AS (SELECT
+             CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mn,
+             CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mx
+           FROM orders),
+         b AS (SELECT least(19,
+                 CAST(floor((CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                             - mn) * 20.0 / (mx - mn)) AS BIGINT)) AS bucket,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS v
+               FROM orders, mm)
+         SELECT bucket, count(*) AS n_orders,
+           min(v) AS lo_price, max(v) AS hi_price
+         FROM b GROUP BY bucket ORDER BY bucket"""
   )
 }

@@ -575,6 +575,20 @@ object LlmQueries {
         .orderBy("event_type")
     },
 
+    "t_bpe" -> { (s, d) =>
+      // BPE merge learning (rows-only: an N-step argmax chain is not
+      // SQL-expressible; BpeSpec pins exact merges on a toy corpus).
+      // The corpus-scale work is the word-frequency shuffle; the loop
+      // runs on the vocabulary-sized model.
+      text.Bpe.learnMerges(Tables.documents(s, d), "text", nMerges = 20)
+        .orderBy("step")
+    },
+
+    "m_audio_energy" -> { (s, d) =>
+      Multimodal.audioEnergy(Multimodal.attachMedia(Tables.documents(s, d)))
+        .orderBy("doc_id", "win_idx")
+    },
+
     "e_mmr" -> { (s, d) =>
       // MMR diversified retrieval: top-10 for query vector 0 from a
       // 50-candidate pool, λ=0.7 (0.3 spelled as its own literal —
@@ -1559,6 +1573,26 @@ object LlmQueries {
          SELECT user_id, recency_days, freq, monetary,
            r_bucket, f_bucket, m_bucket,
            r_bucket || '-' || f_bucket || '-' || m_bucket AS segment
-         FROM b ORDER BY user_id"""
+         FROM b ORDER BY user_id""",
+    // replays the byte windows as ascii() integer arithmetic (the
+    // payloads are the documents' ASCII text bytes, same contract as
+    // the phash oracle)
+    "m_audio_energy" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         w AS (SELECT doc_id, text, n,
+                 unnest(range(0, CASE WHEN n <= 256 THEN 1
+                                      ELSE (n - 256) // 128 + 1 END))
+                   AS win_idx
+               FROM d)
+         SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+           CAST(win_idx * 128 AS BIGINT) AS byte_offset,
+           CAST(coalesce(list_sum(list_transform(
+             range(win_idx * 128 + 1, least(win_idx * 128 + 256, n) + 1),
+             i -> ascii(substring(text, i, 1))::BIGINT
+                  * ascii(substring(text, i, 1)))), 0) AS BIGINT) AS energy,
+           CAST(coalesce(list_max(list_transform(
+             range(win_idx * 128 + 1, least(win_idx * 128 + 256, n) + 1),
+             i -> ascii(substring(text, i, 1)))), 0) AS INT) AS peak
+         FROM w ORDER BY doc_id, win_idx"""
   )
 }

@@ -63,6 +63,43 @@ object Multimodal {
         (col("frame_idx") * frameBytes).as("byte_offset"))
   }
 
+  case class AudioWindow(doc_id: Long, win_idx: Int, byte_offset: Long,
+    energy: Long, peak: Int)
+
+  /** Windowed energy over audio-like payloads — the stub stand-in
+    * for PCM frame analysis (silence trimming, loudness gating,
+    * segment selection in a speech-data pipeline). Windows of `win`
+    * bytes every `hop` bytes (last full window only; a short payload
+    * is one clamped window); per window energy = Σ byte² and peak =
+    * max byte — integer arithmetic end to end, so the oracle replays
+    * it exactly over ascii() of the text payload. Map-side only
+    * (mapPartitions, no shuffle); a real decoder swaps in at the
+    * byte-source boundary like [[decodeFeatures]]. */
+  def audioEnergy(media: Dataset[MediaRow], win: Int = 256,
+      hop: Int = 128): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.media.length
+        val nw = if (n <= win) 1 else (n - win) / hop + 1
+        (0 until nw).map { wi =>
+          val s = wi * hop
+          val e = math.min(s + win, n)
+          var energy = 0L
+          var peak = 0
+          var i = s
+          while (i < e) {
+            val b = r.media(i) & 0xFF
+            energy += b.toLong * b
+            if (b > peak) peak = b
+            i += 1
+          }
+          AudioWindow(r.doc_id, wi, s.toLong, energy, peak)
+        }
+      }
+    }.toDF()
+  }
+
   case class MediaHash(doc_id: Long, phash: Long)
 
   /** Perceptual hash (dHash) over the decoded payload — the image

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich, Haddow & Birch 2016)
+  * — the tokenizer-training primitive of an LLM data pipeline.
+  *
+  * Scale shape — the standard BPE formulation is exactly a two-tier
+  * job, and this implements it that way:
+  *  1. DISTRIBUTED: the word-frequency table (one explode + one
+  *     shuffle over the corpus). This is the only pass that sees the
+  *     data; 100 TB of text affects nothing else.
+  *  2. BOUNDED: the merge loop runs on the collected (word, freq)
+  *     MODEL — vocabulary-sized (Heaps' law: ~millions of types at
+  *     web scale, like the IVF/centroid model collects), never
+  *     corpus-sized. Every production tokenizer trainer (HF,
+  *     sentencepiece) makes the same split; the driver loop is
+  *     O(merges × vocab) with per-word early exit.
+  *
+  * Determinism: the best pair each step is (count DESC, left ASC,
+  * right ASC) — a total order, so the merge table is a pure function
+  * of the corpus bag of words. Merges apply left-to-right,
+  * non-overlapping, all occurrences at once (the canonical rule).
+  * The learned table is the model artifact; applying it to text is a
+  * map-side longest-match pass.
+  *
+  * The query is rows-only at the driver gate (an N-step argmax chain
+  * is not SQL-expressible); BpeSpec pins hand-computed merges on a
+  * toy corpus and the monotone best-count invariant.
+  */
+object Bpe {
+
+  /** End-of-word sentinel, the Sennrich formulation (lets a suffix
+    * merge differently from the same chars mid-word). */
+  private val Eow = "</w>"
+
+  /** Learn `nMerges` merges from the corpus; returns one row per
+    * merge step: (step, left, right, pair_count, merged). */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // tier 1: the one distributed pass — word frequencies
+    val wf = docs
+      .select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // tier 2: the merge loop on the vocabulary-sized model
+    var words: Array[(Array[String], Long)] = wf.map { case (w, n) =>
+      ((w.map(_.toString) :+ Eow).toArray, n)
+    }
+    val out = Vector.newBuilder[(Int, String, String, Long, String)]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Array[Long]]()
+      words.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          val c = counts.get(k)
+          if (c == null) counts.put(k, Array(n)) else c(0) += n
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (k, v) =>
+          if (best == null || v(0) > best._2 ||
+            (v(0) == best._2 && (k._1 < best._1._1 ||
+              (k._1 == best._1._1 && k._2 < best._1._2))))
+            best = (k, v(0))
+        }
+        val ((l, r), c) = best
+        val merged = l + r
+        out += ((step, l, r, c, merged))
+        words = words.map { case (syms, n) =>
+          if (syms.length < 2) (syms, n)
+          else {
+            val b = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                b += merged; i += 2 // left-to-right, non-overlapping
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), n)
+          }
+        }
+        step += 1
+      }
+    }
+    out.result().toDF("step", "left", "right", "pair_count", "merged")
+  }
+}

@@ -25,6 +25,35 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(r1.join(mx, "query_id").filter(col("top") =!= col("mx")).count() == 0)
   }
 
+  test("mmr: first pick is the relevance argmax, later picks trade " +
+      "relevance for diversity") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") === 0)
+    val topk = Knn.bruteForceTopK(emb, q, "vec_id", "embedding", dim, k = 10)
+      .select("neighbor_id").as[Long].collect().toSeq
+    val mmr = Knn.mmrTopK(emb, q, "vec_id", "embedding", dim,
+        k = 10, candK = 50, lambda = 0.7, oneMinusLambda = 0.3)
+      .orderBy("rk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(mmr.length == 10)
+    assert(mmr.map(_._2).distinct.length == 10, "picks must be distinct")
+    // rank 1 IS the pure-relevance winner (redundancy term is empty)
+    assert(mmr.head._2 == topk.head)
+    // λ=1 degenerates to plain top-k: MMR's diversity term is the
+    // ONLY thing that may change the picks
+    val pure = Knn.mmrTopK(emb, q, "vec_id", "embedding", dim,
+        k = 10, candK = 50, lambda = 1.0, oneMinusLambda = 0.0)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(pure == topk)
+    // every MMR pick comes from the candidate pool
+    val pool = Knn.bruteForceTopK(emb, q, "vec_id", "embedding", dim, k = 50)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(mmr.forall(m => pool.contains(m._2)))
+    // greedy scores are non-increasing: a later pick can never beat
+    // an earlier one (it was available then with no extra redundancy)
+    assert(mmr.sliding(2).forall { case Array(a, b) => b._3 <= a._3 })
+  }
+
   test("lsh near-dup pairs: exact precision, high recall vs the n^2 join") {
     import spark.implicits._
     // the fixture embeddings are near-random (max pairwise cosine

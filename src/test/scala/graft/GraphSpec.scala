@@ -87,6 +87,23 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(n(canonical) == 1)
   }
 
+  test("assortativity: -1 on a star, disassortative on the hub-heavy " +
+      "demo graph") {
+    // K1,n is the textbook maximally disassortative graph: every edge
+    // joins the hub (deg n) to a leaf (deg 1) → r = −1 exactly, and
+    // the integer sufficient statistics make it EXACTLY −1 here too
+    val star = und("hub" -> "x1", "hub" -> "x2", "hub" -> "x3")
+    val r = Algorithms.assortativity(star).head()
+    assert(r.getLong(0) == 6) // 3 undirected edges, both directions
+    assert(r.getDouble(1) == -1.0)
+    // real data: bipartite customer–supplier with high-degree
+    // suppliers — must come out negative and in range
+    val real = Algorithms.assortativity(
+      GraphBuilder.undirectedFor(spark, sfDir)).head()
+    val rr = real.getDouble(1)
+    assert(rr >= -1.0 && rr <= 1.0 && rr < 0.0, s"r=$rr")
+  }
+
   test("pagerank mass is conserved and hubs rank higher") {
     val star = und("hub" -> "x1", "hub" -> "x2", "hub" -> "x3", "x1" -> "x2")
     val pr = Algorithms.pageRank(star, iters = 20)

@@ -163,6 +163,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(raw.isEmpty, s"lineitem scanned outside the pair cache:\n$planned")
   }
 
+  test("q10: the returnflag filter reaches the lineitem scan") {
+    val p = executedPlan("q10_returns")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed:\n$p")
+  }
+
+  test("q14: shipdate range pushed, part dim broadcast") {
+    val p = executedPlan("q14_promo")
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") &&
+      l.contains("l_shipdate") && l.contains("GreaterThanOrEqual")),
+      s"shipdate range not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+  }
+
+  test("q21: one fact shuffle formulation - single lineitem scan, no product") {
+    // the whole point of the per-order-aggregate rewrite: the
+    // canonical double-EXISTS form scans/shuffles the fact table three
+    // times; this plan must read lineitem ONCE
+    val p = executedPlan("q21_late_solo")
+    val liScans = p.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans == 1, s"expected ONE lineitem scan, got $liScans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²

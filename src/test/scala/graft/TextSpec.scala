@@ -65,6 +65,48 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(hot._2 >= exact("hot"))
   }
 
+  test("bpe merges match the hand-computed sequence on the Sennrich corpus") {
+    import spark.implicits._
+    // 5×low 2×lower 6×newest 3×widest — the BPE paper's worked example
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = text.Bpe.learnMerges(docs, "text", nMerges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    // ties at count 9 break (left, right) lexicographically: e<s<t
+    assert(merges.toSeq == Seq(
+      (1, "e", "s", 9L, "es"),
+      (2, "es", "t", 9L, "est"),
+      (3, "est", "</w>", 9L, "est</w>"),
+      (4, "l", "o", 7L, "lo"),
+      (5, "lo", "w", 7L, "low")), merges.mkString(", "))
+  }
+
+  test("bpe best-pair count is non-increasing and merges apply " +
+      "non-overlapping left-to-right") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa banana banana cabana"),
+      (2L, "aaaa banana cabana cabana")).toDF("doc_id", "text")
+    val merges = text.Bpe.learnMerges(docs, "text", nMerges = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.nonEmpty)
+    // greedy argmax: a later merge can never beat an earlier one
+    // (merging only removes or splits occurrences of existing pairs)
+    assert(merges.sliding(2).forall {
+      case Array(a, b) => b._4 <= a._4
+      case _ => true
+    }, merges.mkString(", "))
+    // "aaaa" (4×a + eow): (a,a) counts 3 per word non-overlapping
+    // would be wrong — left-to-right gives 2 merges in the first pass.
+    // (a,a) count = 3 pairs per aaaa word × 4 words + banana/cabana 0
+    val aa = merges.find(m => m._2 == "a" && m._3 == "a")
+    assert(aa.isDefined && aa.get._4 == 12L, merges.mkString(", "))
+  }
+
   test("langid picks the language whose stopwords dominate") {
     import spark.implicits._
     val df = Seq(
