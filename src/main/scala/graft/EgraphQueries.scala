@@ -219,6 +219,21 @@ object EgraphQueries {
         .orderBy("node")
     },
 
+    "g_eccentricity" -> { (s, d) =>
+      // HyperBall eccentricity capped at 4 hops (rows-only:
+      // sketch-based; exact-on-path-graph pinned in GraphSpec)
+      Algorithms.eccentricity(GraphBuilder.undirectedFor(s, d), 4)
+        .orderBy("node")
+    },
+
+    "g_modularity" -> { (s, d) =>
+      // modularity of the LPA partition (rows-only: scored partition
+      // comes from iterative LPA; exact hand-computed Q in GraphSpec)
+      Algorithms.modularity(GraphBuilder.undirectedFor(s, d),
+          Algorithms.labelPropagation(GraphBuilder.undirectedFor(s, d)))
+        .orderBy("community")
+    },
+
     // the three heavyweight iterative algorithms run on the GraphX/
     // Pregel backend (the north-star scale path for batch graph
     // analytics); the DataFrame implementations in Algorithms/

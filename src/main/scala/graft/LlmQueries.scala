@@ -535,6 +535,13 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "t_perplexity3" -> { (s, d) =>
+      // interpolated trigram LM (Jelinek-Mercer): λ = (0.6, 0.3, 0.1)
+      TextRetrieval.trigramPerplexity(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "s_dau_wau" -> { (s, d) =>
       Funnels.dauWau(Tables.events(s, d)).orderBy("day")
     },
@@ -587,6 +594,16 @@ object LlmQueries {
     "m_audio_energy" -> { (s, d) =>
       Multimodal.audioEnergy(Multimodal.attachMedia(Tables.documents(s, d)))
         .orderBy("doc_id", "win_idx")
+    },
+
+    "m_scenecut" -> { (s, d) =>
+      Multimodal.sceneCuts(Multimodal.attachMedia(Tables.documents(s, d)))
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    "s_watermark_late" -> { (s, d) =>
+      EventStreams.watermarkLateBatch(Tables.events(s, d))
+        .orderBy("event_type")
     },
 
     "e_mmr" -> { (s, d) =>
@@ -1317,6 +1334,36 @@ object LlmQueries {
          SELECT doc_id, round(xent, 4) AS cross_entropy,
            round(exp(xent), 4) AS ppl
          FROM s ORDER BY doc_id""",
+    "t_perplexity3" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         uni AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         bi AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS w
+                FROM (SELECT doc_id, toks,
+                        unnest(range(1, len(toks))) AS i FROM t) x),
+         tri AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+                   toks[i + 2] AS w3
+                 FROM (SELECT doc_id, toks,
+                         unnest(range(1, len(toks) - 1)) AS i FROM t) x),
+         c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+         x3 AS (SELECT w1, w2, sum(c3) AS c3ctx FROM c3 GROUP BY 1, 2),
+         c2 AS (SELECT p, w, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         x2 AS (SELECT p, sum(c2) AS c2ctx FROM c2 GROUP BY 1),
+         c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+         nn AS (SELECT count(*) AS n FROM uni),
+         s AS (SELECT tri.doc_id,
+                 -ln(0.6 * (c3.c3 / CAST(x3.c3ctx AS DOUBLE))
+                   + 0.3 * (c2.c2 / CAST(x2.c2ctx AS DOUBLE))
+                   + 0.1 * (c1.c1 / CAST(nn.n AS DOUBLE))) AS nlp
+               FROM tri JOIN c3 USING (w1, w2, w3) JOIN x3 USING (w1, w2)
+                 JOIN c2 ON c2.p = tri.w2 AND c2.w = tri.w3
+                 JOIN x2 ON x2.p = tri.w2
+                 JOIN c1 ON c1.w = tri.w3
+                 CROSS JOIN nn),
+         a AS (SELECT doc_id, avg(nlp) AS xent FROM s GROUP BY 1)
+         SELECT doc_id, round(xent, 4) AS cross_entropy,
+           round(exp(xent), 4) AS ppl
+         FROM a ORDER BY doc_id""",
     "s_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
                      FROM events),
@@ -1593,6 +1640,53 @@ object LlmQueries {
            CAST(coalesce(list_max(list_transform(
              range(win_idx * 128 + 1, least(win_idx * 128 + 256, n) + 1),
              i -> ascii(substring(text, i, 1)))), 0) AS INT) AS peak
-         FROM w ORDER BY doc_id, win_idx"""
+         FROM w ORDER BY doc_id, win_idx""",
+    // full 256-byte frames (short doc = one clamped frame), energy =
+    // plain byte sum, cut where |delta| > 300
+    "m_scenecut" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         f AS (SELECT doc_id, text, n,
+                 unnest(range(0, CASE WHEN n < 256 THEN 1
+                                      ELSE n // 256 END)) AS frame_idx
+               FROM d),
+         e AS (SELECT doc_id, frame_idx,
+                 CAST(coalesce(list_sum(list_transform(
+                   range(frame_idx * 256 + 1,
+                         least((frame_idx + 1) * 256, n) + 1),
+                   i -> ascii(substring(text, i, 1))::BIGINT)), 0)
+                   AS BIGINT) AS energy
+               FROM f),
+         w AS (SELECT doc_id, frame_idx, energy,
+                 CAST(coalesce(abs(energy - lag(energy) OVER
+                   (PARTITION BY doc_id ORDER BY frame_idx)), 0)
+                   AS BIGINT) AS delta
+               FROM e)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx, energy,
+           delta, (frame_idx > 0 AND delta > 300) AS is_cut
+         FROM w ORDER BY doc_id, frame_idx""",
+    // per-user (source-partition) watermark over simulated arrivals:
+    // arrival = event time + 48-bit-md5 jitter % 24 h; watermark =
+    // max event time over strictly-earlier arrivals minus 1 h
+    "s_watermark_late" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                 epoch_ns(ts) // 1000 AS tus,
+                 epoch_ns(ts) // 1000
+                   + ('0x' || substring(md5(event_id::VARCHAR), 1, 12))::BIGINT
+                     % 86400000000 AS arrival_us
+               FROM events),
+         w AS (SELECT event_type, tus,
+                 max(tus) OVER (PARTITION BY user_id
+                   ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - 3600000000 AS wm
+               FROM e),
+         l AS (SELECT event_type,
+                 CASE WHEN tus < wm THEN wm - tus ELSE 0 END AS lateness_us
+               FROM w)
+         SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(lateness_us) AS BIGINT) AS max_lateness_us
+         FROM l GROUP BY event_type ORDER BY event_type"""
   )
 }

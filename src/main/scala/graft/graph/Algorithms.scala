@@ -333,6 +333,88 @@ object Algorithms {
     state.select(col("node"), round(col("h"), 4).as("harmonic"))
   }
 
+  /** Eccentricity (longest shortest path out of each node), HyperBall-
+    * estimated and capped at `maxDepth`: ecc(v) = the last round t at
+    * which v's ball still grew — on the same one-join-plus-one-
+    * mergeable-agg round shape as [[neighborhoodSizes]], with the
+    * running (prev ball size, ecc) state travelling inside the round
+    * state via the self-loop row exactly like [[harmonicCentrality]]
+    * (the single-reference lazy-chain form that benched 2-9× faster
+    * than every multi-reference alternative). The all-pairs-BFS exact
+    * form is quadratic output; this is THE 100 TB shape for
+    * radius/diameter questions (HyperBall's original use case —
+    * Boldi & Vigna ran Facebook's diameter with it).
+    *
+    * Estimates: at small cardinalities the HLL sketch is exact
+    * (sparse mode) so ecc is exact on spec-sized graphs; at scale a
+    * ±1.6 % register wobble can miss a sub-2 % final-ring growth —
+    * fine for the radius/diameter distributions this feeds.
+    * `maxDepth` caps rounds, so disconnected or huge-diameter graphs
+    * report min(ecc, maxDepth) — the bounded-round contract every
+    * HyperBall user accepts. */
+  def eccentricity(undirectedEdges: DataFrame, maxDepth: Int): DataFrame = {
+    val nodes = undirectedEdges.select(col("a")).distinct()
+    val edges = undirectedEdges
+      .unionByName(nodes.select(col("a"), col("a").as("b")))
+      .repartition(col("b")).localCheckpoint()
+    var state = nodes.select(col("a").as("node"))
+      .groupBy("node").agg(expr("hll_sketch_agg(node, 12)").as("sketch"))
+      .select(col("node"), col("sketch"), lit(1.0).as("prev"),
+        lit(0).as("ecc"))
+    for (t <- 1 to maxDepth) {
+      val joined = edges.join(state, edges("b") === state("node"))
+        .select(edges("a").as("node"),
+          (edges("b") === edges("a")).as("self"),
+          col("sketch"), col("prev"), col("ecc"))
+      state = joined.groupBy("node")
+        .agg(expr("hll_union_agg(sketch, true)").as("sketch"),
+          max(when(col("self"), col("prev"))).as("prev"),
+          max(when(col("self"), col("ecc"))).as("ecc"))
+        .select(col("node"), col("sketch"),
+          expr("hll_sketch_estimate(sketch)").as("est"),
+          col("prev"), col("ecc"))
+        .select(col("node"), col("sketch"), col("est").as("prev"),
+          when(col("est") > col("prev"), lit(t)).otherwise(col("ecc"))
+            .as("ecc"))
+    }
+    state.select(col("node"), col("ecc"))
+  }
+
+  /** Modularity of a community assignment (Newman & Girvan 2004):
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard "was this
+    * clustering better than chance" score over the partition
+    * [[labelPropagation]] (or any other assigner) produced. On the
+    * both-directions edge representation every quantity is a row
+    * count: 2m = total rows, 2e_c = within-community rows, d_c =
+    * rows grouped by the source's community — so the whole score is
+    * ONE labels join onto the edge list (broadcast while |V|-sized
+    * frames fit, shuffle past that) and two community-sized aggs.
+    * Emits per-community size/internal-edge/degree rows plus the
+    * community's additive contribution; the global Q is their sum,
+    * pinned exactly on a hand-computed graph in the spec. */
+  def modularity(undirectedEdges: DataFrame, labels: DataFrame): DataFrame = {
+    val la = labels.select(col("node").as("na"), col("community").as("ca"))
+    val lb = labels.select(col("node").as("nb"), col("community").as("cb"))
+    val tagged = undirectedEdges
+      .join(la, col("a") === col("na"))
+      .join(lb, col("b") === col("nb"))
+      .select(col("a"), col("ca"), col("cb"))
+    // single-row broadcast: 2m (both-directions row count)
+    val m2 = tagged.agg(count(lit(1)).as("m2"))
+    tagged.groupBy(col("ca").as("community"))
+      .agg(count_distinct(col("a")).as("n_nodes"),
+        count(lit(1)).as("degree_sum"),
+        sum(when(col("ca") === col("cb"), 1L).otherwise(0L))
+          .as("internal_rows"))
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"),
+        (col("internal_rows") / lit(2)).cast("long").as("internal_edges"),
+        col("degree_sum"),
+        round(col("internal_rows") / col("m2").cast("double")
+          - pow(col("degree_sum") / col("m2").cast("double"), 2.0), 6)
+          .as("contribution"))
+  }
+
   /** DataFrame label propagation: each round every node adopts its
     * neighbors' most frequent label, ties broken toward the
     * SMALLEST label — fully deterministic, unlike classic

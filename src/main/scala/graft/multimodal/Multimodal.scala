@@ -100,6 +100,44 @@ object Multimodal {
     }.toDF()
   }
 
+  case class FrameDelta(doc_id: Long, frame_idx: Int, energy: Long,
+    delta: Long, is_cut: Boolean)
+
+  /** Scene-cut detection over video-like payloads — the stub
+    * stand-in for shot-boundary detection (frame-difference
+    * thresholding, the classic first pass of any video curation
+    * pipeline): split the payload into ⌊n / frameBytes⌋ full frames
+    * (a short payload is one clamped frame; the partial tail is not
+    * a frame, matching [[frameSample]]), per-frame energy = Σ bytes,
+    * and a cut wherever |energy − previous energy| exceeds
+    * `threshold`. Integer arithmetic end to end so the oracle
+    * replays it exactly over ascii() of the text payload. Map-side
+    * only (mapPartitions, the per-doc frame fold needs no shuffle);
+    * a real frame decoder + histogram distance swaps in at the same
+    * boundary as [[decodeFeatures]]. */
+  def sceneCuts(media: Dataset[MediaRow], frameBytes: Int = 256,
+      threshold: Long = 300): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.media.length
+        val nf = if (n < frameBytes) 1 else n / frameBytes
+        var prev = 0L
+        (0 until nf).map { fi =>
+          val s = fi * frameBytes
+          val e = math.min(s + frameBytes, n)
+          var energy = 0L
+          var i = s
+          while (i < e) { energy += (r.media(i) & 0xFF); i += 1 }
+          val delta = if (fi == 0) 0L else math.abs(energy - prev)
+          prev = energy
+          FrameDelta(r.doc_id, fi, energy, delta,
+            fi > 0 && delta > threshold)
+        }
+      }
+    }.toDF()
+  }
+
   case class MediaHash(doc_id: Long, phash: Long)
 
   /** Perceptual hash (dHash) over the decoded payload — the image

@@ -89,6 +89,52 @@ object EventStreams {
         (max(col("tus")) - min(col("tus"))).as("duration_us"))
   }
 
+  /** Watermark-sizing stress harness — the batch replay of
+    * Structured Streaming's `withWatermark` drop rule under
+    * simulated arrival disorder, the number every streaming
+    * deployment needs BEFORE picking its delay threshold ("how much
+    * data would a 1-hour watermark drop if clients sync up to a day
+    * late?"). The events table records event TIME only (and arrives
+    * perfectly ordered — zero disorder at any scale, measured), so
+    * arrival is simulated: each event's upload is delayed by a
+    * deterministic md5-keyed jitter uniform in [0, maxJitter) — the
+    * offline-mobile-client model, replayed bit-identically by any
+    * engine. Per source partition (user_id, matching the per-key
+    * state shape of the streaming operators here) the watermark is
+    * max(event time seen so far in arrival order) − delay, and an
+    * event is late iff its event time is below the watermark on
+    * arrival. Exact integer microseconds; the only shuffle is the
+    * same user_id window sessionization pays, then a type-sized
+    * rollup. (A GLOBAL watermark — Spark's actual min across
+    * partitions — would need a total order over arrivals: a
+    * single-partition window at 100 TB. The per-partition form is
+    * the scale-honest bound: the global watermark is ≤ each
+    * partition's, so this never under-counts lateness.) */
+  def watermarkLateBatch(events: DataFrame,
+      delaySeconds: Long = 3600,
+      maxJitterSeconds: Long = 86400): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 48 md5 bits (12 hex chars): always positive, and wide enough
+    // that % does not degenerate (a 32-bit draw is SMALLER than a
+    // day of microseconds — the modulo would be the identity and
+    // silently cap the jitter at ~71 min)
+    val jitter = conv(substring(md5(col("event_id").cast("string")), 1, 12),
+      16, 10).cast("long") % (maxJitterSeconds * 1000000L)
+    val w = Window.partitionBy("user_id").orderBy("arrival_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wmBefore = max(col("tus")).over(w) - delaySeconds * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tus"))
+      .withColumn("arrival_us", col("tus") + jitter)
+      .withColumn("lateness_us",
+        when(col("tus") < wmBefore, wmBefore - col("tus")).otherwise(0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("lateness_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max(col("lateness_us")).as("max_lateness_us"))
+  }
+
   /** Inter-arrival gap statistics: the time between each user's
     * consecutive events (lag over the per-user event-time order),
     * rolled up by the event type that ENDED the gap — the latency

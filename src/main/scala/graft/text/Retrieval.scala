@@ -144,6 +144,72 @@ object Retrieval {
         round(exp(col("xent")), 4).as("ppl"))
   }
 
+  /** Interpolated trigram-LM perplexity per document (Jelinek-Mercer
+    * smoothing, the classic n-gram LM of Chen & Goodman 1999):
+    * every token from position 3 on is scored as
+    * −ln( λ3·p(w₃|w₁w₂) + λ2·p(w₃|w₂) + λ1·p(w₃) ), with all three
+    * component models estimated from the corpus itself. The
+    * interpolation is what a real LM-quality filter runs: the
+    * trigram term rewards genuine word order, the bigram/unigram
+    * terms keep unseen-context scores finite — and unlike the
+    * unsmoothed [[bigramPerplexity]], this form stays well-defined
+    * when scoring NEW text against a frozen corpus model.
+    *
+    * Scale shape, same family as [[bigramPerplexity]]: all gram
+    * extraction is map-side (`transform` over index sequences); the
+    * three models are three type-sized count shuffles (trigram types
+    * dominate); scoring joins each model back onto the trigram
+    * stream un-hinted — AQE broadcasts the models while they
+    * measure small and shuffles past that. The unigram N and vocab
+    * totals ride a single-row broadcast. */
+  def trigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    val base = docs.select(col(idCol),
+      TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    // streams: unigrams (all tokens), bigrams (adjacent pairs),
+    // trigrams (adjacent triples; the scoring stream)
+    val uni = base.select(col(idCol), explode(col("toks")).as("w"))
+    val bi = base.select(col(idCol), explode(expr(
+      "transform(sequence(0, size(toks) - 2), i -> " +
+        "struct(toks[i] AS p, toks[i+1] AS w))")).as("b"))
+      .select(col(idCol), col("b.p").as("p"), col("b.w").as("w"))
+    val tri = base.filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> " +
+          "struct(toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3))"))
+        .as("t"))
+      .select(col(idCol),
+        col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+    // distinct column names per model frame: ctx2/ctx3 derive from
+    // c2/c3, and same-named columns across a derived pair make the
+    // join conditions ambiguous self-join references
+    val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val ctx3 = c3.groupBy("w1", "w2").agg(sum("c3").as("c3ctx"))
+      .select(col("w1").as("x3a"), col("w2").as("x3b"), col("c3ctx"))
+    val c2 = bi.groupBy("p", "w").agg(count(lit(1)).as("c2"))
+      .select(col("p").as("c2p"), col("w").as("c2w"), col("c2"))
+    val ctx2 = c2.groupBy("c2p").agg(sum("c2").as("c2ctx"))
+      .select(col("c2p").as("x2p"), col("c2ctx"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
+      .select(col("w").as("c1w"), col("c1"))
+    val n = uni.agg(count(lit(1)).as("n"))
+    val scored = tri
+      .join(c3, Seq("w1", "w2", "w3"))
+      .join(ctx3, col("w1") === col("x3a") && col("w2") === col("x3b"))
+      .join(c2, col("w2") === col("c2p") && col("w3") === col("c2w"))
+      .join(ctx2, col("w2") === col("x2p"))
+      .join(c1, col("w3") === col("c1w"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol),
+        (-log(lit(l3) * (col("c3") / col("c3ctx").cast("double"))
+          + lit(l2) * (col("c2") / col("c2ctx").cast("double"))
+          + lit(l1) * (col("c1") / col("n").cast("double")))).as("nlp"))
+    scored.groupBy(idCol)
+      .agg(avg(col("nlp")).as("xent"))
+      .select(col(idCol), round(col("xent"), 4).as("cross_entropy"),
+        round(exp(col("xent")), 4).as("ppl"))
+  }
+
   /** PMI collocation mining: the corpus's most strongly associated
     * adjacent word pairs — `pmi(x,y) = ln( p(xy) / (p(x)·p(y)) )`
     * with probabilities estimated from corpus counts (Church & Hanks

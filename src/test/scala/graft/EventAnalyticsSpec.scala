@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.streaming.Funnels
+import graft.streaming.{EventStreams, Funnels}
 
 class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
 
@@ -62,6 +62,50 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(
       ("2024-01-01", 0) -> 1L, ("2024-01-01", 2) -> 1L,
       ("2024-01-08", 0) -> 1L))
+  }
+
+  test("watermark lateness agrees with an independent driver replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val ev = (1 to 60).map { i =>
+      (i.toLong, (i % 3).toLong, "e" + (i % 2),
+        new Timestamp(base + rnd.nextInt(3 * 86400) * 1000L))
+    }
+    val got = EventStreams.watermarkLateBatch(
+        ev.toDF("event_id", "user_id", "event_type", "ts"),
+        delaySeconds = 3600, maxJitterSeconds = 86400)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent replay: JVM md5 jitter + a per-user scan in
+    // arrival order (the operator's contract, reimplemented without
+    // window functions)
+    def jitter(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16) % 86400000000L
+    }
+    var late = Map[String, Long]().withDefaultValue(0L)
+    var total = Map[String, Long]().withDefaultValue(0L)
+    ev.groupBy(_._2).values.foreach { es =>
+      var maxTus = Long.MinValue
+      es.map { case (id, _, et, t) =>
+          val tus = t.getTime * 1000L
+          (id, et, tus, tus + jitter(id))
+        }.sortBy(e => (e._4, e._1))
+        .foreach { case (_, et, tus, _) =>
+          total += et -> (total(et) + 1)
+          if (maxTus != Long.MinValue && tus < maxTus - 3600000000L)
+            late += et -> (late(et) + 1)
+          if (tus > maxTus) maxTus = tus
+        }
+    }
+    assert(late.values.sum > 0, "test data must produce late events")
+    assert(got.keySet == total.keySet)
+    got.foreach { case (et, (n, nl)) =>
+      assert(n == total(et) && nl == late(et), s"mismatch for $et")
+    }
   }
 
   test("bloom decontamination is a superset of the exact check, per doc") {

@@ -146,6 +146,46 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(again == est)
   }
 
+  test("eccentricity is exact on a path graph (sparse-mode HLL)") {
+    // path a—b—c—d: ecc(a) = ecc(d) = 3, ecc(b) = ecc(c) = 2; at 4
+    // nodes the HLL sketches are exact (sparse mode), so the
+    // ball-growth detection — and therefore ecc — is exact
+    val e = und("a" -> "b", "b" -> "c", "c" -> "d")
+    val got = Algorithms.eccentricity(e, 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 3, "b" -> 2, "c" -> 2, "d" -> 3))
+    // maxDepth caps the report: depth 2 clamps the endpoints
+    val capped = Algorithms.eccentricity(e, 2)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(capped == Map("a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2))
+  }
+
+  test("modularity matches the hand-computed two-triangle value") {
+    import spark.implicits._
+    // two triangles bridged by one edge; the natural partition:
+    // m = 7, per community e_c = 3, d_c = 7 ⇒
+    // Q = 2 × (3/7 − (7/14)²) = 0.357143 (contribution 0.178571 each)
+    val e = und("a" -> "b", "b" -> "c", "a" -> "c",
+      "d" -> "e", "e" -> "f", "d" -> "f", "c" -> "d")
+    val labels = Seq("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d").toDF("node", "community")
+    val rows = Algorithms.modularity(e, labels).orderBy("community")
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3)          // n_nodes
+      assert(r.getLong(2) == 3)          // internal_edges
+      assert(r.getLong(3) == 7)          // degree_sum
+      assert(r.getDouble(4) == 0.178571) // contribution
+    }
+    // the degenerate all-one-community partition scores 0 exactly
+    val one = Seq("a", "b", "c", "d", "e", "f").map(_ -> "a")
+      .toDF("node", "community")
+    val q0 = Algorithms.modularity(e, one)
+      .agg(round(sum("contribution"), 6)).head().getDouble(0)
+    assert(q0 == 0.0)
+  }
+
   test("harmonic centrality is exact on a path graph (sparse-mode HLL)") {
     // path a—b—c—d, depth 3: H(a) = 1 + 1/2 + 1/3 = 1.8333,
     // H(b) = 1 + 1 + 1/2 = 2.5 (symmetric for c, d). At 4 nodes the

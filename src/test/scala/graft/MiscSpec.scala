@@ -132,6 +132,25 @@ class MiscSpec extends AnyFunSuite with SparkFixture {
     assert(sample.n_bytes > 0)
   }
 
+  test("scene cuts: frame energies and delta thresholding, hand-computed") {
+    import spark.implicits._
+    // 3 full 256-byte frames: energies 97·256, 98·256, 122·256 —
+    // deltas 0, 256 (below threshold), 6144 (cut)
+    val text = "a" * 256 + "b" * 256 + "z" * 256
+    val docs = Seq((1L, text), (2L, "hi")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val rows = Multimodal.sceneCuts(Multimodal.attachMedia(docs))
+      .orderBy("doc_id", "frame_idx").collect()
+    val d1 = rows.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getLong(2)).toSeq == Seq(97L * 256, 98L * 256, 122L * 256))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(0L, 256L, 24L * 256))
+    assert(d1.map(_.getBoolean(4)).toSeq == Seq(false, false, true))
+    // short doc: one clamped frame, frame 0 is never a cut
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(2) == 'h'.toLong + 'i'.toLong
+      && !d2(0).getBoolean(4))
+  }
+
   test("phash: dHash contract — local edits flip few bits, dups collide") {
     import spark.implicits._
     val base = (0 until 244).map(i => ('a' + (i * i * 31) % 26).toChar).mkString
