@@ -234,6 +234,15 @@ object EgraphQueries {
         .orderBy("community")
     },
 
+    "g_betweenness" -> { (s, d) =>
+      // source-sampled Brandes betweenness, 16 md5-chosen seeds, ≤4
+      // hops (rows-only: sampling estimator; exact-when-all-seeds
+      // pinned on path + star graphs in GraphSpec)
+      Algorithms.betweenness(GraphBuilder.undirectedFor(s, d),
+          k = 16, maxDepth = 4)
+        .orderBy("node")
+    },
+
     // the three heavyweight iterative algorithms run on the GraphX/
     // Pregel backend (the north-star scale path for batch graph
     // analytics); the DataFrame implementations in Algorithms/

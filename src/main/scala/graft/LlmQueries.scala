@@ -591,6 +591,17 @@ object LlmQueries {
         .orderBy("step")
     },
 
+    "t_bpe_encode" -> { (s, d) =>
+      // learn → apply round trip: tokenize the corpus with its own
+      // 20-merge table (rows-only: inherits the argmax chain; the
+      // spec hand-computes encodings and the train-corpus identity)
+      val docs = Tables.documents(s, d)
+      val merges = text.Bpe.learnMerges(docs, "text", nMerges = 20)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      text.Bpe.encode(docs, "doc_id", "text", merges).orderBy("doc_id")
+    },
+
     "m_audio_energy" -> { (s, d) =>
       Multimodal.audioEnergy(Multimodal.attachMedia(Tables.documents(s, d)))
         .orderBy("doc_id", "win_idx")

@@ -380,6 +380,98 @@ object Algorithms {
     state.select(col("node"), col("ecc"))
   }
 
+  /** Betweenness centrality, source-sampled Brandes (Brandes 2001;
+    * sampling estimator per Brandes & Pich 2007): run the
+    * forward-BFS + backward-dependency sweep from `k` hash-chosen
+    * seed nodes — ALL seeds batched through the same jobs, keyed by
+    * (source, node) — and scale the dependency sums by n/k.
+    * BC(v) ≈ (n/k)/2 · Σ_s δ_s(v) on an undirected graph.
+    *
+    * Exact all-sources Brandes is |V| sweeps (the (s, v) state is
+    * quadratic — a non-starter at 100 TB); the k-sample estimator is
+    * THE published scale form, state bounded at k·|V| rows. Forward
+    * round t: one edge join + σ-sum agg + anti join against settled
+    * (shortest-path counts arrive exactly: only depth-(t−1) frontier
+    * rows feed depth-t candidates). Backward sweep per depth: one
+    * reversed edge join + one agg, reusing the settled frame's depth
+    * slices. All shuffles keyed (s, v); rounds capped at `maxDepth`
+    * (truncated/k-bounded betweenness — the standard bounded-radius
+    * variant — on graphs whose diameter exceeds it).
+    *
+    * Seeds are the k smallest md5(node) — uniform over nodes,
+    * deterministic, replayable by any engine. δ sums are doubles;
+    * output rounds to 6 (FP addition order across partitions can
+    * wobble the last bits, same contract as PageRank). */
+  def betweenness(undirectedEdges: DataFrame, k: Int = 16,
+      maxDepth: Int = 4): DataFrame = {
+    val nodes = undirectedEdges.select(col("a")).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val kk = math.min(k.toLong, n)
+    val seeds = nodes.orderBy(md5(col("a")), col("a")).limit(kk.toInt)
+      .select(col("a").as("s"))
+    val edges = undirectedEdges
+    // forward: settled (s, v, sigma, d); sigma = #shortest s→v paths
+    var settled = seeds
+      .select(col("s"), col("s").as("v"), lit(1.0).as("sigma"),
+        lit(0).as("d"))
+      .localCheckpoint(true)
+    var frontier = settled
+    var t = 1
+    while (t <= maxDepth && frontier.limit(1).count() > 0) {
+      val cand = frontier.join(edges, frontier("v") === edges("a"))
+        .select(col("s"), edges("b").as("v"), col("sigma"))
+        .groupBy("s", "v").agg(sum("sigma").as("sigma"))
+      frontier = cand
+        .join(settled.select(col("s").as("ss"), col("v").as("sv")),
+          col("s") === col("ss") && col("v") === col("sv"), "left_anti")
+        .withColumn("d", lit(t))
+        .localCheckpoint(true)
+      settled = settled.unionByName(frontier)
+      t += 1
+    }
+    settled = settled.localCheckpoint(true)
+    val maxd = settled.agg(max("d")).head().getInt(0)
+    // backward: delta per depth, deepest first; a node's dependency
+    // δ(v) = Σ_{w ∈ succ(v)} σv/σw · (1 + δw) arrives as one
+    // reversed-edge join + agg per level
+    def level(d: Int) = settled.filter(col("d") === d)
+    var acc: DataFrame = null // (s, v, delta) union over depths ≥ 1
+    var deltaAt: DataFrame = level(maxd)
+      .select(col("s"), col("v"), lit(0.0).as("delta"))
+    for (d <- maxd to 1 by -1) {
+      val wRows = level(d)
+        .join(deltaAt.select(col("s").as("ds"), col("v").as("dv"),
+          col("delta")),
+          col("s") === col("ds") && col("v") === col("dv"), "left_outer")
+        .select(col("s"), col("v").as("w"), col("sigma").as("sw"),
+          coalesce(col("delta"), lit(0.0)).as("dw"))
+      acc = if (acc == null) wRows.select(col("s"), col("w").as("v"),
+        col("dw").as("delta"))
+      else acc.unionByName(wRows.select(col("s"), col("w").as("v"),
+        col("dw").as("delta")))
+      // predecessors: settled depth d−1 neighbors of w
+      deltaAt = wRows
+        .join(edges, edges("b") === wRows("w"))
+        .select(col("s"), edges("a").as("v"), col("sw"), col("dw"))
+        .join(level(d - 1).select(col("s").as("ps"), col("v").as("pv"),
+          col("sigma").as("sv")),
+          col("s") === col("ps") && col("v") === col("pv"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("sv") / col("sw") * (lit(1.0) + col("dw")))
+          .as("delta"))
+        .localCheckpoint(true)
+    }
+    // deltaAt now holds the sources' own rows (d=0) — excluded by
+    // construction of `acc` (only depths ≥ 1 entered it)
+    val scale = n.toDouble / kk.toDouble / 2.0
+    nodes.join(acc.groupBy("v").agg(sum("delta").as("delta")),
+        nodes("a") === col("v"), "left_outer")
+      .select(nodes("a").as("node"),
+        round(coalesce(col("delta"), lit(0.0)) * lit(scale), 6)
+          .as("betweenness"))
+  }
+
   /** Modularity of a community assignment (Newman & Girvan 2004):
     * Q = Σ_c [ e_c/m − (d_c/2m)² ] — the standard "was this
     * clustering better than chance" score over the partition

@@ -95,4 +95,57 @@ object Bpe {
     }
     out.result().toDF("step", "left", "right", "pair_count", "merged")
   }
+
+  /** Apply a learned merge table: per document, tokenize each word
+    * by replaying the merges IN LEARNED ORDER (Sennrich's apply
+    * rule — same left-to-right, non-overlapping, all-occurrences
+    * semantics as training, so encoding the training corpus
+    * reproduces training's final symbol sequences exactly).
+    *
+    * Map-side only: the merge table is a broadcast model (vocab
+    * bounded — the same artifact class as IVF centroids) and each
+    * partition memoizes per-word encodings, so the per-row cost is
+    * ~one hash probe per repeated word. Emits per-doc token
+    * accounting (word count, BPE token count) — the number a
+    * context-window packer or a tokens-per-doc budget gate consumes. */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toArray)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ms = bc.value
+        val cache = new java.util.HashMap[String, Integer]()
+        def encodeWord(w: String): Int = {
+          val hit = cache.get(w)
+          if (hit != null) hit.intValue()
+          else {
+            var syms: Array[String] = (w.map(_.toString) :+ Eow).toArray
+            ms.foreach { case (l, r) =>
+              if (syms.length >= 2) {
+                val b = Array.newBuilder[String]
+                var i = 0
+                while (i < syms.length) {
+                  if (i < syms.length - 1 && syms(i) == l &&
+                    syms(i + 1) == r) {
+                    b += (l + r); i += 2
+                  } else { b += syms(i); i += 1 }
+                }
+                syms = b.result()
+              }
+            }
+            cache.put(w, syms.length)
+            syms.length
+          }
+        }
+        it.map { case (id, text) =>
+          val words = text.split(" ").filter(_.nonEmpty)
+          var total = 0L
+          words.foreach(w => total += encodeWord(w))
+          (id, words.length.toLong, total)
+        }
+      }.toDF("doc_id", "n_words", "n_bpe_tokens")
+  }
 }

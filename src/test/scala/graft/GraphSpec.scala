@@ -160,6 +160,21 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(capped == Map("a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2))
   }
 
+  test("betweenness is exact on path and star when every node is a seed") {
+    // P4 a—b—c—d: BC(b) = BC(c) = 2, endpoints 0 (k ≥ n ⇒ the
+    // sampling estimator degenerates to exact Brandes, scale = 1/2
+    // over directed dependency sums)
+    val p = Algorithms.betweenness(und("a" -> "b", "b" -> "c", "c" -> "d"),
+        k = 16, maxDepth = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(p == Map("a" -> 0.0, "b" -> 2.0, "c" -> 2.0, "d" -> 0.0), p)
+    // star: center carries every leaf pair = C(3,2) = 3
+    val s = Algorithms.betweenness(
+        und("x" -> "a", "x" -> "b", "x" -> "c"), k = 16, maxDepth = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(s == Map("x" -> 3.0, "a" -> 0.0, "b" -> 0.0, "c" -> 0.0), s)
+  }
+
   test("modularity matches the hand-computed two-triangle value") {
     import spark.implicits._
     // two triangles bridged by one edge; the natural partition:

@@ -84,6 +84,28 @@ class TextSpec extends AnyFunSuite with SparkFixture {
       (5, "lo", "w", 7L, "low")), merges.mkString(", "))
   }
 
+  test("bpe encode replays learned merges in order, hand-computed") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val train = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = text.Bpe.learnMerges(train, "text", nMerges = 5)
+      .orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // hand-encoded with the 5 learned merges: low → [low,</w>] = 2;
+    // lower → [low,e,r,</w>] = 4; newest → [n,e,w,est</w>] = 4;
+    // widest → [w,i,d,est</w>] = 4
+    val docs = Seq((1L, "low lower newest widest"),
+      (2L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = text.Bpe.encode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == (4L, 14L), s"got ${got(1L)}")
+    // encoding the training corpus reproduces training's final
+    // symbol totals: 5·2 + 2·4 + 6·4 + 3·4 = 54
+    assert(got(2L) == (16L, 54L), s"got ${got(2L)}")
+  }
+
   test("bpe best-pair count is non-increasing and merges apply " +
       "non-overlapping left-to-right") {
     import spark.implicits._
