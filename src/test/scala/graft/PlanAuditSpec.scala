@@ -188,6 +188,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("scenecut: map-side only — no exchange before the frame fold") {
+    val p = executedPlan("m_scenecut")
+    // the only exchange is the output orderBy's range partitioning
+    assert(!p.contains("hashpartitioning"),
+      s"scene cuts should not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("watermark lateness: one window shuffle, then a type-sized agg") {
+    val p = executedPlan("s_watermark_late")
+    // window on user_id + agg on event_type + output sort = at most
+    // two hash exchanges (the agg's partial pass is exchange-free)
+    assert("hashpartitioning".r.findAllIn(p).size <= 4, // key + partitioning lines
+      s"extra exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("trigram LM: models join back without a nested-loop product") {
+    val p = executedPlan("t_perplexity3")
+    assert(!p.contains("CartesianProduct"), p)
+    // the single-row N frame is the only nested-loop (broadcast) join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²
