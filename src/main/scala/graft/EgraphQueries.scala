@@ -243,6 +243,17 @@ object EgraphQueries {
         .orderBy("node")
     },
 
+    "g_diameter" -> { (s, d) =>
+      // HyperBall neighborhood function + ANF effective diameter
+      // (rows-only: sketch-based; exact on a path graph in GraphSpec)
+      // the 5-row curve feeds both branches — materialize once so
+      // the 4 HLL rounds don't run twice
+      val nf = Algorithms.neighborhoodFunction(
+        GraphBuilder.undirectedFor(s, d), 4).localCheckpoint(true)
+      nf.crossJoin(broadcast(Algorithms.effectiveDiameter(nf)))
+        .orderBy("t")
+    },
+
     // the three heavyweight iterative algorithms run on the GraphX/
     // Pregel backend (the north-star scale path for batch graph
     // analytics); the DataFrame implementations in Algorithms/

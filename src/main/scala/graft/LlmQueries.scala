@@ -144,6 +144,20 @@ object LlmQueries {
         .orderBy("query_id", "rk")
     },
 
+    "e_knn_ivfpq" -> { (s, d) =>
+      // IVF×PQ composition: cell-pruned candidates, ADC-scored codes,
+      // exact re-rank (rows-only like its parents; AnnSpec pins
+      // recall vs brute and containment in the probed cells)
+      val emb = Tables.embeddings(s, d)
+      val ivf = ann.Ivf.train(emb, "vec_id", "embedding", dim, k = 16)
+      val pq = ann.Pq.train(emb, "vec_id", "embedding", dim, m = 4, k = 16)
+      ann.Pq.topKWithIvf(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim, k = 5, pq, ivf, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+
     "t_token_stats" -> { (s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
           size(TextAnalysis.wsTokens(col("text"))).as("n_ws_tokens"),

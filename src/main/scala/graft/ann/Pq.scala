@@ -175,4 +175,49 @@ object Pq {
       .withColumn("rk", row_number().over(wExact))
       .filter(col("rk") <= k)
   }
+
+  /** IVF × PQ composition (the canonical large-scale ANN index,
+    * Jégou et al. 2011 §V): IVF prunes WHICH vectors are scored —
+    * the candidate join becomes a cell equi-join instead of plain
+    * PQ's corpus-wide broadcast nested-loop — and PQ compresses HOW,
+    * ADC over the codes inside the probed cells, then exact top-k
+    * re-rank. At 100 TB the cell is the partition key and the scan
+    * reads `nprobe/k_cells` of the corpus at 1/64th the bandwidth —
+    * each factor multiplies, which is why every production ANN
+    * system ships exactly this pair. */
+  def topKWithIvf(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int, pq: Model, ivf: Ivf.Model,
+      nprobe: Int = 4, rerankK: Int = 32): DataFrame = {
+    require(rerankK >= k, s"rerankK $rerankK must cover k $k")
+    Registry.registerAll(corpus.sparkSession)
+    val m = pq.m
+    val coded = corpus.select(
+      col(idCol).as("neighbor_id") +: col(vecCol).as("cv") +:
+        sqrt(Knn.dot(col(vecCol), col(vecCol))).as("cn") +:
+        ivf.cellExpr(col(vecCol)).as("cell") +:
+        (0 until m).map(j =>
+          pq.codeExpr(unit(col(vecCol)), j).as(s"c$j")): _*)
+    val q = queries.select(
+        col(idCol).as("query_id") +: col(vecCol).as("qv") +:
+          sqrt(Knn.dot(col(vecCol), col(vecCol))).as("qn") +:
+          ivf.probeCellsExpr(col(vecCol), nprobe).as("cells") +:
+          (0 until m).map(j =>
+            pq.adcTableExpr(unit(col(vecCol)), j).as(s"t$j")): _*)
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val adc = (0 until m).map(j =>
+      element_at(col(s"t$j"), col(s"c$j") + 1)).reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    coded.join(broadcast(q), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adc)
+      .withColumn("rka", row_number().over(wAdc))
+      .filter(col("rka") <= rerankK)
+      .select(col("query_id"), col("neighbor_id"),
+        (Knn.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rk", row_number().over(wExact))
+      .filter(col("rk") <= k)
+  }
 }

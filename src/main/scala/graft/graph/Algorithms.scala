@@ -380,6 +380,58 @@ object Algorithms {
     state.select(col("node"), col("ecc"))
   }
 
+  /** Global neighborhood function N(t) = Σ_v |ball_t(v)| — the
+    * number of reachable ordered pairs within t hops — on the same
+    * HyperBall rounds as [[neighborhoodSizes]]: each node's
+    * per-round ball sizes accumulate in an ARRAY travelling inside
+    * the round state (self-loop delivery, single-reference lazy
+    * chain), so the whole curve falls out of ONE final posexplode +
+    * sum aggregation. This is the curve behind "effective diameter"
+    * (Palmer/Faloutsos ANF, HyperBall's headline application). */
+  def neighborhoodFunction(undirectedEdges: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val nodes = undirectedEdges.select(col("a")).distinct()
+    val edges = undirectedEdges
+      .unionByName(nodes.select(col("a"), col("a").as("b")))
+      .repartition(col("b")).localCheckpoint()
+    var state = nodes.select(col("a").as("node"))
+      .groupBy("node").agg(expr("hll_sketch_agg(node, 12)").as("sketch"))
+      .select(col("node"), col("sketch"), array(lit(1.0)).as("sizes"))
+    for (_ <- 1 to maxDepth) {
+      val joined = edges.join(state, edges("b") === state("node"))
+        .select(edges("a").as("node"),
+          (edges("b") === edges("a")).as("self"),
+          col("sketch"), col("sizes"))
+      state = joined.groupBy("node")
+        .agg(expr("hll_union_agg(sketch, true)").as("sketch"),
+          max(when(col("self"), col("sizes"))).as("sizes"))
+        .select(col("node"), col("sketch"),
+          concat(col("sizes"),
+            array(expr("hll_sketch_estimate(sketch)"))).as("sizes"))
+    }
+    state.select(posexplode(col("sizes")).as(Seq("t", "est")))
+      .groupBy("t").agg(round(sum("est"), 1).as("n_pairs"))
+  }
+
+  /** Effective diameter from the neighborhood function: the
+    * interpolated hop count where N(t) first covers `q` of the
+    * final reach (ANF's definition — linear interpolation between
+    * the bracketing rounds). One window over a maxDepth-row frame. */
+  def effectiveDiameter(nf: DataFrame, q: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("t")
+    val target = nf.agg((max("n_pairs") * lit(q)).as("target"))
+    nf.crossJoin(broadcast(target))
+      .withColumn("prev", lag(col("n_pairs"), 1).over(w))
+      .filter(col("n_pairs") >= col("target") &&
+        (col("prev").isNull || col("prev") < col("target")))
+      .select(round(
+        when(col("prev").isNull, col("t"))
+          .otherwise(col("t") - 1 + (col("target") - col("prev"))
+            / (col("n_pairs") - col("prev"))), 4)
+        .as("eff_diameter"))
+  }
+
   /** Betweenness centrality, source-sampled Brandes (Brandes 2001;
     * sampling estimator per Brandes & Pich 2007): run the
     * forward-BFS + backward-dependency sweep from `k` hash-chosen

@@ -179,4 +179,37 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     val recall = (got5 & b5).size.toDouble / b5.size
     assert(recall >= 0.5, s"pq recall@5 = $recall")
   }
+
+  test("ivf×pq: neighbors from probed cells, exact re-ranked sims, recall") {
+    import graft.ann.{Ivf, Pq}
+    val ivf = Ivf.train(emb, "vec_id", "embedding", dim, k = 8, iters = 2)
+    val pq = Pq.train(emb, "vec_id", "embedding", dim, m = 4, k = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Pq.topKWithIvf(emb, queries, "vec_id", "embedding", dim,
+      k = 5, pq, ivf, nprobe = 3).cache()
+    assert(got.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // cell containment: every neighbor lives in a probed cell
+    val cells = emb.select(col("vec_id").as("neighbor_id"),
+      ivf.cellExpr(col("embedding")).as("ncell"))
+    val probed = queries.select(col("vec_id").as("query_id"),
+      ivf.probeCellsExpr(col("embedding"), 3).as("qcells"))
+    assert(got.join(cells, "neighbor_id").join(probed, "query_id")
+      .filter(!array_contains(col("qcells"), col("ncell"))).count() == 0)
+    // sims are exact cosines (re-rank contract)
+    val brute = Knn.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", dim, k = 500)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    assert(got.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("sim") - col("bsim")) > 1e-12).count() == 0)
+    // recall@5: the composition can only lose candidates IVF prunes,
+    // so it tracks brute at the nprobe recall level
+    val b5 = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        dim, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g5 = got.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (g5 & b5).size.toDouble / b5.size
+    assert(recall >= 0.2, s"ivf×pq recall@5 = $recall")
+  }
 }

@@ -160,6 +160,21 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(capped == Map("a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2))
   }
 
+  test("neighborhood function and effective diameter, exact on a path") {
+    // P4 a—b—c—d: ball sizes per t — t0: 1,1,1,1; t1: 2,3,3,2;
+    // t2: 3,4,4,3; t3: all 4 ⇒ N = 4, 10, 14, 16. ANF 0.9-effective
+    // diameter: target 14.4 ⇒ 2 + (14.4−14)/(16−14) = 2.2
+    val e = und("a" -> "b", "b" -> "c", "c" -> "d")
+    val nf = Algorithms.neighborhoodFunction(e, 3)
+    val curve = nf.orderBy("t").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(curve == Map(0 -> 4.0, 1 -> 10.0, 2 -> 14.0, 3 -> 16.0), curve)
+    val eff = Algorithms.effectiveDiameter(nf).head().getDouble(0)
+    assert(eff == 2.2, s"eff diameter $eff")
+    // q = 0 degenerates to the first round (prev is null ⇒ t itself)
+    assert(Algorithms.effectiveDiameter(nf, 0.1).head().getDouble(0) <= 1.0)
+  }
+
   test("betweenness is exact on path and star when every node is a seed") {
     // P4 a—b—c—d: BC(b) = BC(c) = 2, endpoints 0 (k ≥ n ⇒ the
     // sampling estimator degenerates to exact Brandes, scale = 1/2
