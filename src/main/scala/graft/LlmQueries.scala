@@ -177,6 +177,17 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "d_decontaminate_fuzzy" -> { (s, d) =>
+      // MinHash near-dup leakage across the split: catches the
+      // PARAPHRASED/permuted contamination the 8-gram check misses
+      // (this corpus's token-shuffled near-dups share high token-set
+      // Jaccard but no 8-gram). Rows-only: banding is hash-internal;
+      // DedupSpec plants a reworded pair + an innocent doc.
+      Dedup.crossSplitContaminationFuzzy(Tables.documents(s, d),
+          "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id")
+    },
+
     "t_vocab" -> { (s, d) =>
       // vocabulary building: corpus-wide token frequencies, top 200.
       // explode → partial (map-side) count → ONE shuffle on token →
@@ -231,6 +242,13 @@ object LlmQueries {
     "s_sessionize" -> { (s, d) =>
       EventStreams.sessionizeBatch(Tables.events(s, d))
         .orderBy("user_id", "event_id")
+    },
+
+    "s_session_native" -> { (s, d) =>
+      // Spark's native session_window operator; the oracle replays
+      // the gap rule as lag + running sum, proving the two agree
+      EventStreams.sessionWindowNative(Tables.events(s, d))
+        .orderBy("user_id", "session_start")
     },
 
     "s_asof_join" -> { (s, d) =>
@@ -967,6 +985,30 @@ object LlmQueries {
          count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // session_window merges windows [t, t+gap): SAME session iff
+    // gap < threshold — note `>=` for the new-session rule, one
+    // boundary stricter than s_sessionize's `>` (the two operators'
+    // documented difference); end = last event + gap
+    "s_session_native" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus,
+                      value FROM events),
+         g AS (SELECT user_id, event_id, tus, value,
+                 CASE WHEN lag(tus) OVER w IS NULL
+                        OR tus - lag(tus) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS ns
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY tus, event_id)),
+         s AS (SELECT user_id, tus, value,
+                 sum(ns) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS seq
+               FROM g)
+         SELECT user_id,
+           make_timestamp(min(tus)) AS session_start,
+           make_timestamp(max(tus) + 1800000000) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, seq
+         ORDER BY user_id, session_start""",
     // tus = epoch_ns // 1000 (floor) matches Spark's `ts div 1000`
     // µs truncation exactly on ANY DuckDB version: 1.0 reads the ns
     // parquet column as µs TIMESTAMP (epoch_ns = µs*1000, //1000 is

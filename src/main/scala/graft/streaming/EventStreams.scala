@@ -89,6 +89,30 @@ object EventStreams {
         (max(col("tus")) - min(col("tus"))).as("duration_us"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` operator —
+    * the merging-window aggregate Structured Streaming uses for
+    * session state (SPARK-10816), here in its batch form. Same
+    * 30-minute gap rule as [[sessionizeBatch]], but expressed as a
+    * groupBy over a dynamic window instead of lag + running sum —
+    * one shuffle on (user_id, window), merged map-side like any
+    * aggregation, and under readStream the SAME expression runs with
+    * watermark-bounded state. Window bounds surface as NTZ (plain
+    * int64 µs in parquet, the cross-engine-stable choice used by
+    * every window op here); values are exact 2-dp decimals. The
+    * oracle replays the gap rule with lag + running sum — proving
+    * the native operator and the window formulation agree. */
+  def sessionWindowNative(events: DataFrame,
+      gapMinutes: Int = 30): DataFrame =
+    events.groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Watermark-sizing stress harness — the batch replay of
     * Structured Streaming's `withWatermark` drop rule under
     * simulated arrival disorder, the number every streaming

@@ -22,6 +22,44 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"recall $recall (lsh=${lsh.size}, exact=${exact.size})")
   }
 
+  test("fuzzy decontamination flags a planted paraphrase, not an innocent") {
+    import spark.implicits._
+    // replicate assignSplit's routing on the driver to pick ids on
+    // the right side of the split boundary
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val ids = (1L to 60L)
+    val trainId = ids.find(splitOf(_) == "train").get
+    val evalIds = ids.filter(splitOf(_) != "train")
+    val (leakId, innocentId) = (evalIds.head, evalIds(1))
+    val base = (1 to 20).map(i => s"tok$i")
+    // paraphrase: one token replaced AND reordered — token-set
+    // Jaccard 19/21 ≈ 0.905, but shared 8-grams: none (reordering)
+    val leak = (base.updated(4, "reworded").reverse).mkString(" ")
+    val innocent = (100 to 119).map(i => s"other$i").mkString(" ")
+    val filler = ids.filterNot(Set(trainId, leakId, innocentId))
+      .map(i => (i, (0 to 15).map(j => s"f${i}_$j").mkString(" ")))
+    val df = (filler :+ (trainId, base.mkString(" ")) :+
+      (leakId, leak) :+ (innocentId, innocent)).toDF("doc_id", "text")
+    val got = Dedup.crossSplitContaminationFuzzy(df, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.contains(leakId), s"paraphrased leak not flagged: $got")
+    assert(got(leakId)._1 == 1L && got(leakId)._2 == 0.9048, got(leakId))
+    assert(!got.contains(innocentId), s"innocent doc flagged: $got")
+    // the exact 8-gram check MISSES this reordered paraphrase — the
+    // two operators are complements, not substitutes
+    val exact = Dedup.crossSplitContamination(df, "doc_id", "text", n = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(!exact.contains(leakId),
+      "reordered paraphrase unexpectedly shares an 8-gram")
+  }
+
   test("simhash is order-invariant and hamming bound holds") {
     import spark.implicits._
     val df = Seq(
