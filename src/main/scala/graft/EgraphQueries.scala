@@ -204,6 +204,13 @@ object EgraphQueries {
       Algorithms.assortativity(GraphBuilder.undirectedFor(s, d))
     },
 
+    "g_butterflies" -> { (s, d) =>
+      // bipartite 4-cycle census of the customer→supplier graph —
+      // the motif that exists where triangles can't; integer end to
+      // end, exact oracle
+      Algorithms.butterflies(GraphBuilder.edges(s, d))
+    },
+
     "g_neighborhood_est" -> { (s, d) =>
       // HyperBall ≤3-hop reach estimates for every node (rows-only:
       // sketch-based; error bound vs exact pinned in GraphSpec)
@@ -693,6 +700,25 @@ object EgraphQueries {
                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
               AS assortativity
           FROM s""",
+    // butterflies counted from the customer side; the count is
+    // side-independent (each 4-cycle is one supplier pair with one
+    // C(cn,2) contribution), integer // keeps it exact
+    "g_butterflies" ->
+      s"""WITH e AS (SELECT src_key AS c, dst_key AS s FROM ($edgesSql)),
+          pairs AS (SELECT x.s AS a, y.s AS b, count(*) AS cn
+                    FROM e x JOIN e y ON x.c = y.c AND x.s < y.s
+                    GROUP BY 1, 2),
+          b AS (SELECT count(*) AS n_pairs,
+                  sum(cn * (cn - 1) // 2) AS n_butterflies FROM pairs),
+          wc AS (SELECT sum(d * (d - 1) // 2) AS n_wedges_c FROM
+                 (SELECT count(*) AS d FROM e GROUP BY c)),
+          ws AS (SELECT sum(d * (d - 1) // 2) AS n_wedges_s FROM
+                 (SELECT count(*) AS d FROM e GROUP BY s))
+          SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+            CAST(n_butterflies AS BIGINT) AS n_butterflies,
+            CAST(n_wedges_c AS BIGINT) AS n_wedges_c,
+            CAST(n_wedges_s AS BIGINT) AS n_wedges_s
+          FROM b, wc, ws""",
     "s_search_or" ->
       """SELECT event_id, event_type AS etype,
          CAST(json_extract_string(props, '$.k') AS INT) AS k

@@ -425,6 +425,13 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "t_span_trim" -> { (s, d) =>
+      // the trim step completing ExactSubstr: every duplicated span
+      // cut out, doc rebuilt from the surviving tokens
+      Dedup.trimSpans(Tables.documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    },
+
     "t_perplexity" -> { (s, d) =>
       TextRetrieval.unigramPerplexity(Tables.documents(s, d),
           "doc_id", "text")
@@ -642,6 +649,24 @@ object LlmQueries {
     "m_scenecut" -> { (s, d) =>
       Multimodal.sceneCuts(Multimodal.attachMedia(Tables.documents(s, d)))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    "m_vad" -> { (s, d) =>
+      // voice-activity segments over the audio-energy windows:
+      // threshold at 1.6M (≈ mean byte² ~6.2k/byte over a full
+      // window — ASCII text sits ~2.3M, so segments are real splits)
+      Multimodal.vadSegments(
+        Multimodal.audioEnergy(
+          Multimodal.attachMedia(Tables.documents(s, d))),
+        threshold = 1600000L)
+        .orderBy("doc_id", "seg_idx")
+    },
+
+    "t_classify" -> { (s, d) =>
+      // hashed linear quality classifier (fastText-shaped plumbing)
+      text.TextAnalysis.linearClassify(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
     },
 
     "s_watermark_late" -> { (s, d) =>
@@ -1186,6 +1211,21 @@ object LlmQueries {
                   FROM bb x JOIN bb y ON x.band = y.band AND x.block = y.block
                     AND x.doc_id < y.doc_id)
          SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""",
+    // integer weight numerators summed exactly, one IEEE division on
+    // identical operands, threshold on the ROUNDED score — same
+    // contract as the Spark side
+    "t_classify" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                    FROM documents),
+         s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 round(CAST(list_sum(list_transform(toks,
+                     t -> ('0x' || substring(md5('w|' || t), 1, 8))::BIGINT
+                          % 2001 - 1000)) AS DOUBLE)
+                   / (CAST(len(toks) AS DOUBLE) * 1000.0), 6) AS score
+               FROM t)
+         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, score,
+           CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+         FROM s ORDER BY doc_id""",
     "t_filter_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),
@@ -1238,6 +1278,50 @@ object LlmQueries {
            CAST(max(pos) + 7 AS BIGINT) AS span_end,
            CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_dup_tokens
          FROM ii GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    // replays the span pipeline, then rebuilds each doc from the
+    // positions no span covers (string_agg ordered by position —
+    // same tokens, same order, same single-space join)
+    "t_span_trim" ->
+      """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks
+                     FROM documents),
+         t AS (SELECT doc_id, toks FROM t0 WHERE len(toks) >= 8),
+         g AS (SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(toks[i:i+7], ' ')) AS g
+               FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 7))
+                 AS i) u),
+         d AS (SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+         m AS (SELECT doc_id, pos FROM g JOIN d USING (g)),
+         i AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, -1)
+                   THEN 1 ELSE 0 END AS nw
+               FROM m),
+         ii AS (SELECT doc_id, pos,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM i),
+         spans AS (SELECT doc_id, min(pos) AS span_start,
+                     max(pos) + 7 AS span_end
+                   FROM ii GROUP BY doc_id, island),
+         cov AS (SELECT doc_id,
+                   unnest(range(span_start, span_end + 1)) AS pos
+                 FROM spans),
+         tok AS (SELECT doc_id, toks,
+                   unnest(range(0, len(toks))) AS pos
+                 FROM t0),
+         tk AS (SELECT doc_id, pos, toks[pos + 1] AS tk FROM tok),
+         keep AS (SELECT tk.doc_id, tk.pos, tk.tk
+                  FROM tk LEFT JOIN cov
+                    ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+                  WHERE cov.pos IS NULL),
+         agg AS (SELECT doc_id, count(*) AS kept,
+                   string_agg(tk, ' ' ORDER BY pos) AS txt
+                 FROM keep GROUP BY doc_id)
+         SELECT t0.doc_id, CAST(len(t0.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(agg.kept, 0) AS BIGINT) AS kept_tokens,
+           coalesce(agg.txt, '') AS trimmed_text
+         FROM t0 LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
     "d_dup_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents WHERE len(string_split(text, ' ')) >= 8),
@@ -1708,6 +1792,40 @@ object LlmQueries {
              range(win_idx * 128 + 1, least(win_idx * 128 + 256, n) + 1),
              i -> ascii(substring(text, i, 1)))), 0) AS INT) AS peak
          FROM w ORDER BY doc_id, win_idx""",
+    // replays the audio-energy windows, thresholds, and merges
+    // consecutive speech windows by gaps-and-islands — the same
+    // integer arithmetic end to end
+    "m_vad" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         w AS (SELECT doc_id, text, n,
+                 unnest(range(0, CASE WHEN n <= 256 THEN 1
+                                      ELSE (n - 256) // 128 + 1 END))
+                   AS win_idx
+               FROM d),
+         e AS (SELECT doc_id, win_idx,
+                 coalesce(list_sum(list_transform(
+                   range(win_idx * 128 + 1, least(win_idx * 128 + 256, n) + 1),
+                   i -> ascii(substring(text, i, 1))::BIGINT
+                        * ascii(substring(text, i, 1)))), 0) AS energy
+               FROM w),
+         sp AS (SELECT doc_id, win_idx, energy,
+                  win_idx - row_number() OVER
+                    (PARTITION BY doc_id ORDER BY win_idx) AS island
+                FROM e WHERE energy > 1600000),
+         seg AS (SELECT doc_id, island, min(win_idx) AS start_win,
+                   max(win_idx) AS end_win, count(*) AS n_wins,
+                   sum(energy) AS seg_energy
+                 FROM sp GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_win)
+                AS INT) AS seg_idx,
+           CAST(start_win AS BIGINT) AS start_win,
+           CAST(end_win AS BIGINT) AS end_win,
+           CAST(n_wins AS BIGINT) AS n_wins,
+           CAST(start_win * 128 AS BIGINT) AS start_byte,
+           CAST(end_win * 128 + 256 AS BIGINT) AS end_byte,
+           CAST(seg_energy AS BIGINT) AS seg_energy
+         FROM seg ORDER BY doc_id, seg_idx""",
     // full 256-byte frames (short doc = one clamped frame), energy =
     // plain byte sum, cut where |delta| > 300
     "m_scenecut" ->

@@ -758,4 +758,46 @@ object Algorithms {
           sqrt(m * d("syy") - d("sy") * d("sy"))), 6)
         .as("assortativity"))
   }
+
+  /** Butterfly (bipartite 4-cycle) count — THE motif of bipartite
+    * graphs (Sanei-Mehri et al. 2018; triangles cannot exist), the
+    * basis of bipartite clustering coefficients and community
+    * detection on user-item graphs like this customer→supplier one.
+    * A butterfly is two left nodes sharing two right nodes; counting
+    * from either side gives the same total, so the count is
+    * side-independent: B = Σ_{pairs p with c_p common neighbors}
+    * C(c_p, 2), where pairs come from the wedge join keyed on the
+    * shared neighbor. Also reports per-side wedge totals Σ C(d, 2)
+    * — the denominator of the bipartite clustering coefficient.
+    *
+    * Scale shape: the pair enumeration is the SAME co-neighbor wedge
+    * join as [[nodeSimilarity]] (volume Σ_wedge-center deg², skewed
+    * hubs salt the same way); at 100 TB one picks the wedge side
+    * with the smaller Σ deg² — both wedge sums come out of one
+    * degree agg per side, so the choice costs two |V|-row aggs. The
+    * count itself is integer end to end, so the oracle is exact. */
+  def butterflies(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src_key").as("c"), col("dst_key").as("s"))
+    // wedges centered on customers connect supplier pairs; per
+    // supplier pair the common-neighbor count c gives C(c,2)
+    // butterflies. Σ over pairs is one scalar agg on the wedge join.
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.c") === col("y.c") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    // integer DIV keeps the count exact (Column `/` is IEEE double);
+    // cn·(cn−1) is even so the per-row halving loses nothing
+    val b = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(expr("cn * (cn - 1) DIV 2")).as("n_butterflies"))
+    val wc = e.groupBy("c").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges_c"))
+    val ws = e.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges_s"))
+    b.crossJoin(wc).crossJoin(ws)
+      .select(col("n_pairs").cast("long").as("n_pairs"),
+        col("n_butterflies").cast("long").as("n_butterflies"),
+        col("n_wedges_c").cast("long").as("n_wedges_c"),
+        col("n_wedges_s").cast("long").as("n_wedges_s"))
+  }
 }

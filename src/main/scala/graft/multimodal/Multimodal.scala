@@ -232,4 +232,40 @@ object Multimodal {
       }
     }
   }
+
+  /** Voice-activity segmentation over [[audioEnergy]] windows — the
+    * silence-trimming pass of a speech-data pipeline: a window is
+    * "speech" when its energy clears `threshold`, and consecutive
+    * speech windows merge into segments by gaps-and-islands
+    * (win_idx − rank among the doc's speech windows is constant
+    * within a run). Emits per segment the window span, byte span a
+    * trimmer would cut at, and total energy — integer arithmetic end
+    * to end, so the oracle replays it exactly.
+    *
+    * Scale shape: the energy scan is map-side; the only shuffle is
+    * the per-doc window partition (docs are independent, so the key
+    * is perfectly parallel), and segments-per-doc is bounded by
+    * windows-per-doc. A real VAD (WebRTC, Silero) swaps in at the
+    * per-window energy/probability boundary; the island merge is
+    * unchanged. */
+  def vadSegments(energyWindows: DataFrame, threshold: Long,
+      win: Int = 256, hop: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val speech = energyWindows.filter(col("energy") > threshold)
+    val byDoc = Window.partitionBy("doc_id").orderBy("win_idx")
+    speech
+      .withColumn("island", col("win_idx") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("win_idx").as("start_win"), max("win_idx").as("end_win"),
+        count(lit(1)).as("n_wins"), sum("energy").as("seg_energy"))
+      .select(col("doc_id"),
+        row_number().over(
+          Window.partitionBy("doc_id").orderBy("start_win")).as("seg_idx"),
+        col("start_win").cast("long").as("start_win"),
+        col("end_win").cast("long").as("end_win"),
+        col("n_wins").cast("long").as("n_wins"),
+        (col("start_win") * hop).cast("long").as("start_byte"),
+        (col("end_win") * hop + win).cast("long").as("end_byte"),
+        col("seg_energy").cast("long").as("seg_energy"))
+  }
 }

@@ -350,4 +350,36 @@ object TextAnalysis {
       (acc, t) => (acc * 1000003L +
         conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
         .bitwiseAND(lit(0xFFFFFFFFL)))
+
+  /** fastText-style hashed linear quality classifier: each token
+    * hashes to a weight in [−1, 1] (2001 integer steps derived from
+    * md5 — the stand-in for a trained embedding-average + linear
+    * head; swap `weightOf` for a broadcast learned table and nothing
+    * else changes), the document score is the mean token weight, and
+    * the label thresholds at 0. This is the plumbing shape of every
+    * production quality classifier (hash features → weight lookup →
+    * mean → threshold): one scan, map-side only, no shuffle.
+    *
+    * Determinism contract: per-token weights are INTEGER numerators
+    * (−1000..1000) summed exactly in a long fold (token order cannot
+    * perturb an integer sum), and the single IEEE division at the
+    * end runs on identical operands in any engine — which is what
+    * makes the float score exactly oracle-checkable. */
+  def linearClassify(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = wsTokens(col(textCol))
+    // first 8 md5 hex digits < 2^32, so the long is nonnegative and
+    // % matches SQL's modulo on both engines
+    val wsum = aggregate(toks, lit(0L),
+      (acc, t) => acc +
+        conv(substring(md5(concat(lit("w|"), t)), 1, 8), 16, 10)
+          .cast("long") % 2001L - 1000L)
+    df.select(col(idCol), size(toks).as("n_tokens"),
+        wsum.as("wsum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("wsum").cast("double") /
+          (col("n_tokens").cast("double") * 1000.0), 6).as("score"))
+      .withColumn("label",
+        when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
+  }
 }

@@ -104,6 +104,20 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(rr >= -1.0 && rr <= 1.0 && rr < 0.0, s"r=$rr")
   }
 
+  test("butterflies: K2,2 has exactly one, side-independent counts") {
+    import spark.implicits._
+    // c1,c2 × s1,s2 fully connected = the minimal butterfly; plus a
+    // pendant edge that adds wedges on the c side but no 4-cycle
+    val e = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1"), ("c2", "s2"),
+      ("c3", "s1")).toDF("src_key", "dst_key")
+    val r = Algorithms.butterflies(e).head()
+    assert(r.getLong(0) == 1, "one supplier pair with >=2 common")
+    assert(r.getLong(1) == 1, "exactly one butterfly")
+    // wedge totals: customers c1,c2 have deg 2 -> 1 wedge each;
+    // suppliers s1 deg 3 -> 3, s2 deg 2 -> 1
+    assert(r.getLong(2) == 2 && r.getLong(3) == 4)
+  }
+
   test("pagerank mass is conserved and hubs rank higher") {
     val star = und("hub" -> "x1", "hub" -> "x2", "hub" -> "x3", "x1" -> "x2")
     val pr = Algorithms.pageRank(star, iters = 20)
