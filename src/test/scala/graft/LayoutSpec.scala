@@ -2,9 +2,37 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.ZOrderLayout
+import graft.sources.{Compaction, ZOrderLayout}
 
 class LayoutSpec extends AnyFunSuite with SparkFixture {
+
+  test("compaction: shredded table rewritten to planned file count, " +
+      "content identical, source untouched") {
+    import scala.reflect.io.Directory
+    val src = "/tmp/graft-test-compact-src"
+    val out = "/tmp/graft-test-compact-out"
+    new Directory(new java.io.File(src)).deleteRecursively()
+    new Directory(new java.io.File(out)).deleteRecursively()
+    // 40-way shredded write: the streaming-ingest pathology
+    spark.range(0, 40000).selectExpr("id", "id * 7 AS v")
+      .repartition(40).write.parquet(src)
+    val before = Compaction.plan(spark, src, targetBytes = 1L << 40)
+    assert(before.nFiles == 40 && before.nOut == 1,
+      s"plan saw $before")
+    // target sized to the measured bytes → asks for exactly 2 files
+    val pl = Compaction.compact(spark, src, out,
+      targetBytes = (before.nBytes + 1) / 2)
+    assert(pl.nOut == 2)
+    val after = Compaction.plan(spark, out, targetBytes = 1L << 40)
+    assert(after.nFiles == 2, s"after=$after")
+    assert(after.nBytes > 0 && after.nBytes < before.nBytes,
+      "2 files must carry less footer/dictionary overhead than 40")
+    // content identical, source intact
+    val a = spark.read.parquet(src)
+    val b = spark.read.parquet(out)
+    assert(a.count() == 40000 && b.count() == 40000)
+    assert(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty)
+  }
 
   test("morton interleave: hand-computed codes, codegen built-ins only") {
     import spark.implicits._
