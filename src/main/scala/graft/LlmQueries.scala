@@ -13,6 +13,11 @@ object LlmQueries {
 
   private val dim = 64
 
+  // fixed CMS probe tokens (known corpus vocabulary + one absent);
+  // shared verbatim by the oracle's literal list
+  private val CmsProbeTokens = Seq("the", "spark", "join", "merge",
+    "batch", "window", "data", "key", "scan", "zzz_absent")
+
   // the verified near-dup pairs at the loosest threshold any query
   // needs: banding makes the candidate+verification cost threshold-
   // independent, so the pair queries and the cluster resolution share
@@ -484,6 +489,14 @@ object LlmQueries {
       // provably exact — err_bound 0 — so the oracle is exact counts;
       // the eviction-regime error bound is pinned in TextSpec)
       text.HeavyHitters.topTokens(Tables.documents(s, d), "text", k = 25)
+    },
+
+    "t_cms" -> { (s, d) =>
+      // Count-Min point estimates for 10 fixed probe tokens — md5
+      // buckets make the estimates exactly replayable even where
+      // cells collide
+      text.CountMin.estimate(Tables.documents(s, d), "text",
+        CmsProbeTokens)
     },
 
     "s_trending" -> { (s, d) =>
@@ -1625,6 +1638,33 @@ object LlmQueries {
       """SELECT t AS token, count(*) AS est, CAST(0 AS BIGINT) AS err_bound
          FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
          GROUP BY t ORDER BY est DESC, token LIMIT 25""",
+    // replays the exact md5 cells (d=0..3, width 512), min over rows,
+    // left joins so an untouched cell reads 0 — same probe list
+    "t_cms" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS t
+                       FROM documents),
+         cells AS (SELECT d,
+             ('0x' || substring(md5(d::VARCHAR || '|' || t), 1, 8))::BIGINT
+               % 512 AS bucket, count(*) AS c
+           FROM toks, range(0, 4) r(d) GROUP BY 1, 2),
+         q AS (SELECT unnest(['the','spark','join','merge','batch',
+                              'window','data','key','scan','zzz_absent'])
+                 AS token),
+         qb AS (SELECT token, d,
+             ('0x' || substring(md5(d::VARCHAR || '|' || token), 1, 8))::BIGINT
+               % 512 AS bucket
+           FROM q, range(0, 4) r(d)),
+         est AS (SELECT token, min(coalesce(c, 0)) AS est
+                 FROM qb LEFT JOIN cells USING (d, bucket) GROUP BY 1),
+         tr AS (SELECT t AS token, count(*) AS true_count FROM toks
+                WHERE t IN ('the','spark','join','merge','batch',
+                            'window','data','key','scan','zzz_absent')
+                GROUP BY 1)
+         SELECT token, CAST(est AS BIGINT) AS est,
+           CAST(coalesce(true_count, 0) AS BIGINT) AS true_count,
+           CAST(est - coalesce(true_count, 0) AS BIGINT) AS overcount
+         FROM est LEFT JOIN tr USING (token)
+         ORDER BY token""",
     "s_pattern_match" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                       epoch_ns(ts) // 1000 AS tus FROM events),

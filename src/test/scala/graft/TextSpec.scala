@@ -314,6 +314,25 @@ class TextSpec extends AnyFunSuite with SparkFixture {
     assert(r(0).getDouble(3) > 1.0)
   }
 
+  test("count-min: never undercounts, exact when wide, collides when " +
+      "narrow") {
+    val docs = Tables.documents(spark, sfDir)
+    val probes = Seq("the", "spark", "join", "merge", "batch")
+    // forced-collision regime: width 4 << vocab — every estimate must
+    // still dominate the true count (the one-sided CMS guarantee),
+    // and with the corpus crammed into 4 buckets at least one probe
+    // must actually overcount
+    val narrow = graft.text.CountMin
+      .estimate(docs, "text", probes, depth = 2, width = 4).collect()
+    assert(narrow.forall(r => r.getLong(3) >= 0L), "est < true")
+    assert(narrow.exists(r => r.getLong(3) > 0L), "no collision at w=4?")
+    // wide regime: width far above vocab size — estimates exact
+    val wide = graft.text.CountMin
+      .estimate(docs, "text", probes, depth = 4, width = 65536).collect()
+    assert(wide.forall(r => r.getLong(3) == 0L),
+      s"collision at w=65536: ${wide.mkString(";")}")
+  }
+
   test("inter-arrival gaps are exact and typed per ending event") {
     import java.sql.Timestamp
     import spark.implicits._
