@@ -149,6 +149,18 @@ object LlmQueries {
         .orderBy("query_id", "rk")
     },
 
+    "e_knn_sq" -> { (s, d) =>
+      // scalar-quantization ANN: normalize + signed-int8 grid,
+      // integer ADC shortlist, exact re-rank — the one quantized
+      // family whose oracle can be exact (no codebook training)
+      val emb = Tables.embeddings(s, d)
+      ann.Sq.topK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", dim, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rk"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+
     "e_knn_ivfpq" -> { (s, d) =>
       // IVF×PQ composition: cell-pruned candidates, ADC-scored codes,
       // exact re-rank (rows-only like its parents; AnnSpec pins
@@ -793,6 +805,45 @@ object LlmQueries {
            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
          ranked AS (
            SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rk
+           FROM sims)
+         SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim
+         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // replays the full SQ pipeline: normalize by the index-ordered
+    // IEEE norm, floor(+0.5) onto the signed 127 grid, integer ADC
+    // shortlist of 32 (ties broken on neighbor_id), exact cosine
+    // re-rank — code-for-code the Spark path
+    "e_knn_sq" ->
+      """WITH codes AS (SELECT vec_id,
+             list_transform(range(1, 65),
+               i -> CAST(floor(embedding[i]::DOUBLE
+                    / sqrt(list_sum(list_transform(range(1, 65),
+                        j -> embedding[j]::DOUBLE * embedding[j]::DOUBLE)))
+                    * 127 + 0.5) AS INT)) AS code
+           FROM embeddings),
+         adc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> q.code[i]::BIGINT * c.code[i])) AS adc
+           FROM codes c CROSS JOIN (SELECT * FROM codes WHERE vec_id < 10) q
+           WHERE c.vec_id <> q.vec_id),
+         cand AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc DESC, neighbor_id) AS rka
+           FROM adc),
+         sims AS (SELECT cand.query_id, cand.neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))))
+               AS sim
+           FROM cand
+           JOIN embeddings qe ON qe.vec_id = cand.query_id
+           JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+           WHERE cand.rka <= 32),
+         ranked AS (SELECT query_id, neighbor_id, sim,
              row_number() OVER (PARTITION BY query_id
                ORDER BY sim DESC, neighbor_id) AS rk
            FROM sims)

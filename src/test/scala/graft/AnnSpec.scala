@@ -212,4 +212,32 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     val recall = (g5 & b5).size.toDouble / b5.size
     assert(recall >= 0.2, s"ivf×pq recall@5 = $recall")
   }
+
+  test("sq knn: exact re-ranked sims, near-brute recall, code range") {
+    import graft.ann.Sq
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Sq.topK(emb, queries, "vec_id", "embedding", dim,
+      k = 5).cache()
+    assert(got.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // signed codes stay within the ±127 grid of a unit vector
+    val codes = emb.select(explode(Sq.codeExpr(col("embedding"), dim))
+      .as("c")).agg(min("c"), max("c")).head()
+    assert(codes.getInt(0) >= -127 && codes.getInt(1) <= 127)
+    // re-ranked sims are exact cosines
+    val brute = Knn.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", dim, k = 500)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("bsim"))
+    assert(got.join(brute, Seq("query_id", "neighbor_id"))
+      .filter(abs(col("sim") - col("bsim")) > 1e-12).count() == 0)
+    // 8-bit scalar quantization barely dents recall (the SQ8 selling
+    // point) — far above PQ's 4x16 codebook at the same rerankK
+    val b5 = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        dim, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g5 = got.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (g5 & b5).size.toDouble / b5.size
+    assert(recall >= 0.8, s"sq recall@5 = $recall")
+  }
 }
