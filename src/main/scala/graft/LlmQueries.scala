@@ -261,6 +261,11 @@ object LlmQueries {
         .orderBy("user_id", "event_id")
     },
 
+    "s_session_paths" -> { (s, d) =>
+      // top-25 session journeys (first 5 steps) — funnel discovery
+      EventStreams.sessionPathsBatch(Tables.events(s, d))
+    },
+
     "s_session_native" -> { (s, d) =>
       // Spark's native session_window operator; the oracle replays
       // the gap rule as lag + running sum, proving the two agree
@@ -1119,6 +1124,31 @@ object LlmQueries {
                   ELSE 0 END AS new_session
            FROM e)
          ORDER BY user_id, event_id""",
+    // same session assignment as s_sessionize, then step numbering,
+    // ordered string_agg per session, path histogram, top 25
+    "s_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      epoch_ns(ts) // 1000 AS tus FROM events),
+         s AS (SELECT user_id, event_id, event_type, tus,
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)
+               AS session_seq
+           FROM (SELECT *,
+               CASE WHEN lag(tus) OVER (PARTITION BY user_id
+                      ORDER BY tus, event_id) IS NULL THEN 1
+                    WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                      ORDER BY tus, event_id) > 1800000000 THEN 1
+                    ELSE 0 END AS new_session
+             FROM e)),
+         st AS (SELECT user_id, session_seq, event_type,
+             row_number() OVER (PARTITION BY user_id, session_seq
+               ORDER BY tus, event_id) AS step
+           FROM s),
+         p AS (SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY step) AS path
+           FROM st WHERE step <= 5 GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 25""",
     // replays the union-merge as-of join exactly: side 0 = build
     // sorts before side 1 = probe at equal (µs-truncated) ts, so an
     // exactly-simultaneous purchase IS visible to the click; equal-ts

@@ -89,6 +89,46 @@ object EventStreams {
         (max(col("tus")) - min(col("tus"))).as("duration_us"))
   }
 
+  /** Top session paths — the funnel-DISCOVERY query (which journeys
+    * actually happen, before you pin a funnel to measure): each
+    * session's first `maxSteps` event types joined into a path
+    * string, counted across all sessions, top `topK`. Same gap rule
+    * as [[sessionizeBatch]].
+    *
+    * Plan shape: the step numbering windows on (user_id,
+    * session_seq), which hash-partitioning on user_id already
+    * satisfies (partition keys ⊂ cluster keys), so the whole
+    * session→step→path chain rides ONE user shuffle; the path count
+    * is a path-typed agg (bounded by type^maxSteps in practice) and
+    * the cut is a TakeOrdered, never a global sort. The in-group
+    * order is pinned by sorting (step, type) structs — collect_list
+    * alone has no order contract. */
+  def sessionPathsBatch(events: DataFrame, gapMinutes: Int = 30,
+      maxSteps: Int = 5, topK: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val gap = us - lag(us, 1).over(w)
+    val stepW = Window.partitionBy("user_id", "session_seq")
+      .orderBy("tus", "event_id")
+    events
+      .withColumn("tus", us)
+      .withColumn("new_session",
+        when(gap.isNull || gap > gapMinutes * 60000000L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("step", row_number().over(stepW))
+      .filter(col("step") <= maxSteps)
+      .groupBy("user_id", "session_seq")
+      .agg(concat_ws(">", transform(
+        array_sort(collect_list(struct(col("step"), col("event_type")))),
+        x => x.getField("event_type"))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` operator —
     * the merging-window aggregate Structured Streaming uses for
     * session state (SPARK-10816), here in its batch form. Same
