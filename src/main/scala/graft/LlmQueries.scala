@@ -699,6 +699,13 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "t_tfidf" -> { (s, d) =>
+      // top-3 TF-IDF terms per doc (term ranking; BM25's dual)
+      text.TextAnalysis.tfidfTopTerms(
+        Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")
+    },
+
     "s_watermark_late" -> { (s, d) =>
       EventStreams.watermarkLateBatch(Tables.events(s, d))
         .orderBy("event_type")
@@ -1305,6 +1312,26 @@ object LlmQueries {
                   FROM bb x JOIN bb y ON x.band = y.band AND x.block = y.block
                     AND x.doc_id < y.doc_id)
          SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""",
+    // tf and df are integer counts; idf's ln is libm both sides with
+    // round(6) absorbing last-ulp drift (perplexity precedent); rank
+    // on the ROUNDED score, ties to the smaller token
+    "t_tfidf" ->
+      """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                           FROM documents)
+                     GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         s AS (SELECT doc_id, token, tf,
+                 round(tf * ln(n_docs::DOUBLE / df::DOUBLE), 6) AS score
+               FROM tf JOIN dfq USING (token), n),
+         r AS (SELECT doc_id, token, tf, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, token) AS rk
+               FROM s)
+         SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rk AS INT) AS rk
+         FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
     // integer weight numerators summed exactly, one IEEE division on
     // identical operands, threshold on the ROUNDED score — same
     // contract as the Spark side

@@ -351,6 +351,35 @@ object TextAnalysis {
         conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
         .bitwiseAND(lit(0xFFFFFFFFL)))
 
+  /** Top TF-IDF terms per document — the classic keyword/feature
+    * extraction (salton term weighting), complementing BM25 (which
+    * ranks DOCS for a query; this ranks TERMS for a doc). tf from
+    * one (doc, token) count shuffle, df from a token-type-sized
+    * count, idf = ln(N/df) joined back un-hinted (AQE broadcasts the
+    * vocabulary-sized frame), per-doc top-k by ROUNDED score so the
+    * rank cut breaks ties identically in any engine (the linkpredict
+    * convention; ln is libm on both engines — the round(6) absorbs
+    * last-ulp drift, the same contract the perplexity oracles pass
+    * under). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(wsTokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("token"))
+    tf.join(docFreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("tf"),
+        round(col("tf") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** fastText-style hashed linear quality classifier: each token
     * hashes to a weight in [−1, 1] (2001 integer steps derived from
     * md5 — the stand-in for a trained embedding-average + linear

@@ -212,6 +212,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("cms: counter build keeps map-side partial aggregation") {
+    // the 100 TB contract: the only corpus-scale shuffle is the
+    // (row, bucket) cell agg, and partial aggregation bounds it at
+    // partitions × depth × width rows
+    val p = executedPlan("t_cms")
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("session paths: the whole chain rides one user shuffle") {
+    // all three windows (gap lag, session sum, step numbering) and
+    // the per-(user, session) path agg share the user_id exchange;
+    // only the tiny path histogram adds one more
+    val p = executedPlan("s_session_paths")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+    assert(p.contains("TakeOrdered"), s"top-k not a TakeOrdered:\n$p")
+  }
+
+  test("sq knn: one corpus scan, queries broadcast") {
+    val p = executedPlan("e_knn_sq")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²
