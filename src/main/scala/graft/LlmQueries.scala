@@ -261,6 +261,14 @@ object LlmQueries {
         .orderBy("user_id", "event_id")
     },
 
+    "s_gap_fill" -> { (s, d) =>
+      // daily forward-filled value series for the first 100 users —
+      // time-series densification (observed vs filled flagged)
+      EventStreams.gapFillDaily(
+        Tables.events(s, d).filter(col("user_id") < 100))
+        .orderBy("user_id", "day")
+    },
+
     "s_session_paths" -> { (s, d) =>
       // top-25 session journeys (first 5 steps) — funnel discovery
       EventStreams.sessionPathsBatch(Tables.events(s, d))
@@ -1131,6 +1139,34 @@ object LlmQueries {
                   ELSE 0 END AS new_session
            FROM e)
          ORDER BY user_id, event_id""",
+    // day-last row picked by an explicit row_number (no unspecified
+    // agg tie order), calendar from per-user generate_series,
+    // forward-fill via last_value IGNORE NULLS — values carried
+    // verbatim, no arithmetic to drift
+    "s_gap_fill" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+                      epoch_ns(ts) // 1000 AS tus, CAST(ts AS DATE) AS day
+                    FROM events WHERE user_id < 100),
+         dl AS (SELECT user_id, day, value FROM (
+                  SELECT *, row_number() OVER (
+                    PARTITION BY user_id, day
+                    ORDER BY tus DESC, event_id DESC) AS rn
+                  FROM e)
+                WHERE rn = 1),
+         span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                  FROM dl GROUP BY 1),
+         cal AS (SELECT user_id,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+                     AS day
+                 FROM span)
+         SELECT cal.user_id, cal.day,
+           last_value(dl.value IGNORE NULLS) OVER (
+             PARTITION BY cal.user_id ORDER BY cal.day
+             ROWS UNBOUNDED PRECEDING) AS value,
+           dl.value IS NOT NULL AS observed
+         FROM cal LEFT JOIN dl
+           ON cal.user_id = dl.user_id AND cal.day = dl.day
+         ORDER BY cal.user_id, cal.day""",
     // same session assignment as s_sessionize, then step numbering,
     // ordered string_agg per session, path histogram, top 25
     "s_session_paths" ->

@@ -129,6 +129,43 @@ object EventStreams {
       .limit(topK)
   }
 
+  /** Calendar gap-fill with forward-fill — time-series
+    * densification: one row per (user, day) over each user's
+    * observed [first, last] day range, carrying the day's LAST
+    * observed value forward across silent days (metrics dashboards,
+    * feature snapshots, balance histories all need exactly this
+    * before any window math). `observed` marks real vs filled rows.
+    *
+    * Determinism: the per-day "last" is the (tus, event_id)-max row
+    * — replayed by the oracle as a row_number window, not an agg
+    * with unspecified tie order. Scale shape: one (user, day)
+    * shuffle for the day-last agg, the calendar explode is map-side
+    * (sequence+explode, fan-out = day span), and the forward-fill
+    * window rides the same user partitioning; nothing is
+    * corpus-quadratic and silent users cost only their own span. */
+  def gapFillDaily(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val perDay = Window.partitionBy("user_id", "day")
+      .orderBy(col("tus").desc, col("event_id").desc)
+    val dayLast = events
+      .withColumn("tus", us)
+      .withColumn("day", to_date(col("ts").cast("timestamp")))
+      .withColumn("rn", row_number().over(perDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val span = dayLast.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val calendar = span.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"))).as("day"))
+    val fillW = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    calendar.join(dayLast, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("value"), ignoreNulls = true).over(fillW).as("value"),
+        col("value").isNotNull.as("observed"))
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` operator —
     * the merging-window aggregate Structured Streaming uses for
     * session state (SPARK-10816), here in its batch form. Same
