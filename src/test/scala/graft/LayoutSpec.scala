@@ -50,6 +50,36 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     assert(qc.head().getLong(0) == 0L)
   }
 
+  test("incremental agg: two batch folds equal one full recompute, " +
+      "prior version survives as rollback") {
+    import scala.reflect.io.Directory
+    import graft.sources.IncrementalAgg
+    val root = "/tmp/graft-test-incragg"
+    new Directory(new java.io.File(root)).deleteRecursively()
+    val docs = Tables.documents(spark, sfDir)
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    IncrementalAgg.updateTokenCounts(spark, root, b1)
+    Thread.sleep(2) // distinct version timestamps
+    IncrementalAgg.updateTokenCounts(spark, root, b2)
+    val incr = IncrementalAgg.currentTokenCounts(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs
+      .select(explode(graft.text.TextAnalysis.wsTokens(col("text")))
+        .as("token"))
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(incr == full, "incremental state diverged from recompute")
+    // both versions committed; the older one is intact rollback state
+    val vs = new java.io.File(root).list().filter(_.startsWith("v")).sorted
+    assert(vs.length == 2)
+    val v0 = spark.read.parquet(s"$root/${vs.head}")
+      .agg(sum("n")).head().getLong(0)
+    val b1Tokens = b1.select(explode(
+      graft.text.TextAnalysis.wsTokens(col("text")))).count()
+    assert(v0 == b1Tokens, "first version no longer matches batch 1")
+  }
+
   test("z-ordered layout localizes both dimensions; linear does not") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("tus"),
