@@ -149,6 +149,18 @@ object LlmQueries {
         .orderBy("query_id", "rk")
     },
 
+    "e_knn_filtered" -> { (s, d) =>
+      // filtered vector search: same-label top-5 per query — the
+      // predicate joins BEFORE scoring (BroadcastHashJoin on label,
+      // never a post-filter that starves k)
+      val emb = Tables.embeddings(s, d)
+      ann.Knn.filteredTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", "label", dim, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("label"),
+          col("rk"), round(col("sim"), 4).as("sim"))
+        .orderBy("query_id", "rk")
+    },
+
     "e_knn_sq" -> { (s, d) =>
       // scalar-quantization ANN: normalize + signed-int8 grid,
       // integer ADC shortlist, exact re-rank — the one quantized
@@ -829,6 +841,29 @@ object LlmQueries {
                ORDER BY sim DESC, neighbor_id) AS rk
            FROM sims)
          SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim
+         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // the filter rides the join predicate, then brute cosine within
+    // the label slice — same sim formula as e_knn_brute
+    "e_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+                    FROM embeddings WHERE vec_id < 10),
+         sims AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             list_sum(list_transform(range(1, 65),
+               i -> q.qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))
+               AS sim
+           FROM embeddings e JOIN q
+             ON e.label = q.label AND e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, label, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rk
+           FROM sims)
+         SELECT query_id, neighbor_id, label, rk, round(sim, 4) AS sim
          FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
     // replays the full SQ pipeline: normalize by the index-ordered
     // IEEE norm, floor(+0.5) onto the signed 127 grid, integer ADC

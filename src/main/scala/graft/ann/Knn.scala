@@ -50,6 +50,34 @@ object Knn {
       .filter(col("rk") <= k)
   }
 
+  /** Filtered vector search — top-k under a metadata predicate (the
+    * "filtered ANN" every production vector store ships; here the
+    * constraint is label equality, the common tenant/category case).
+    * The filter applies BEFORE scoring as part of the join
+    * condition, so the equality turns the broadcast nested-loop
+    * into a BroadcastHashJoin on the label: cheaper than the
+    * unfiltered brute scan, not a post-filter that starves k. At
+    * IVF/SQ scale the same predicate pushes into the cell/code scan
+    * unchanged. */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, dim: Int, k: Int): DataFrame = {
+    Registry.registerAll(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+      col(labelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), sqrt(dot(col(vecCol), col(vecCol))).as("cn"),
+      col(labelCol).as("clabel"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("clabel") === col("qlabel") &&
+        col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("clabel").as("label"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** All pairs with cosine ≥ threshold (embedding near-dup dedup). */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double): DataFrame = {
