@@ -51,6 +51,25 @@ object LlmQueries {
         .orderBy("a")
     },
 
+    "d_containment" -> { (s, d) =>
+      // Broder containment |A∩B|/|A| both directions — the dedup
+      // signal Jaccard misses when a small doc is swallowed by a
+      // large one (quote extraction, boilerplate wrappers): J stays
+      // low while containment hits 1. Same consecutive-id candidate
+      // kernel as d_jaccard_pairs; flags engulfed docs at ≥ 0.8.
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.tokenSet(col("text")).as("toks"))
+      t.as("x").join(t.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          size(array_intersect(col("x.toks"), col("y.toks"))).as("n_common"),
+          round(size(array_intersect(col("x.toks"), col("y.toks")))
+            .cast("double") / size(col("x.toks")), 4).as("c_ab"),
+          round(size(array_intersect(col("x.toks"), col("y.toks")))
+            .cast("double") / size(col("y.toks")), 4).as("c_ba"))
+        .filter(col("c_ab") >= 0.8 || col("c_ba") >= 0.8)
+        .orderBy("a")
+    },
+
     "d_jaccard_ngrams" -> { (s, d) =>
       // word-3-gram Jaccard, the order-sensitive variant: this
       // corpus's near-dups are token-shuffled, so values are near 0
@@ -792,6 +811,20 @@ object LlmQueries {
          WHERE round(len(list_intersect(x.toks, y.toks))::DOUBLE
                  / len(list_distinct(list_concat(x.toks, y.toks))), 4) >= 0.5
          ORDER BY a""",
+    // list_intersect twice mirrors the Spark side's two divisions on
+    // the same integer intersection; filter on the ROUNDED values
+    "d_containment" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                    FROM documents),
+         p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                 len(list_intersect(x.toks, y.toks)) AS n_common,
+                 round(len(list_intersect(x.toks, y.toks))::DOUBLE
+                   / len(x.toks), 4) AS c_ab,
+                 round(len(list_intersect(x.toks, y.toks))::DOUBLE
+                   / len(y.toks), 4) AS c_ba
+               FROM t x JOIN t y ON y.doc_id = x.doc_id + 1)
+         SELECT a, b, CAST(n_common AS INT) AS n_common, c_ab, c_ba
+         FROM p WHERE c_ab >= 0.8 OR c_ba >= 0.8 ORDER BY a""",
     "d_jaccard_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                     FROM documents WHERE doc_id <= 200),
