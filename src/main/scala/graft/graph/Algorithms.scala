@@ -256,48 +256,17 @@ object Algorithms {
     * exact 3-hop counts in the spec). Rounds chain lazily like LPA —
     * fixed small depth needs no lineage truncation. */
   def neighborhoodSizes(undirectedEdges: DataFrame,
-      maxDepth: Int): DataFrame = {
-    // self-loops fold the "keep my own ball" union INTO the join:
-    // ball_{t+1}(v) = ⋃_{u ∈ N(v) ∪ {v}} ball_t(u), so each round
-    // references the previous sketch frame exactly ONCE — a
-    // join+union form doubles the lazy plan per round (2^depth
-    // subtree copies held together only by exchange reuse)
-    val nodes = undirectedEdges.select(col("a")).distinct()
-    val edges = undirectedEdges
-      .unionByName(nodes.select(col("a"), col("a").as("b")))
-      .repartition(col("b")).localCheckpoint()
-    var sk = nodes.select(col("a").as("node"))
-      .groupBy("node").agg(expr("hll_sketch_agg(node, 10)").as("sketch"))
-    for (_ <- 1 to maxDepth) {
-      sk = edges.join(sk, edges("b") === sk("node"))
-        .select(col("a").as("node"), col("sketch"))
-        .groupBy("node")
-        .agg(expr("hll_union_agg(sketch, true)").as("sketch"))
-    }
-    sk.select(col("node"),
-      expr("hll_sketch_estimate(sketch)").cast("long").as("est_reach"))
-  }
+      maxDepth: Int): DataFrame =
+    ballSizes(undirectedEdges, maxDepth).select(col("node"),
+      col(s"s$maxDepth").cast("long").as("est_reach"))
 
   /** Harmonic centrality for EVERY node, HyperBall-estimated
     * (Boldi & Vigna 2014): H(v) = Σ_{u≠v} 1/d(u,v), accumulated from
     * the ball-size deltas H(v) ≈ Σ_t (|ball_t(v)| − |ball_{t−1}(v)|)/t.
     * Exact all-pairs BFS is |V| frontier expansions — quadratic
-    * output at 100 TB — while this reuses [[neighborhoodSizes]]'s
-    * round shape (one join + one mergeable HLL union-agg per round)
-    * and reads each round's estimate off the sketch.
-    *
-    * The rounds chain as ONE lazy plan with each round referenced
-    * exactly once, like [[neighborhoodSizes]] — the trick is that the
-    * running harmonic sum and the previous ball size travel INSIDE
-    * the round state, delivered back to their own node's group by the
-    * self-loop row (every node has one; the same self-loop that folds
-    * "keep my own ball" into the join). Multi-reference formulations
-    * all benched badly at sf0.1: estimate taps re-execute round
-    * prefixes (19 s), per-round localCheckpoint pays block-manager
-    * pressure (42 s), and persist() pins the cached subplan's
-    * partitioning, which blocks AQE's shuffle→broadcast conversion
-    * for the round join (86 s). This form: single job, one join + one
-    * agg per round (~10 s cold, same as the reach query).
+    * output at 100 TB — while this is a per-row sum over the shared
+    * memoized [[ballSizes]] curve (one join + one mergeable HLL
+    * union-agg per round, paid once for the whole family).
     *
     * At small cardinalities the HLL sketch is exact (sparse register
     * mode), so the spec pins exact harmonic values on a path graph;
@@ -305,42 +274,20 @@ object Algorithms {
     * (lgk=12). */
   def harmonicCentrality(undirectedEdges: DataFrame,
       maxDepth: Int): DataFrame = {
-    val nodes = undirectedEdges.select(col("a")).distinct()
-    val edges = undirectedEdges
-      .unionByName(nodes.select(col("a"), col("a").as("b")))
-      .repartition(col("b")).localCheckpoint()
-    // state: (node, sketch of ball_t, prev = |ball_{t-1}| est, h).
-    // |ball_0| = 1 exactly (single-item sparse sketch).
-    var state = nodes.select(col("a").as("node"))
-      .groupBy("node").agg(expr("hll_sketch_agg(node, 10)").as("sketch"))
-      .select(col("node"), col("sketch"), lit(1.0).as("prev"),
-        lit(0.0).as("h"))
-    for (t <- 1 to maxDepth) {
-      val joined = edges.join(state, edges("b") === state("node"))
-        .select(edges("a").as("node"),
-          (edges("b") === edges("a")).as("self"),
-          col("sketch"), col("prev"), col("h"))
-      state = joined.groupBy("node")
-        .agg(expr("hll_union_agg(sketch, true)").as("sketch"),
-          max(when(col("self"), col("prev"))).as("prev"),
-          max(when(col("self"), col("h"))).as("h"))
-        .select(col("node"), col("sketch"),
-          expr("hll_sketch_estimate(sketch)").as("est"),
-          col("prev"), col("h"))
-        .select(col("node"), col("sketch"), col("est").as("prev"),
-          (col("h") + (col("est") - col("prev")) / lit(t.toDouble)).as("h"))
+    // fold in ascending t so the additions run in the SAME IEEE order
+    // as the former in-round accumulator (h ← h + Δ_t/t): any other
+    // association could wobble the last ulp vs the spec's pins
+    val h = (0 until maxDepth).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + (col(s"s${i + 1}") - col(s"s$i")) / lit((i + 1).toDouble)
     }
-    state.select(col("node"), round(col("h"), 4).as("harmonic"))
+    ballSizes(undirectedEdges, maxDepth)
+      .select(col("node"), round(h, 4).as("harmonic"))
   }
 
   /** Eccentricity (longest shortest path out of each node), HyperBall-
     * estimated and capped at `maxDepth`: ecc(v) = the last round t at
-    * which v's ball still grew — on the same one-join-plus-one-
-    * mergeable-agg round shape as [[neighborhoodSizes]], with the
-    * running (prev ball size, ecc) state travelling inside the round
-    * state via the self-loop row exactly like [[harmonicCentrality]]
-    * (the single-reference lazy-chain form that benched 2-9× faster
-    * than every multi-reference alternative). The all-pairs-BFS exact
+    * which v's ball still grew — a per-row fold over the shared
+    * memoized [[ballSizes]] curve. The all-pairs-BFS exact
     * form is quadratic output; this is THE 100 TB shape for
     * radius/diameter questions (HyperBall's original use case —
     * Boldi & Vigna ran Facebook's diameter with it).
@@ -353,55 +300,75 @@ object Algorithms {
     * report min(ecc, maxDepth) — the bounded-round contract every
     * HyperBall user accepts. */
   def eccentricity(undirectedEdges: DataFrame, maxDepth: Int): DataFrame = {
-    val nodes = undirectedEdges.select(col("a")).distinct()
-    val edges = undirectedEdges
-      .unionByName(nodes.select(col("a"), col("a").as("b")))
-      .repartition(col("b")).localCheckpoint()
-    var state = nodes.select(col("a").as("node"))
-      .groupBy("node").agg(expr("hll_sketch_agg(node, 10)").as("sketch"))
-      .select(col("node"), col("sketch"), lit(1.0).as("prev"),
-        lit(0).as("ecc"))
-    for (t <- 1 to maxDepth) {
-      val joined = edges.join(state, edges("b") === state("node"))
-        .select(edges("a").as("node"),
-          (edges("b") === edges("a")).as("self"),
-          col("sketch"), col("prev"), col("ecc"))
-      state = joined.groupBy("node")
-        .agg(expr("hll_union_agg(sketch, true)").as("sketch"),
-          max(when(col("self"), col("prev"))).as("prev"),
-          max(when(col("self"), col("ecc"))).as("ecc"))
-        .select(col("node"), col("sketch"),
-          expr("hll_sketch_estimate(sketch)").as("est"),
-          col("prev"), col("ecc"))
-        .select(col("node"), col("sketch"), col("est").as("prev"),
-          when(col("est") > col("prev"), lit(t)).otherwise(col("ecc"))
-            .as("ecc"))
+    // fold in ascending t replays the former per-round update
+    // ecc ← if |ball_t| > |ball_{t−1}| then t else ecc — the LAST
+    // round with growth wins, identical comparisons on the same
+    // estimate doubles
+    val ecc = (1 to maxDepth).foldLeft(lit(0)) { (acc, t) =>
+      when(col(s"s$t") > col(s"s${t - 1}"), lit(t)).otherwise(acc)
     }
-    state.select(col("node"), col("ecc"))
+    ballSizes(undirectedEdges, maxDepth)
+      .select(col("node"), ecc.as("ecc"))
   }
 
   /** Global neighborhood function N(t) = Σ_v |ball_t(v)| — the
-    * number of reachable ordered pairs within t hops — on the same
-    * HyperBall rounds as [[neighborhoodSizes]]: each node's
-    * per-round ball sizes accumulate in the round state (self-loop
-    * delivery, single-reference lazy chain), so the whole curve
-    * falls out of ONE final posexplode + sum aggregation. This is
-    * the curve behind "effective diameter" (Palmer/Faloutsos ANF,
-    * HyperBall's headline application).
+    * number of reachable ordered pairs within t hops — ONE
+    * posexplode + sum aggregation over the shared memoized
+    * [[ballSizes]] curve. This is the curve behind "effective
+    * diameter" (Palmer/Faloutsos ANF, HyperBall's headline
+    * application). */
+  def neighborhoodFunction(undirectedEdges: DataFrame,
+      maxDepth: Int): DataFrame =
+    ballSizes(undirectedEdges, maxDepth)
+      .select(posexplode(
+        array((0 to maxDepth).map(i => col(s"s$i")): _*)).as(Seq("t", "est")))
+      .groupBy("t").agg(round(sum("est"), 1).as("n_pairs"))
+
+  /** The ONE ball-growth pass behind the whole HyperBall family —
+    * per-node per-round ball-size estimates (node, s0..sD), memoized
+    * per adjacency frame instance like the triangle enumeration.
+    * g_neighborhood_est / g_harmonic / g_eccentricity / g_diameter
+    * each previously re-ran near-identical rounds over the same
+    * edges (~30 s combined in BENCH_r06); every one of their outputs
+    * is a pure per-row (or one tiny agg) function of this frame, so
+    * the rounds now run ONCE per graph and the four queries share the
+    * materialized result. A deeper request than the cached depth
+    * rebuilds and replaces (derivations only ever read s0..sD_req).
     *
     * The per-round sizes travel as ONE SCALAR COLUMN EACH (s0..sD),
     * not an array: Spark's `max` over an ArrayType falls to the
     * interpreted ordering on every partial-agg update row — measured
     * 57.9 s in-bench at sf0.1 for the array-state form vs 3.7 s for
-    * eccentricity's scalar state on identical rounds; with scalar
-    * doubles the whole agg stays codegen-comparable and this query
-    * benches at parity with the other HyperBall forms. */
-  def neighborhoodFunction(undirectedEdges: DataFrame,
+    * scalar state on identical rounds; with scalar doubles the whole
+    * agg stays codegen-comparable. Self-loops fold the "keep my own
+    * ball" union INTO the join (ball_{t+1}(v) = ⋃_{u∈N(v)∪{v}}
+    * ball_t(u)) and deliver each node's carried s_i back to its own
+    * group, so each round references the previous state frame
+    * exactly once — the single-reference lazy chain that benched
+    * 2-9× faster than every multi-reference alternative (estimate
+    * taps re-execute round prefixes, per-round localCheckpoint pays
+    * block-manager pressure, persist() pins partitioning and blocks
+    * AQE's shuffle→broadcast conversion for the round join). */
+  def ballSizes(undirectedEdges: DataFrame, maxDepth: Int): DataFrame =
+    ballCache.get(undirectedEdges) match {
+      case Some((d, df)) if d >= maxDepth => df
+      case _ =>
+        val built = ballSizesBuild(undirectedEdges, maxDepth)
+          .localCheckpoint()
+        ballCache.put(undirectedEdges, (maxDepth, built))
+        built
+    }
+
+  private val ballCache =
+    new graft.util.LruCache[DataFrame, (Int, DataFrame)](8)
+
+  private def ballSizesBuild(undirectedEdges: DataFrame,
       maxDepth: Int): DataFrame = {
     val nodes = undirectedEdges.select(col("a")).distinct()
     val edges = undirectedEdges
       .unionByName(nodes.select(col("a"), col("a").as("b")))
       .repartition(col("b")).localCheckpoint()
+    // |ball_0| = 1 exactly (single-item sparse sketch)
     var state = nodes.select(col("a").as("node"))
       .groupBy("node").agg(expr("hll_sketch_agg(node, 10)").as("sketch"))
       .withColumn("s0", lit(1.0))
@@ -417,10 +384,8 @@ object Algorithms {
         .agg(expr("hll_union_agg(sketch, true)").as("sketch"), aggs: _*)
         .withColumn(s"s$t", expr("hll_sketch_estimate(sketch)"))
     }
-    state
-      .select(posexplode(
-        array((0 to maxDepth).map(i => col(s"s$i")): _*)).as(Seq("t", "est")))
-      .groupBy("t").agg(round(sum("est"), 1).as("n_pairs"))
+    // the sketches did their job — only the scalar curve is memoized
+    state.select(col("node") +: (0 to maxDepth).map(i => col(s"s$i")): _*)
   }
 
   /** Effective diameter from the neighborhood function: the
@@ -619,6 +584,21 @@ object Algorithms {
     val canon = mat.groupBy("label").agg(min("node").as("community"))
     mat.join(canon, "label").select("node", "community")
   }
+
+  /** [[labelPropagation]] memoized per (adjacency frame instance,
+    * steps) — LPA's partition is a reusable artifact (g_modularity
+    * SCORES the assignment g_communities produced; without sharing,
+    * every consumer re-ran the 5 aggregation rounds and the cost
+    * mis-attributed to the consumer, not the assigner). The |V|-row
+    * result is localCheckpoint'd so consumers read a materialized
+    * frame. */
+  def labelPropagationCached(undirectedEdges: DataFrame,
+      steps: Int = 5): DataFrame =
+    lpaCache.getOrElseUpdate((undirectedEdges, steps))(
+      labelPropagation(undirectedEdges, steps).localCheckpoint())
+
+  private val lpaCache =
+    new graft.util.LruCache[(DataFrame, Int), DataFrame](8)
 
   /** Deterministic "random" walks of `length` steps from every
     * node: step `t` from node `v` moves to

@@ -41,11 +41,16 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** One summary row. `token == null` marks the per-partition floor
-    * carrier row (needed because partitions NOT containing a token
-    * must still contribute their floor to its merged estimate). */
-  private case class Entry(token: String, est: Long, err: Long,
-      pmin: Long)
+  /** One summary row as a plain tuple (token, est, err, pmin) —
+    * `token == null` marks the per-partition floor carrier row
+    * (needed because partitions NOT containing a token must still
+    * contribute their floor to its merged estimate). A tuple, not a
+    * nested case class: Janino cannot compile the serializer
+    * generated for a private nested case class (observed
+    * "No applicable constructor/method found ... Entry.token()"
+    * falling the summary projection back to interpreted mode), while
+    * the tuple encoder stays fully codegen'd. */
+  private type Entry = (String, Long, Long, Long)
 
   /** One Space-Saving pass over a partition's tokens. Eviction picks
     * the minimum (count, token) entry — the token tie-break makes the
@@ -79,8 +84,8 @@ object HeavyHitters {
     // non-decreasing, and an evicted token's count never exceeds it)
     val floor = if (evicted) byCount.first()._1 else 0L
     val out = Vector.newBuilder[Entry]
-    if (counts.size > 0) out += Entry(null, 0L, 0L, floor)
-    counts.forEach((t, ce) => out += Entry(t, ce(0), ce(1), floor))
+    if (counts.size > 0) out += ((null, 0L, 0L, floor))
+    counts.forEach((t, ce) => out += ((t, ce(0), ce(1), floor)))
     out.result().iterator
   }
 
@@ -102,7 +107,8 @@ object HeavyHitters {
     // reclaimed by the ContextCleaner when the frame is GC'd, unlike
     // an un-unpersisted cache (a lazy persist here could never be
     // unpersisted before the caller's action runs)
-    val summaries = tokens.mapPartitions(summarize(_, capacity)).toDF()
+    val summaries = tokens.mapPartitions(summarize(_, capacity))
+      .toDF("token", "est", "err", "pmin")
       .localCheckpoint(true)
     // M = Σ_p m_p, from the one floor-carrier row per partition.
     // Tiny (≤ one row per partition pre-agg) and broadcast back.

@@ -50,5 +50,24 @@ final class LruCache[K, V](limit: Int, onEvict: V => Unit = (_: V) => ()) {
     m.remove(k).map { v => m.put(k, v); v }
   }
 
+  /** Insert-or-replace, refreshing recency — for caches whose value
+    * can be UPGRADED in place (e.g. a deeper ball-size frame
+    * replacing a shallower one). The displaced value and any
+    * overflow evictions go to `onEvict`, outside the lock. */
+  def put(k: K, v: V): Unit = {
+    val evicted = synchronized {
+      val old = m.remove(k).toList
+      m.put(k, v)
+      var ev = old
+      while (m.size > limit) {
+        val (ek, ew) = m.head
+        m.remove(ek)
+        ev ::= ew
+      }
+      ev
+    }
+    evicted.foreach(e => try onEvict(e) catch { case _: Throwable => () })
+  }
+
   def size: Int = synchronized(m.size)
 }
