@@ -691,17 +691,20 @@ object LlmQueries {
     },
 
     "t_bpe" -> { (s, d) =>
-      // BPE merge learning (rows-only: an N-step argmax chain is not
-      // SQL-expressible; BpeSpec pins exact merges on a toy corpus).
-      // The corpus-scale work is the word-frequency shuffle; the loop
-      // runs on the vocabulary-sized model.
+      // BPE merge learning — exact oracle: the greedy chain is
+      // deterministic (count DESC, left/right ASC ties) and replayed
+      // in DuckDB as 20 chained CTE stages (see bpeWithChain); the
+      // corpus-scale work is the word-frequency shuffle, the loop
+      // runs on the vocabulary-sized model. BpeSpec pins
+      // hand-computed merges on a toy corpus.
       text.Bpe.learnMerges(Tables.documents(s, d), "text", nMerges = 20)
         .orderBy("step")
     },
 
     "t_bpe_encode" -> { (s, d) =>
       // learn → apply round trip: tokenize the corpus with its own
-      // 20-merge table (rows-only: inherits the argmax chain; the
+      // 20-merge table (exact oracle: the same CTE merge chain,
+      // applied per distinct word and joined back onto the docs; the
       // spec hand-computes encodings and the train-corpus identity)
       val docs = Tables.documents(s, d)
       val merges = text.Bpe.learnMerges(docs, "text", nMerges = 20)
@@ -796,7 +799,82 @@ object LlmQueries {
     }
   )
 
+  /** DuckDB replay of the BPE merge chain — the learn step is fully
+    * deterministic (best pair = count DESC, left ASC, right ASC; all
+    * string comparisons ASCII), so the whole N-step argmax chain is
+    * SQL-expressible as N chained CTE stages, flipping t_bpe /
+    * t_bpe_encode from rows-only to exact oracles.
+    *
+    * Representation: a word's symbol sequence is rendered as
+    * `\x02sym\x03` per symbol, concatenated. With every symbol fully
+    * wrapped (no shared delimiter), one SQL `replace(s, pattern,
+    * replacement)` — left-to-right, non-overlapping, continuing
+    * after each insertion — is EXACTLY one BPE merge applied to all
+    * occurrences (Sennrich's rule), and no pattern can match across
+    * or inside a symbol boundary. Pair counts come from an unnest
+    * over adjacent positions of the split-back symbol list
+    * (overlapping pairs counted, like the trainer). `AS MATERIALIZED`
+    * is load-bearing: each stage references its predecessor twice
+    * (count + apply), and an inlining CTE planner would expand the
+    * 20-stage chain exponentially (measured: minutes vs ~1 s). */
+  private val bpeMerges = 20
+
+  private val bpeWithChain: String = {
+    val sep = "chr(3) || chr(2)"
+    val head = Seq(
+      """wf AS (
+         SELECT w, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0 GROUP BY w)""",
+      s"""w0 AS MATERIALIZED (
+         SELECT w, n,
+           chr(2) || array_to_string(list_transform(range(1, length(w) + 1),
+             i -> substring(w, i, 1)), $sep)
+           || chr(3) || chr(2) || '</w>' || chr(3) AS s
+         FROM wf)""")
+    val stages = (1 to bpeMerges).flatMap { k =>
+      val p = k - 1
+      Seq(
+        s"""c$k AS MATERIALIZED (
+           SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+           FROM (SELECT syms, n, unnest(range(1, len(syms))) AS i
+                 FROM (SELECT string_split(trim(s, chr(2) || chr(3)),
+                         $sep) AS syms, n FROM w$p))
+           GROUP BY l, r)""",
+        s"""b$k AS MATERIALIZED (
+           SELECT l, r, cnt FROM c$k ORDER BY cnt DESC, l, r LIMIT 1)""",
+        s"""w$k AS MATERIALIZED (
+           SELECT w, n, replace(s,
+             chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3),
+             chr(2) || b.l || b.r || chr(3)) AS s
+           FROM w$p, b$k b)""")
+    }
+    "WITH " + (head ++ stages).mkString(",\n")
+  }
+
+  private val bpeLearnSql: String = {
+    val union = (1 to bpeMerges).map { k =>
+      s"""SELECT CAST($k AS INT) AS step, l AS "left", r AS "right",
+          cnt AS pair_count, l || r AS merged FROM b$k"""
+    }.mkString(" UNION ALL ")
+    s"$bpeWithChain\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  private val bpeEncodeSql: String =
+    s"""$bpeWithChain,
+       tok AS MATERIALIZED (
+         SELECT w, length(s) - length(replace(s, chr(3), '')) AS cnt
+         FROM w$bpeMerges)
+       SELECT d.doc_id, count(*) AS n_words,
+         CAST(sum(t.cnt) AS BIGINT) AS n_bpe_tokens
+       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             FROM documents) d
+       JOIN tok t USING (w)
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   def oracles: Map[String, String] = Map(
+    "t_bpe" -> bpeLearnSql,
+    "t_bpe_encode" -> bpeEncodeSql,
     "d_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
          count(*) AS n_copies, min(doc_id) AS keeper

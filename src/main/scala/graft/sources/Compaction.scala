@@ -48,14 +48,21 @@ object Compaction {
         n += 1; bytes += f.getLen
       }
     }
-    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    // capped at the source file count: compaction MERGES small files;
+    // a byte-derived plan larger than the input (one 1 GB file at a
+    // 128 MB target) would otherwise SPLIT it — that's a repartition
+    // layout decision, not compaction's job, and it would break the
+    // "cannot increase the file count" guarantee below
+    val nOut = math.min(math.max(1L, n.toLong),
+      math.max(1L, (bytes + targetBytes - 1) / targetBytes))
     CompactionPlan(n, bytes, nOut.toInt)
   }
 
   /** Rewrite `dir` into `outDir` as ~targetBytes files. Returns the
     * plan it executed. No-op guard: when the source already has ≤
     * the planned file count, the rewrite still runs (the caller
-    * asked for a fresh copy) but cannot increase the file count. */
+    * asked for a fresh copy) but cannot increase the file count
+    * (the plan's nOut is capped at the source file count). */
   def compact(spark: SparkSession, dir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactionPlan = {
     val pl = plan(spark, dir, targetBytes)

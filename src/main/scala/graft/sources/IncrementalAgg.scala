@@ -55,8 +55,17 @@ object IncrementalAgg {
     val merged = currentTokenCounts(spark, root)
       .unionByName(batch)
       .groupBy("token").agg(sum("n").as("n"))
-    val v = f"v${System.currentTimeMillis()}%013d"
+    // GraphStore's version convention (GraphStore.nextVersion):
+    // timestamp + monotone sequence suffix. A bare timestamp collides
+    // when two updates land in the same millisecond (second write
+    // throws on the existing dir) and a clock step-back could sort a
+    // newer state before an older one; the sequence suffix keeps
+    // names unique and same-process ordering monotone either way.
+    val v = f"v${System.currentTimeMillis()}%013d-${
+      saveSeq.incrementAndGet()}%04d"
     merged.write.parquet(s"$root/$v")
     v
   }
+
+  private val saveSeq = new java.util.concurrent.atomic.AtomicLong()
 }

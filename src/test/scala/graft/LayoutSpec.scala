@@ -59,8 +59,9 @@ class LayoutSpec extends AnyFunSuite with SparkFixture {
     val docs = Tables.documents(spark, sfDir)
     val b1 = docs.filter(col("doc_id") % 2 === 0)
     val b2 = docs.filter(col("doc_id") % 2 === 1)
+    // same-millisecond updates are safe: the version name carries a
+    // monotone sequence suffix (no sleep workaround needed)
     IncrementalAgg.updateTokenCounts(spark, root, b1)
-    Thread.sleep(2) // distinct version timestamps
     IncrementalAgg.updateTokenCounts(spark, root, b2)
     val incr = IncrementalAgg.currentTokenCounts(spark, root)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -13,9 +13,9 @@ disjoint replicas of every table, keeping referential integrity:
   collisions would otherwise make every dedup probe its own worst
   case -- measured in round 3);
 - events: event_id/user_id offset (8x the users, same time range);
-- embeddings: vec_id offset, one coordinate nudged by a replica-
-  deterministic epsilon so replicas are near- but not exact
-  duplicates (identical replicas inflate LSH pair output x64,
+- embeddings: vec_id offset, every coordinate shifted by a replica-
+  deterministic epsilon (k * 0.001) so replicas are near- but not
+  exact duplicates (identical replicas inflate LSH pair output x64,
   quadratic in multiplicity -- round-3 finding).
 
 Usage: python3 tools/make8x.py [outDir] [srcDir] [replicas]
