@@ -353,11 +353,38 @@ object Algorithms {
     ballCache.get(undirectedEdges) match {
       case Some((d, df)) if d >= maxDepth => df
       case _ =>
-        val built = ballSizesBuild(undirectedEdges, maxDepth)
-          .localCheckpoint()
+        // the eager localCheckpoint materializes the whole round
+        // chain INSIDE the hash-agg scope
+        val built = withHashAgg(undirectedEdges.sparkSession)(
+          ballSizesBuild(undirectedEdges, maxDepth).localCheckpoint())
         ballCache.put(undirectedEdges, (maxDepth, built))
         built
     }
+
+  /** Run `f` with ObjectHashAggregate's sort-based fallback disabled
+    * (threshold raised from its default 128 groups/partition).
+    * The HLL union rounds aggregate |V| groups of ~1 KB sketch
+    * buffers; past the default threshold Spark switches to
+    * SORT-BASED TypedImperativeAggregate, which serializes the
+    * buffer per input row — measured 57 s vs 21 s for the identical
+    * sf0.1 ball build. Holding the hash map instead costs
+    * groups-per-partition × sketch bytes (16k × 1 KB ≈ 16 MB here;
+    * at cluster scale partition counts keep the same envelope).
+    * SCOPED, not session-global: list-building aggregates with the
+    * opposite profile (k-core's collect_list of neighbor estimates
+    * measured 4× SLOWER on the hash path — boxed-list churn beats
+    * radix-sorting small fixed-width rows) keep the default. The
+    * previous value is restored even on failure. */
+  private def withHashAgg[A](
+      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, (1 << 20).toString)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   private val ballCache =
     new graft.util.LruCache[DataFrame, (Int, DataFrame)](8)
