@@ -389,19 +389,36 @@ object Algorithms {
   private val ballCache =
     new graft.util.LruCache[DataFrame, (Int, DataFrame)](8)
 
+  /** Node-count ceiling for broadcasting the per-round sketch state:
+    * |V| × ~1.1 KB (lgk=10 dense sketch + carries) ≤ ~256 MB. Below
+    * it each round is a map-side broadcast join + LOCAL aggregation —
+    * zero exchange per round; above it the round falls back to the
+    * shuffle form (edges pre-partitioned on the join key), the same
+    * envelope as PageRank. */
+  val ballBroadcastNodes = 240000L
+
   private def ballSizesBuild(undirectedEdges: DataFrame,
       maxDepth: Int): DataFrame = {
     val nodes = undirectedEdges.select(col("a")).distinct()
+    val nNodes = nodes.count()
+    val bcast = nNodes <= ballBroadcastNodes
+    // broadcast path: partition edges by the OUTPUT key `a`, so the
+    // map-side join's result feeds groupBy(a) with no exchange at
+    // all — the per-round cost is |E| local hash probes + unions
+    // plus one |V|-sized state broadcast. Shuffle path: partition by
+    // the join key `b` so the state join never re-exchanges the big
+    // side, and the groupBy(a) exchange moves partial-agged sketches.
     val edges = undirectedEdges
       .unionByName(nodes.select(col("a"), col("a").as("b")))
-      .repartition(col("b")).localCheckpoint()
+      .repartition(if (bcast) col("a") else col("b")).localCheckpoint()
     // |ball_0| = 1 exactly (single-item sparse sketch)
     var state = nodes.select(col("a").as("node"))
       .groupBy("node").agg(expr("hll_sketch_agg(node, 10)").as("sketch"))
       .withColumn("s0", lit(1.0))
     for (t <- 1 to maxDepth) {
       val carry = (0 until t).map(i => col(s"s$i"))
-      val joined = edges.join(state, edges("b") === state("node"))
+      val st = if (bcast) broadcast(state) else state
+      val joined = edges.join(st, edges("b") === st("node"))
         .select(Seq(edges("a").as("node"),
           (edges("b") === edges("a")).as("self"),
           col("sketch")) ++ carry: _*)

@@ -68,6 +68,89 @@ object EventStreams {
       .select(col("user_id"), col("event_id"), col("session_seq"))
   }
 
+  /** Skew-safe sessionization — same output contract as
+    * [[sessionizeBatch]], different shuffle shape. The plain form
+    * windows on `user_id` alone, so ONE pathological user (a bot, a
+    * load-test account) serializes 90 % of the partition's rows into
+    * one task — and unlike a skewed JOIN (plans.Skew.saltedJoin),
+    * a per-user ordered window cannot be salted: the gap rule needs
+    * the user's whole ordered history. The scale fix is to cut the
+    * history along TIME instead:
+    *
+    *  1. big pass windows on (user_id, time bucket) — the hot user
+    *     splits across buckets, so no task exceeds one bucket of one
+    *     user; the same exact-microsecond gap rule runs within each
+    *     bucket (first event of a bucket provisionally starts a
+    *     session);
+    *  2. a per-(user, bucket) summary frame (rows = users × active
+    *     buckets — orders of magnitude smaller than events) decides,
+    *     per bucket, whether its first event actually CONTINUES the
+    *     previous active bucket's last session (cross-boundary gap ≤
+    *     threshold), and computes each bucket's global session-seq
+    *     offset as a running sum of true session starts;
+    *  3. events join their bucket's (continues, offset) row back —
+    *     a broadcast-sized join — and the global seq is
+    *     offset + local running count, with the continuing bucket's
+    *     first event folded into the previous session.
+    *
+    * `bucketHours` trades skew headroom against summary size; any
+    * value yields IDENTICAL output to the plain form (SkewSpec pins
+    * equality on a 90 %-hot-user stream, including sessions that
+    * span bucket boundaries). */
+  def sessionizeSkewSafe(events: DataFrame, gapMinutes: Int = 30,
+      bucketHours: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapMinutes * 60000000L
+    val bUs = bucketHours * 3600000000L
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val wb = Window.partitionBy("user_id", "bucket")
+      .orderBy("tus", "event_id")
+    // pass 1: bucket-local gap rule (the only events-scale window)
+    val local = events
+      .withColumn("tus", us)
+      .withColumn("bucket", (col("tus") / lit(bUs)).cast("long"))
+      .withColumn("local_start",
+        when(lag(col("tus"), 1).over(wb).isNull ||
+          col("tus") - lag(col("tus"), 1).over(wb) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("local_seq",
+        sum(col("local_start")).over(
+          wb.rowsBetween(Window.unboundedPreceding, 0)))
+    // pass 2: per-(user, bucket) summary — first/last ts and local
+    // session-start count; `continues` = this bucket's first event
+    // is within gap of the previous ACTIVE bucket's last event
+    // (lag over existing rows handles empty buckets in between: a
+    // whole silent bucket of width ≥ gap implies a new session, and
+    // bUs ≥ gapUs is required below)
+    require(bUs >= gapUs,
+      s"bucket ($bucketHours h) must be at least the gap ($gapMinutes m)")
+    val wu = Window.partitionBy("user_id").orderBy("bucket")
+    val summary = local.groupBy("user_id", "bucket")
+      .agg(min("tus").as("first_tus"), max("tus").as("last_tus"),
+        sum("local_start").as("n_starts"))
+      .withColumn("continues",
+        when(col("first_tus") - lag(col("last_tus"), 1).over(wu) <= gapUs &&
+          lag(col("bucket"), 1).over(wu) === col("bucket") - 1, 1L)
+          .otherwise(0L))
+      // true session starts this bucket; running sum over PRIOR
+      // buckets = this bucket's global seq offset
+      .withColumn("true_starts", col("n_starts") - col("continues"))
+      .withColumn("offset",
+        coalesce(sum(col("true_starts")).over(
+          wu.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("user_id"), col("bucket"), col("continues"),
+        col("offset"))
+    // pass 3: events join their bucket row (summary ≪ events; AQE
+    // broadcasts it at probe scale, and at cluster scale it shuffles
+    // on the SAME (user, bucket) key the window already established)
+    local.join(summary, Seq("user_id", "bucket"))
+      .select(col("user_id"), col("event_id"),
+        // a continuing bucket's first local session is the previous
+        // bucket's last session: fold it by subtracting its start
+        (col("offset") + col("local_seq") - col("continues"))
+          .as("session_seq"))
+  }
+
   /** Per-session statistics (event count + duration) on top of the
     * same gap rule as [[sessionizeBatch]] — the roll-up every
     * session pipeline computes next. Exact integer microseconds

@@ -238,6 +238,59 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann at 8x: ivfpq cell join stays an equi-join, filtered search " +
+      "keeps the label BroadcastHashJoin") {
+    import spark.implicits._
+    // 8x replica corpus built the same way as tools/make8x.py
+    // (vec_id offset + replica-deterministic epsilon shift), written
+    // to parquet so the scan sees real file stats — the pin is that
+    // the ANN plans keep their scale shape as the corpus grows, not
+    // just at the gate-sized fixture
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val dir = java.nio.file.Files.createTempDirectory("ann8x").toString
+    (0 until 8).map(r => emb.select(
+        (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(r * 0.001f))
+          .as("embedding"),
+        col("label")))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(dir)
+    val big = spark.read.parquet(dir)
+    val dim = 64
+
+    // e_knn_ivfpq shape: candidate generation must be the cell
+    // equi-join (queries broadcast), NEVER a corpus-wide
+    // broadcast-nested-loop or cartesian — that's the whole point of
+    // composing IVF with PQ
+    val ivf = graft.ann.Ivf.train(big, "vec_id", "embedding", dim, k = 16)
+    val pq = graft.ann.Pq.train(big, "vec_id", "embedding", dim,
+      m = 4, k = 16)
+    val ivfpq = graft.ann.Pq.topKWithIvf(big,
+      big.filter(col("vec_id") < 10), "vec_id", "embedding", dim,
+      k = 5, pq, ivf, nprobe = 4)
+    assert(ivfpq.count() > 0)
+    val p1 = ivfpq.queryExecution.executedPlan.toString
+    assert(!p1.contains("BroadcastNestedLoopJoin") &&
+      !p1.contains("CartesianProduct"),
+      s"ivfpq candidate generation degenerated at 8x:\n$p1")
+    assert(p1.contains("BroadcastHashJoin [cell"),
+      s"cell equi-join missing at 8x:\n$p1")
+
+    // e_knn_filtered shape: the label predicate rides the join
+    // (BroadcastHashJoin on label), never a post-filter that
+    // starves k
+    val filtered = graft.ann.Knn.filteredTopK(big,
+      big.filter(col("vec_id") < 10), "vec_id", "embedding", "label",
+      dim, k = 5)
+    assert(filtered.count() > 0)
+    val p2 = filtered.queryExecution.executedPlan.toString
+    assert(!p2.contains("BroadcastNestedLoopJoin") &&
+      !p2.contains("CartesianProduct"),
+      s"filtered search degenerated at 8x:\n$p2")
+    assert(p2.contains("BroadcastHashJoin [clabel"),
+      s"label equi-join missing at 8x:\n$p2")
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²
