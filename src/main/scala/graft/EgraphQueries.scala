@@ -294,8 +294,9 @@ object EgraphQueries {
 
     "g_kcore" -> { (s, d) =>
       // deterministic h-index fixpoint — exact core numbers, one
-      // aggregation shuffle per round (rows-only: iterative, not
-      // SQL-expressible; exact small-graph oracle in GraphSpec)
+      // aggregation shuffle per round; the DuckDB oracle replays the
+      // same all-integer iteration via a counter-carrying recursive
+      // CTE (exact, not rows-only, since r07)
       Algorithms.kCore(GraphBuilder.undirectedFor(s, d))
         .orderBy("node")
     },
@@ -434,6 +435,38 @@ object EgraphQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // Replays Algorithms.kCore's h-index iteration (Lü et al. 2016)
+    // verbatim: every node starts at its degree, each round replaces
+    // the estimate with min(own, h-index of neighbors' estimates).
+    // All-integer and tie-free, so the fixpoint is bit-exact in any
+    // engine. The iteration counter keeps every round's rows distinct
+    // (UNION ALL), and the fixed cap 30 is the same dataset-pinned
+    // convention as g_sssp_weighted's depth<20: measured convergence
+    // is ≤5 rounds at sf0.001–0.1 (6x margin), and a too-small cap
+    // fails SAFE — non-converged estimates are strictly ABOVE the
+    // core number, so the compare flags them; it cannot silently pass.
+    "g_kcore" ->
+      s"""WITH RECURSIVE ue AS ($undirectedSql),
+          ue2 AS (SELECT a, b FROM ue
+                  UNION ALL SELECT DISTINCT a, a FROM ue),
+          r(node, est, it) AS (
+            SELECT a, CAST(count(*) AS INT), 0 FROM ue GROUP BY a
+            UNION ALL
+            SELECT node,
+              LEAST(min(own),
+                CAST(len(list_filter(
+                  list_reverse_sort(list(nest) FILTER (nest IS NOT NULL)),
+                  (x, i) -> x >= i)) AS INT)) AS est,
+              min(it) + 1
+            FROM (
+              SELECT ue2.a AS node,
+                CASE WHEN ue2.a = ue2.b THEN r.est END AS own,
+                CASE WHEN ue2.a <> ue2.b THEN r.est END AS nest,
+                r.it AS it
+              FROM r JOIN ue2 ON ue2.b = r.node)
+            GROUP BY node
+            HAVING min(it) + 1 <= 30)
+          SELECT node, est AS core FROM r WHERE it = 30 ORDER BY node""",
     "g_connected_components" ->
       s"""WITH RECURSIVE ue AS ($undirectedSql),
           r(node, label) AS (
