@@ -234,8 +234,10 @@ object EgraphQueries {
     },
 
     "g_modularity" -> { (s, d) =>
-      // modularity of the LPA partition (rows-only: scored partition
-      // comes from iterative LPA; exact hand-computed Q in GraphSpec).
+      // modularity of the LPA partition (exact oracle since r07: the
+      // replayed partition's counts are integers and the contribution
+      // is one IEEE-deterministic double expression; hand-computed Q
+      // also pinned in GraphSpec).
       // The label frame is the memoized one g_communities builds — a
       // modularity score is one labels join + two aggs, and its bench
       // number should say so rather than re-billing the 5 LPA rounds.
@@ -313,9 +315,9 @@ object EgraphQueries {
 
     "g_communities" -> { (s, d) =>
       // deterministic DataFrame LPA (min-label tie-break), canonical
-      // min-member community names (rows-only: iterative/heuristic;
-      // the spec pins partition validity and determinism). Memoized:
-      // the partition is an artifact g_modularity consumes too.
+      // min-member community names; the DuckDB oracle replays the 5
+      // integer/string-ordered rounds exactly (exact since r07).
+      // Memoized: the partition is an artifact g_modularity consumes.
       Algorithms.labelPropagationCached(GraphBuilder.undirectedFor(s, d))
         .orderBy("node")
     },
@@ -434,7 +436,61 @@ object EgraphQueries {
         SELECT node, round(rank, 4) AS rank FROM p$iters ORDER BY node"""
   }
 
+  // Replays Algorithms.labelPropagation verbatim: 5 rounds, each node
+  // adopts its neighbors' most frequent label with ties broken toward
+  // the SMALLEST label, then community names canonicalize to the
+  // smallest member. All comparisons are integer counts and binary
+  // string order, so the partition is bit-exact in any engine. The
+  // (max count, min label) argmax rides one composite string key —
+  // counts zero-padded DESCENDING (1e9 - c) so arg_min's string order
+  // is (count desc, label asc), exactly Spark's min_by struct key.
+  private val lpaSql =
+    s"""ue AS ($undirectedSql),
+        r(node, label, it) AS (
+          SELECT DISTINCT a, a, 0 FROM ue
+          UNION ALL
+          SELECT node,
+            arg_min(label,
+              lpad(CAST(1000000000 - c AS VARCHAR), 10, '0') || '|' || label),
+            min(it) + 1
+          FROM (
+            SELECT ue.a AS node, r.label AS label, count(*) AS c,
+              min(r.it) AS it
+            FROM r JOIN ue ON ue.b = r.node
+            GROUP BY ue.a, r.label) t
+          GROUP BY node
+          HAVING min(it) + 1 <= 5),
+        fin AS (SELECT node, label FROM r WHERE it = 5),
+        canon AS (SELECT label, min(node) AS community FROM fin
+                  GROUP BY label),
+        lab AS (SELECT fin.node, canon.community FROM fin
+                JOIN canon USING (label))"""
+
   def oracles: Map[String, String] = Map(
+    "g_communities" ->
+      s"""WITH RECURSIVE $lpaSql
+          SELECT node, community FROM lab ORDER BY node""",
+    // modularity of the replayed LPA partition: per-community counts
+    // are exact integers; the contribution is ONE double expression
+    // over them (x/m2 - (d/m2)^2, round 6) whose operations are all
+    // IEEE-correctly-rounded — identical across engines
+    "g_modularity" ->
+      s"""WITH RECURSIVE $lpaSql,
+          tagged AS (SELECT ue.a, la.community AS ca, lb.community AS cb
+                     FROM ue JOIN lab la ON ue.a = la.node
+                             JOIN lab lb ON ue.b = lb.node),
+          m2 AS (SELECT count(*) AS m2 FROM tagged)
+          SELECT ca AS community, count(DISTINCT a) AS n_nodes,
+            CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) / 2 AS BIGINT)
+              AS internal_edges,
+            count(*) AS degree_sum,
+            round(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END)
+                / CAST(m2.m2 AS DOUBLE)
+              - pow(count(*) / CAST(m2.m2 AS DOUBLE), 2.0), 6)
+              AS contribution
+          FROM tagged, m2
+          GROUP BY ca, m2.m2
+          ORDER BY community""",
     // Replays Algorithms.kCore's h-index iteration (Lü et al. 2016)
     // verbatim: every node starts at its degree, each round replaces
     // the estimate with min(own, h-index of neighbors' estimates).
