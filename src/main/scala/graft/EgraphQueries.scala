@@ -305,8 +305,9 @@ object EgraphQueries {
 
     "g_ppr" -> { (s, d) =>
       // personalized PageRank seeded at c:1 — "nodes related to X"
-      // at whole-graph scale (rows-only: iterative float fixpoint;
-      // proximity semantics pinned in GraphXSpec)
+      // at whole-graph scale; the DuckDB oracle replays GraphX's
+      // update at round(·,4), like g_pagerank (exact since r07;
+      // proximity semantics also pinned in GraphXSpec)
       GraphXBridge.personalizedPageRank(
           GraphBuilder.undirectedFor(s, d), "c:1", iters = 5)
         .select(col("node"), round(col("rank"), 4).as("rank"))
@@ -432,6 +433,33 @@ object EgraphQueries {
     s"""WITH ue AS ($undirectedSql),
         deg AS (SELECT a AS node, count(*) AS d FROM ue GROUP BY a),
         p0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+        $steps
+        SELECT node, round(rank, 4) AS rank FROM p$iters ORDER BY node"""
+  }
+
+  // Replays GraphX's personalized PageRank update exactly
+  // (org.apache.spark.graphx.lib.PageRank.runWithOptions with srcId):
+  // r0 = 1 at the seed and 0 elsewhere; every round EVERY node gets
+  // resetProb·1[v=seed] + 0.85·Σ_{u→v} r(u)/deg(u) (nodes with no
+  // in-messages get the coalesced 0). Same FP-determinism argument as
+  // pagerankSql: the per-round sums re-associate across engines, but
+  // round(·,4) absorbs the low-bit noise (verified exact at sf0.01).
+  private val pprSql: String = {
+    val iters = 5
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS (SELECT deg.node,
+          (CASE WHEN deg.node = 'c:1' THEN 0.15 ELSE 0.0 END)
+            + 0.85 * COALESCE(m.s, 0.0) AS rank
+          FROM deg LEFT JOIN (
+            SELECT ue.b AS node, sum(p${i - 1}.rank / deg.d) AS s
+            FROM ue JOIN p${i - 1} ON p${i - 1}.node = ue.a
+            JOIN deg ON deg.node = ue.a GROUP BY ue.b) m
+          ON m.node = deg.node)"""
+    }.mkString(",\n")
+    s"""WITH ue AS ($undirectedSql),
+        deg AS (SELECT a AS node, count(*) AS d FROM ue GROUP BY a),
+        p0 AS (SELECT node, CASE WHEN node = 'c:1'
+          THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END AS rank FROM deg),
         $steps
         SELECT node, round(rank, 4) AS rank FROM p$iters ORDER BY node"""
   }
@@ -578,6 +606,7 @@ object EgraphQueries {
             node
           FROM walk ORDER BY step""",
     "g_pagerank" -> pagerankSql,
+    "g_ppr" -> pprSql,
     "n_nodes_build" ->
       """SELECT key_data, details FROM (
          SELECT 'c:' || c_custkey AS key_data,
