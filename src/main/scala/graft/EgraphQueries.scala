@@ -248,8 +248,10 @@ object EgraphQueries {
 
     "g_betweenness" -> { (s, d) =>
       // source-sampled Brandes betweenness, 16 md5-chosen seeds, ≤4
-      // hops (rows-only: sampling estimator; exact-when-all-seeds
-      // pinned on path + star graphs in GraphSpec)
+      // hops; the DuckDB oracle replays the seed choice, unrolled
+      // BFS and backward sweep exactly (exact since r07;
+      // exact-when-all-seeds also pinned on path + star graphs in
+      // GraphSpec)
       Algorithms.betweenness(GraphBuilder.undirectedFor(s, d),
           k = 16, maxDepth = 4)
         .orderBy("node")
@@ -464,6 +466,65 @@ object EgraphQueries {
         SELECT node, round(rank, 4) AS rank FROM p$iters ORDER BY node"""
   }
 
+  /** Replays Algorithms.betweenness verbatim (k=16 sampled Brandes,
+    * maxDepth=4). Every ingredient is engine-portable: seeds are the
+    * 16 smallest md5(node) (hex + binary string order), the forward
+    * BFS unrolls into 4 plain CTE levels — recursion-free, because
+    * the depth cap is part of the OPERATOR's contract, not an oracle
+    * bound — with frontier anti-joins as NOT EXISTS over the prior
+    * levels, and the backward dependency sweep unrolls the same 4
+    * levels deepest-first (an empty l4 degrades exactly like Spark's
+    * maxd<4 loop start: the deepest live level gets delta 0). Path
+    * counts σ are integer-valued doubles (exact in any accumulation
+    * order); the only engine-variant quantity is the δ sums'
+    * association, which round(·,6) absorbs — same contract as
+    * g_pagerank's round(·,4), verified exact at sf0.001/0.01. */
+  private val betweennessSql: String = {
+    val maxDepth = 4
+    val fwd = (1 to maxDepth).map { t =>
+      val antis = (0 until t).map(i =>
+        s"NOT EXISTS (SELECT 1 FROM l$i WHERE l$i.s = c$t.s AND l$i.v = c$t.v)")
+        .mkString(" AND ")
+      s"""c$t AS (SELECT l${t - 1}.s, ue.b AS v,
+            sum(l${t - 1}.sigma) AS sigma
+          FROM l${t - 1} JOIN ue ON ue.a = l${t - 1}.v
+          GROUP BY l${t - 1}.s, ue.b),
+          l$t AS (SELECT c$t.s, c$t.v, c$t.sigma FROM c$t WHERE $antis)"""
+    }.mkString(",\n")
+    val bwd = (maxDepth - 1 to 1 by -1).map { d =>
+      s"""d$d AS (SELECT w${d + 1}.s, l$d.v,
+            sum(l$d.sigma / w${d + 1}.sw * (1.0 + w${d + 1}.dw)) AS delta
+          FROM w${d + 1} JOIN ue ON ue.b = w${d + 1}.w
+          JOIN l$d ON l$d.s = w${d + 1}.s AND l$d.v = ue.a
+          GROUP BY w${d + 1}.s, l$d.v),
+          w$d AS (SELECT l$d.s, l$d.v AS w, l$d.sigma AS sw,
+            COALESCE(d$d.delta, 0.0) AS dw
+          FROM l$d LEFT JOIN d$d
+            ON d$d.s = l$d.s AND d$d.v = l$d.v)"""
+    }.mkString(",\n")
+    val accs = (1 to maxDepth)
+      .map(t => s"SELECT s, w AS v, dw AS delta FROM w$t")
+      .mkString(" UNION ALL ")
+    s"""WITH ue AS ($undirectedSql),
+        nodes AS (SELECT DISTINCT a AS node FROM ue),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        seeds AS (SELECT node AS s FROM nodes
+                  ORDER BY md5(node), node LIMIT 16),
+        l0 AS (SELECT s, s AS v, CAST(1.0 AS DOUBLE) AS sigma FROM seeds),
+        $fwd,
+        w$maxDepth AS (SELECT s, v AS w, sigma AS sw,
+          CAST(0.0 AS DOUBLE) AS dw FROM l$maxDepth),
+        $bwd,
+        acc AS ($accs),
+        agg AS (SELECT v, sum(delta) AS delta FROM acc GROUP BY v)
+        SELECT nodes.node,
+          round(COALESCE(agg.delta, 0.0)
+            * (CAST(nn.n AS DOUBLE) / CAST(LEAST(16, nn.n) AS DOUBLE)
+               / 2.0), 6) AS betweenness
+        FROM nodes CROSS JOIN nn LEFT JOIN agg ON agg.v = nodes.node
+        ORDER BY node"""
+  }
+
   // Replays Algorithms.labelPropagation verbatim: 5 rounds, each node
   // adopts its neighbors' most frequent label with ties broken toward
   // the SMALLEST label, then community names canonicalize to the
@@ -607,6 +668,7 @@ object EgraphQueries {
           FROM walk ORDER BY step""",
     "g_pagerank" -> pagerankSql,
     "g_ppr" -> pprSql,
+    "g_betweenness" -> betweennessSql,
     "n_nodes_build" ->
       """SELECT key_data, details FROM (
          SELECT 'c:' || c_custkey AS key_data,
