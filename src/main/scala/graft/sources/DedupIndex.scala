@@ -1,0 +1,196 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Incremental near-duplicate index — dedup-on-arrival for a
+  * continuously ingested corpus, the shape a 100 TB training-data
+  * pipeline actually runs: each NEW document batch is near-dup
+  * checked against everything ingested so far WITHOUT re-scanning
+  * the corpus, then folded into a persisted MinHash/LSH segment
+  * store (reference behavior this extends: egraph's
+  * egraph_detail_model upsert + reindex flow keeps indexes current
+  * per write — here the "index" is the LSH band table that makes
+  * similarity queries incremental too).
+  *
+  * Store layout (segment log, NOT merged state):
+  * {{{
+  *   root/
+  *     _meta.json            (threshold + LSH geometry, written once)
+  *     seg-<ts>-<seq>/
+  *       _SUCCESS            (commit marker, written LAST)
+  *       bands/              (band, bucket, id, sz parquet)
+  *       sets/               (id, sh parquet)
+  * }}}
+  * Each update writes ONLY the batch's own rows — O(batch) bytes,
+  * never O(corpus) (IncrementalAgg rewrites its merged state because
+  * that state is vocabulary-sized; a dedup index is corpus-sized, so
+  * the log form is the one that survives at scale). Readers union
+  * the committed segments; a crash mid-write leaves a marker-less
+  * directory that every reader skips (same contract as GraphStore /
+  * IncrementalAgg), and the many-small-segments problem is exactly
+  * what [[Compaction]] exists for — compacting `bands/` across
+  * segments preserves semantics because a document's index rows
+  * depend only on its own text.
+  *
+  * Soundness of batch-at-a-time detection: Dedup.signatures is
+  * map-side pure (a doc's rows never depend on the rest of the
+  * corpus), so for any near-dup pair the LATER batch finds it —
+  * new×store catches cross-batch pairs, new×new catches same-batch
+  * pairs — and the union over updates equals the bulk
+  * Dedup.minhashNearDups over the whole corpus (pinned in
+  * DedupIndexSpec). Per-update cost: one batch scan + a band-bucket
+  * equi-join whose output is driven by the BATCH's buckets, plus a
+  * candidate-id semi-join-shaped read of the sets table — the stored
+  * corpus text is never re-read.
+  */
+object DedupIndex {
+
+  /** Index parameters, pinned at creation: detection quality is a
+    * property of the STORE (signatures written with one geometry are
+    * not comparable to signatures of another), so a mismatched
+    * update must fail loudly, not silently degrade recall. */
+  case class Meta(threshold: Double, numHashes: Int, bands: Int)
+
+  case class UpdateResult(segment: String, pairs: DataFrame)
+
+  /** Near-dup-check `newDocs` against the store AND itself, then
+    * commit the batch as a new segment. Returns the segment name and
+    * the verified pairs (a, b, j) — canonically a < b, exactly the
+    * bulk pipeline's contract. The pairs frame is materialized
+    * BEFORE the commit so a caller observing the result can't race
+    * the batch's own rows into its candidate set twice. */
+  def update(spark: SparkSession, root: String, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      numHashes: Int = 30, bands: Int = 6): UpdateResult = {
+    val meta = readOrInitMeta(spark, root,
+      Meta(threshold, numHashes, bands))
+    require(meta == Meta(threshold, numHashes, bands),
+      s"index at $root was built with $meta; updates must match " +
+        s"(got threshold=$threshold numHashes=$numHashes bands=$bands)")
+
+    val sigs = Dedup.signatures(newDocs, idCol, textCol, numHashes, bands)
+    val newBands = sigs.select(col("id"), col("sz"),
+      posexplode(col("ba")).as(Seq("band", "bucket")))
+    val newSets = sigs.select(col("id"), col("sh"))
+
+    // fresh store: empty frames derived from the BATCH's own schema,
+    // so non-bigint id columns work on the first update too (the
+    // public currentBands/currentSets readers default to the
+    // documents-table shape)
+    val fresh = segments(spark, root).isEmpty
+    val storeBands = if (fresh) newBands.limit(0)
+      else currentBands(spark, root)
+    val storeSets = if (fresh) newSets.limit(0)
+      else currentSets(spark, root)
+
+    // size-ratio guard (J ≥ t ⇒ min/max set sizes ≥ t) kills
+    // impossible pairs before verification, same as the bulk path
+    def sizeOk(sa: org.apache.spark.sql.Column,
+        sb: org.apache.spark.sql.Column) =
+      least(sa, sb).cast("double") / greatest(sa, sb) >= threshold
+    // cross-batch candidates: the join is keyed on (band, bucket) and
+    // its output volume is driven by the NEW batch's buckets — the
+    // store side is only probed where the batch collides
+    val candOld = newBands.as("x")
+      .join(storeBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .filter(sizeOk(col("x.sz"), col("y.sz")))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"))
+    // same-batch candidates
+    val candNew = newBands.as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .filter(sizeOk(col("x.sz"), col("y.sz")))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    // distinct(), not the bulk path's first-matching-band when-chain:
+    // that trick needs both band ARRAYS on the pair row, which would
+    // mean carrying them in the band store; here the candidate stream
+    // is batch-driven (not corpus-driven), so one distinct shuffle of
+    // it is the cheaper trade
+    val cands = candOld.unionByName(candNew).distinct()
+    val allSets = storeSets.unionByName(newSets)
+    val pairs = cands
+      .join(allSets.select(col("id").as("a"), col("sh").as("sha")), "a")
+      .join(allSets.select(col("id").as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        round(graft.functions.Registry.jaccardSorted(
+          col("sha"), col("shb")), 4).as("j"))
+      .filter(col("j") >= threshold)
+      .localCheckpoint()
+
+    // commit LAST: bands + sets land, then the root-level marker —
+    // a crash before the marker leaves an ignored orphan directory
+    val seg = f"seg-${System.currentTimeMillis()}%013d-${
+      saveSeq.incrementAndGet()}%04d"
+    newBands.write.parquet(s"$root/$seg/bands")
+    newSets.write.parquet(s"$root/$seg/sets")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    UpdateResult(seg, pairs)
+  }
+
+  /** All committed band rows (band, bucket, id, sz); empty when the
+    * store is new. */
+  def currentBands(spark: SparkSession, root: String): DataFrame =
+    readSegments(spark, root, "bands",
+      "band INT, bucket BIGINT, id BIGINT, sz INT")
+
+  /** All committed shingle sets (id, sh); empty when the store is new. */
+  def currentSets(spark: SparkSession, root: String): DataFrame =
+    readSegments(spark, root, "sets", "id BIGINT, sh ARRAY<BIGINT>")
+
+  def segments(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("seg-")).sorted.toSeq
+      .filter(v => fs.exists(new Path(root, s"$v/_SUCCESS")))
+  }
+
+  private def readSegments(spark: SparkSession, root: String,
+      table: String, emptyDdl: String): DataFrame =
+    segments(spark, root) match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
+      case segs => spark.read.parquet(
+        segs.map(s => s"$root/$s/$table"): _*)
+    }
+
+  private def readOrInitMeta(spark: SparkSession, root: String,
+      init: Meta): Meta = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val mp = new Path(root, "_meta.json")
+    if (fs.exists(mp)) {
+      val in = fs.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      // three numeric fields, fixed order (written below) — a full
+      // JSON parser dependency is not warranted for a marker file
+      val m = """\{"threshold":([0-9.]+),"numHashes":(\d+),"bands":(\d+)\}"""
+        .r.findFirstMatchIn(txt.trim)
+        .getOrElse(throw new IllegalStateException(
+          s"unreadable dedup-index meta at $mp: $txt"))
+      Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt)
+    } else {
+      fs.mkdirs(new Path(root))
+      val out = fs.create(mp, false) // fail on concurrent create
+      try out.write(
+        s"""{"threshold":${init.threshold},"numHashes":${init.numHashes},"bands":${init.bands}}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      init
+    }
+  }
+
+  private val saveSeq = new java.util.concurrent.atomic.AtomicLong()
+}

@@ -4,7 +4,7 @@
 #
 # Usage: tools/probe.sh "q1,q2,..." [tag]
 # Writes bench_last.json copies to /tmp/probe_<tag>_{1x,8x,64x}.json
-set -e
+set -eo pipefail
 QUERIES="$1"
 TAG="${2:-probe}"
 cd /root/repo
