@@ -355,31 +355,53 @@ object Algorithms {
       case _ =>
         // the eager localCheckpoint materializes the whole round
         // chain INSIDE the hash-agg scope
-        val built = withHashAgg(undirectedEdges.sparkSession)(
+        val spark = undirectedEdges.sparkSession
+        val built = withHashAgg(spark, hashAggThreshold(spark))(
           ballSizesBuild(undirectedEdges, maxDepth).localCheckpoint())
         ballCache.put(undirectedEdges, (maxDepth, built))
         built
     }
 
-  /** Run `f` with ObjectHashAggregate's sort-based fallback disabled
-    * (threshold raised from its default 128 groups/partition).
-    * The HLL union rounds aggregate |V| groups of ~1 KB sketch
-    * buffers; past the default threshold Spark switches to
-    * SORT-BASED TypedImperativeAggregate, which serializes the
-    * buffer per input row — measured 57 s vs 21 s for the identical
-    * sf0.1 ball build. Holding the hash map instead costs
-    * groups-per-partition × sketch bytes (16k × 1 KB ≈ 16 MB here;
-    * at cluster scale partition counts keep the same envelope).
+  /** Memory-derived group cap for the sketch-union hash path. The
+    * map-side ObjectHashAggregate holds one ~1.1 KB sketch buffer per
+    * DISTINCT group the task sees, and on the shuffle path a
+    * b-partitioned task can see EVERY node — so the cap must come
+    * from the heap, not a flat constant: the flat 1M cap measured
+    * ~35 GB of concurrent buffers at the 64× probe (1M nodes × 32
+    * tasks) and OOM'd the 48 g bench heap, killing the session. Cap
+    * so all concurrently running tasks' maps fit in a quarter of the
+    * heap; past it the sort-based fallback engages (spillable,
+    * memory-safe — the large-graph regime), below it the pure hash
+    * path keeps the measured 57 s → 21 s win. Concurrency is
+    * per-JVM tasks: executor cores on a cluster, defaultParallelism
+    * in local mode (where they coincide). */
+  private def hashAggThreshold(spark: org.apache.spark.sql.SparkSession): Long = {
+    val sketchBytes = 1100L
+    val tasks = spark.conf.getOption("spark.executor.cores")
+      .flatMap(c => scala.util.Try(c.toInt).toOption)
+      .getOrElse(spark.sparkContext.defaultParallelism).max(1)
+    val budget = Runtime.getRuntime.maxMemory / 4 / tasks
+    math.max(128L, math.min(1L << 20, budget / sketchBytes))
+  }
+
+  /** Run `f` with ObjectHashAggregate's sort-based fallback threshold
+    * raised from its default 128 groups/partition to `threshold`
+    * (memory-derived — see [[hashAggThreshold]]). The HLL union
+    * rounds aggregate |V| groups of ~1 KB sketch buffers; past the
+    * threshold Spark switches to SORT-BASED TypedImperativeAggregate,
+    * which serializes the buffer per input row — measured 57 s vs
+    * 21 s for the identical sf0.1 ball build — but is spillable and
+    * memory-safe, which the hash map is not (the 64× probe OOM).
     * SCOPED, not session-global: list-building aggregates with the
     * opposite profile (k-core's collect_list of neighbor estimates
     * measured 4× SLOWER on the hash path — boxed-list churn beats
     * radix-sorting small fixed-width rows) keep the default. The
     * previous value is restored even on failure. */
   private def withHashAgg[A](
-      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+      spark: org.apache.spark.sql.SparkSession, threshold: Long)(f: => A): A = {
     val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prev = spark.conf.getOption(key)
-    spark.conf.set(key, (1 << 20).toString)
+    spark.conf.set(key, threshold.toString)
     try f finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
@@ -481,7 +503,14 @@ object Algorithms {
     val kk = math.min(k.toLong, n)
     val seeds = nodes.orderBy(md5(col("a")), col("a")).limit(kk.toInt)
       .select(col("a").as("s"))
-    val edges = undirectedEdges
+    // pre-partition the adjacency on the ONE join key every sweep
+    // uses and materialize it once: k is fixed, so the per-seed state
+    // is scale-free, and the rounds' cost at 8×/64× graphs was pure
+    // edge-side re-exchange (measured 10.3× wall for 8× edges before
+    // this; the backward sweep reads neighbors through the same
+    // a-keyed frame — N(w) via a = w — which symmetry permits).
+    // Same convention as pageRank/connectedComponents/kCore.
+    val edges = undirectedEdges.repartition(col("a")).localCheckpoint()
     // forward: settled (s, v, sigma, d); sigma = #shortest s→v paths
     var settled = seeds
       .select(col("s"), col("s").as("v"), lit(1.0).as("sigma"),
@@ -521,10 +550,12 @@ object Algorithms {
         col("dw").as("delta"))
       else acc.unionByName(wRows.select(col("s"), col("w").as("v"),
         col("dw").as("delta")))
-      // predecessors: settled depth d−1 neighbors of w
+      // predecessors: settled depth d−1 neighbors of w — read through
+      // the a-keyed frame (symmetric adjacency: N(w) = {b : (w,b)})
+      // so this join reuses the forward sweep's edge partitioning
       deltaAt = wRows
-        .join(edges, edges("b") === wRows("w"))
-        .select(col("s"), edges("a").as("v"), col("sw"), col("dw"))
+        .join(edges, edges("a") === wRows("w"))
+        .select(col("s"), edges("b").as("v"), col("sw"), col("dw"))
         .join(level(d - 1).select(col("s").as("ps"), col("v").as("pv"),
           col("sigma").as("sv")),
           col("s") === col("ps") && col("v") === col("pv"))
