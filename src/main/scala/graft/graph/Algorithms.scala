@@ -356,8 +356,13 @@ object Algorithms {
         // the eager localCheckpoint materializes the whole round
         // chain INSIDE the hash-agg scope
         val spark = undirectedEdges.sparkSession
-        val built = withHashAgg(spark, hashAggThreshold(spark))(
-          ballSizesBuild(undirectedEdges, maxDepth).localCheckpoint())
+        val nodes = undirectedEdges.select(col("a")).distinct()
+        val nNodes = nodes.count()
+        val bcast = nNodes <= ballBroadcastNodes
+        val lgk = if (bcast) 10 else 8
+        val built = withHashAgg(spark, hashAggThreshold(spark, lgk))(
+          ballSizesBuild(undirectedEdges, nodes, bcast, lgk, maxDepth)
+            .localCheckpoint())
         ballCache.put(undirectedEdges, (maxDepth, built))
         built
     }
@@ -375,13 +380,21 @@ object Algorithms {
     * path keeps the measured 57 s → 21 s win. Concurrency is
     * per-JVM tasks: executor cores on a cluster, defaultParallelism
     * in local mode (where they coincide). */
-  private def hashAggThreshold(spark: org.apache.spark.sql.SparkSession): Long = {
-    val sketchBytes = 1100L
+  private def hashAggThreshold(spark: org.apache.spark.sql.SparkSession,
+      lgk: Int): Long = {
+    // what the map holds per group is NOT the ~(1<<lgk)-byte
+    // serialized sketch but a live datasketches Union gadget (HLL_8
+    // register array downsampled to the input lgk, plus aux + JVM
+    // overhead) — the 64× probe OOM'd even a 96 g heap inside
+    // dumpToExternalSorter with a serialized-size-based cap before
+    // this estimate was corrected. 4 KB of overhead headroom plus
+    // 4 bytes/register is deliberately pessimistic.
+    val unionGadgetBytes = 4096L + (4L << lgk)
     val tasks = spark.conf.getOption("spark.executor.cores")
       .flatMap(c => scala.util.Try(c.toInt).toOption)
       .getOrElse(spark.sparkContext.defaultParallelism).max(1)
     val budget = Runtime.getRuntime.maxMemory / 4 / tasks
-    math.max(128L, math.min(1L << 20, budget / sketchBytes))
+    math.max(128L, math.min(1L << 20, budget / unionGadgetBytes))
   }
 
   /** Run `f` with ObjectHashAggregate's sort-based fallback threshold
@@ -420,10 +433,8 @@ object Algorithms {
   val ballBroadcastNodes = 240000L
 
   private def ballSizesBuild(undirectedEdges: DataFrame,
+      nodes: DataFrame, bcast: Boolean, lgk: Int,
       maxDepth: Int): DataFrame = {
-    val nodes = undirectedEdges.select(col("a")).distinct()
-    val nNodes = nodes.count()
-    val bcast = nNodes <= ballBroadcastNodes
     // broadcast path: partition edges by the OUTPUT key `a`, so the
     // map-side join's result feeds groupBy(a) with no exchange at
     // all — the per-round cost is |E| local hash probes + unions
@@ -433,9 +444,18 @@ object Algorithms {
     val edges = undirectedEdges
       .unionByName(nodes.select(col("a"), col("a").as("b")))
       .repartition(if (bcast) col("a") else col("b")).localCheckpoint()
+    // sketch precision by graph size: lgk=10 (±3.3 %) while the
+    // state still broadcasts; lgk=8 (±6.5 %) on the shuffle path —
+    // HyperBall's own billion-node runs used 2^7-2^9 registers
+    // (Boldi & Vigna 2014 §4), and above the broadcast ceiling every
+    // edge row hauls a sketch per round, so register bytes ARE the
+    // round cost (4× smaller sketches AND 4× smaller union gadgets
+    // in the aggregation map; the 64× probe OOM'd on the latter).
+    // Spec-scale behavior (sparse-mode exactness on small graphs,
+    // the ≤15 % 3-hop pin) rides the unchanged lgk=10 path.
     // |ball_0| = 1 exactly (single-item sparse sketch)
     var state = nodes.select(col("a").as("node"))
-      .groupBy("node").agg(expr("hll_sketch_agg(node, 10)").as("sketch"))
+      .groupBy("node").agg(expr(s"hll_sketch_agg(node, $lgk)").as("sketch"))
       .withColumn("s0", lit(1.0))
     for (t <- 1 to maxDepth) {
       val carry = (0 until t).map(i => col(s"s$i"))
