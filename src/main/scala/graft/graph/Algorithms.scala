@@ -393,7 +393,20 @@ object Algorithms {
     val tasks = spark.conf.getOption("spark.executor.cores")
       .flatMap(c => scala.util.Try(c.toInt).toOption)
       .getOrElse(spark.sparkContext.defaultParallelism).max(1)
-    val budget = Runtime.getRuntime.maxMemory / 4 / tasks
+    // price RESIDENT storage into the budget: the agg map's buffers
+    // are untracked JVM objects, so the unified memory manager never
+    // sees their demand and never evicts cached blocks for them — a
+    // session that already holds memoized artifacts (adjacency,
+    // GraphX RDDs, checkpointed round frames) has that much less
+    // heap than maxMemory says. Measured: the 64× combined-heavies
+    // run OOM'd the 48 g JVM on a maxMemory-only budget after
+    // betweenness/LPA left ~tens of GB resident, while the identical
+    // solo build passed. The /8 floor keeps a minimal hash window
+    // (the fallback past it is spillable sort, correct either way).
+    val heap = Runtime.getRuntime.maxMemory
+    val resident = scala.util.Try(
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum).getOrElse(0L)
+    val budget = math.max(heap / 8, heap - resident) / 4 / tasks
     math.max(128L, math.min(1L << 20, budget / unionGadgetBytes))
   }
 
