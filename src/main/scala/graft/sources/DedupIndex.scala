@@ -62,15 +62,34 @@ object DedupIndex {
     * the verified pairs (a, b, j) — canonically a < b, exactly the
     * bulk pipeline's contract. The pairs frame is materialized
     * BEFORE the commit so a caller observing the result can't race
-    * the batch's own rows into its candidate set twice. */
+    * the batch's own rows into its candidate set twice.
+    *
+    * `segmentName` pins the segment's identity for REPLAYED batches
+    * (a streaming caller names segments by batch id): if the named
+    * directory already exists — committed or torn — it is deleted
+    * and rewritten, which is safe because a segment's content is a
+    * pure function of the batch, and necessary so a crash-recovery
+    * re-run converges instead of appending the batch's rows twice
+    * (the segment-log analogue of StreamingIngest's latest-wins
+    * upsert idempotence). */
   def update(spark: SparkSession, root: String, newDocs: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      numHashes: Int = 30, bands: Int = 6): UpdateResult = {
+      numHashes: Int = 30, bands: Int = 6,
+      segmentName: Option[String] = None): UpdateResult = {
     val meta = readOrInitMeta(spark, root,
       Meta(threshold, numHashes, bands))
     require(meta == Meta(threshold, numHashes, bands),
       s"index at $root was built with $meta; updates must match " +
         s"(got threshold=$threshold numHashes=$numHashes bands=$bands)")
+    // drop a replayed segment BEFORE the store is read, so the
+    // recomputed candidates see exactly the pre-batch store
+    segmentName.foreach { s =>
+      require(s.startsWith("seg-"), s"segment name must start with seg-: $s")
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val sp = new Path(root, s)
+      if (fs.exists(sp)) fs.delete(sp, true)
+    }
 
     val sigs = Dedup.signatures(newDocs, idCol, textCol, numHashes, bands)
     val newBands = sigs.select(col("id"), col("sz"),
@@ -126,8 +145,8 @@ object DedupIndex {
 
     // commit LAST: bands + sets land, then the root-level marker —
     // a crash before the marker leaves an ignored orphan directory
-    val seg = f"seg-${System.currentTimeMillis()}%013d-${
-      saveSeq.incrementAndGet()}%04d"
+    val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
+      saveSeq.incrementAndGet()}%04d")
     newBands.write.parquet(s"$root/$seg/bands")
     newSets.write.parquet(s"$root/$seg/sets")
     val fs = new Path(root).getFileSystem(

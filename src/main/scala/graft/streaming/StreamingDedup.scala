@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.DedupIndex
+
+/** Dedup-on-arrival as a STREAM: each micro-batch of documents is
+  * near-dup checked against everything ingested so far (via the
+  * [[DedupIndex]] segment store — new×store plus new×new candidates,
+  * never store×store), its verdicts are appended to a queryable
+  * pairs log, and the batch folds into the index. The streaming form
+  * of the reference's write-path index maintenance
+  * (egraph_detail_model's upsert + reindex per write — see
+  * models/egraph_detail_model.erl), composed with the MinHash/LSH
+  * family the batch pipeline uses.
+  *
+  * The streaming query itself is STATELESS (no watermark state, no
+  * mapGroupsWithState): all state lives in the store, so the query
+  * scales with batch size, not corpus history — the property that
+  * matters when "history" is 100 TB.
+  *
+  * Exactly-once under crash recovery: foreachBatch redelivers a
+  * batch whose offsets were not committed, so every on-disk artifact
+  * is keyed by BATCH ID — the index segment is `seg-batch-<id>`
+  * (DedupIndex deletes + rewrites a replayed segment before reading
+  * the store, so recomputation sees the pre-batch state), and the
+  * pairs log directory for the batch is overwritten, not appended.
+  * The pairs `_SUCCESS` marker is written LAST; its presence means
+  * segment + pairs both committed and the replay is skipped whole.
+  * Either way the store converges to exactly one copy of the batch.
+  *
+  * Layout (extends the [[DedupIndex]] root):
+  * {{{
+  *   root/
+  *     _meta.json, seg-batch-<id>/...   (the index, per DedupIndex)
+  *     pairs/seg-batch-<id>/            (a, b, j, batch_id parquet)
+  * }}}
+  */
+object StreamingDedup {
+
+  /** Start dedup-on-arrival over a document stream with columns
+    * (`idCol`, `textCol`). `availableNow` drains what's there then
+    * stops (the batch-test / catch-up-job trigger); otherwise the
+    * query runs continuously. */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, root: String, checkpoint: String,
+      numHashes: Int = 30, bands: Int = 6,
+      availableNow: Boolean = false): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, batchId, idCol, textCol, threshold, root,
+          numHashes, bands)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** One micro-batch: detect against the store, append the segment,
+    * publish the verdicts. Idempotent per (root, batchId) — see the
+    * object doc's crash-recovery contract. */
+  private[graft] def dedupBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, threshold: Double, root: String,
+      numHashes: Int, bands: Int): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val seg = f"seg-batch-$batchId%010d"
+    val pairsDir = new Path(root, s"pairs/$seg")
+    val fs = pairsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(pairsDir, "_SUCCESS"))) return
+    val res = DedupIndex.update(spark, root, batch, idCol, textCol,
+      threshold, numHashes, bands, segmentName = Some(seg))
+    res.pairs.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").parquet(pairsDir.toString)
+  }
+
+  /** Every near-dup verdict the stream has produced so far:
+    * (a, b, j, batch_id), canonically a < b, batch_id = the batch
+    * whose arrival created the pair. Uncommitted (torn) batch
+    * directories are invisible, same reader contract as the index
+    * segments. */
+  def currentPairs(spark: SparkSession, root: String): DataFrame = {
+    val p = new Path(root, "pairs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(p)) Array.empty[String]
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+        .map(_.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "a BIGINT, b BIGINT, j DOUBLE, batch_id BIGINT"))
+    else spark.read.parquet(dirs.toIndexedSeq: _*)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sources.DedupIndex
+import graft.streaming.StreamingDedup
+
+/** Dedup-on-arrival through the streaming surface: the pairs the
+  * stream accumulates equal the bulk pipeline over the same corpus,
+  * and a replayed micro-batch (foreachBatch's crash-recovery unit)
+  * leaves the store and the verdict log unchanged. */
+class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("streamed batches find exactly the bulk pipeline's pairs; " +
+      "batch replay is exactly-once on the store and the verdict log") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val third = rows.length / 3
+    val base = "/tmp/graft-test-streamdedup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"; val ckpt = s"$base/ckpt"
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    def drain(): Unit = {
+      val q = StreamingDedup.start(stream, "doc_id", "text",
+        threshold = 0.8, root, ckpt, availableNow = true)
+      q.awaitTermination()
+    }
+    // three arrivals across two separate query runs: pairs exist both
+    // inside and across these id ranges (~12% planted near-dups), and
+    // the second run must resume from the checkpoint, not reprocess
+    mem.addData(rows.take(third).toSeq)
+    drain()
+    mem.addData(rows.slice(third, 2 * third).toSeq)
+    mem.addData(rows.drop(2 * third).toSeq)
+    drain()
+
+    val found = pairSet(StreamingDedup.currentPairs(spark, root))
+    val bulk = pairSet(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    assert(bulk.nonEmpty, "corpus must contain near-dups for this test")
+    assert(found == bulk,
+      s"streamed != bulk: missing=${(bulk -- found).take(5)} " +
+        s"extra=${(found -- bulk).take(5)}")
+    // every doc indexed exactly once across the micro-batch segments
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length)
+
+    // crash-recovery replay: re-deliver the LAST batch by hand with
+    // the same batch id — the committed pairs marker short-circuits,
+    // leaving segments, index rows and verdicts bit-identical.
+    // (AvailableNow may coalesce addData groups, so the batch's true
+    // membership is read back from its own segment, not assumed.)
+    val segsBefore = DedupIndex.segments(spark, root)
+    val lastBatch = segsBefore.filter(_.startsWith("seg-batch-"))
+      .map(_.stripPrefix("seg-batch-").toLong).max
+    val lastIds = spark.read
+      .parquet(f"$root/seg-batch-$lastBatch%010d/sets")
+      .select("id").as[Long].collect().toSet
+    val lastRows = rows.filter(r => lastIds.contains(r._1))
+    val pairsBefore = StreamingDedup.currentPairs(spark, root).count()
+    StreamingDedup.dedupBatch(
+      lastRows.toSeq.toDF("doc_id", "text"), lastBatch,
+      "doc_id", "text", 0.8, root, 30, 6)
+    assert(DedupIndex.segments(spark, root) == segsBefore)
+    assert(StreamingDedup.currentPairs(spark, root).count() == pairsBefore)
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length)
+
+    // torn-batch replay: a segment that committed WITHOUT its pairs
+    // marker (crash between the two) must be rewritten, not doubled
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(f"$root/pairs/seg-batch-$lastBatch%010d"))
+    StreamingDedup.dedupBatch(
+      lastRows.toSeq.toDF("doc_id", "text"), lastBatch,
+      "doc_id", "text", 0.8, root, 30, 6)
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length,
+      "replay after a torn pairs write must not duplicate index rows")
+    assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
+      "verdict log must converge after torn-batch replay")
+  }
+}
