@@ -440,6 +440,14 @@ object LlmQueries {
         .orderBy("doc_id")
     },
 
+    "t_curate" -> { (s, d) =>
+      // FUSED one-pass curation: quality + Gopher gate + langid +
+      // split + exact-dup canonicalization in one scan + one shuffle
+      // (CurationSpec pins the plan shape and per-operator equality)
+      TextAnalysis.curate(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "t_normalize" -> { (s, d) =>
       // unicode normalization (native graft_nfc / graft_fold):
       // DECOMPOSED accents are synthesized deterministically
@@ -1529,6 +1537,61 @@ object LlmQueries {
          SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, score,
            CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
          FROM s ORDER BY doc_id""",
+    // the fused pass replays each component oracle's expressions
+    // verbatim (quality/gopher/langid/split/dedup_exact above), so a
+    // drift in any fused column localizes to its standalone twin
+    "t_curate" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+                    FROM documents),
+         f AS (SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp,
+           length(text) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round((length(text) - (len(toks) - 1))::DOUBLE / len(toks), 4)
+             AS avg_token_len,
+           round(len(list_filter(toks, x -> x IN
+             ('the','a','of','to','and','in','is','that')))::DOUBLE
+             / len(toks), 4) AS stopword_ratio,
+           round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+             / len(toks), 4) AS alpha_frac,
+           round(len(list_filter(toks,
+             x -> contains(x, '#') OR contains(x, '...')))::DOUBLE
+             / len(toks), 4) AS symbol_frac,
+           len(list_filter(toks, x -> x IN
+             ('the','a','of','to','and','in','is','that'))) AS stop_hits,
+           round(len(list_filter(toks, x -> x IN
+             ('der','die','das','und','in','ein','ist','zu')))::DOUBLE
+             / len(toks), 6) AS s_de,
+           round(len(list_filter(toks, x -> x IN
+             ('the','a','of','to','and','in','is','that')))::DOUBLE
+             / len(toks), 6) AS s_en,
+           round(len(list_filter(toks, x -> x IN
+             ('el','la','de','que','y','en','un','es')))::DOUBLE
+             / len(toks), 6) AS s_es,
+           round(len(list_filter(toks, x -> x IN
+             ('le','la','de','et','un','en','est','que')))::DOUBLE
+             / len(toks), 6) AS s_fr,
+           CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+                WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+           FROM t),
+         g AS (SELECT *,
+           min(doc_id) OVER (PARTITION BY fp) AS keeper,
+           count(*) OVER (PARTITION BY fp) AS n_copies,
+           CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           (n_tokens >= 50 AND n_tokens <= 100000
+            AND avg_token_len >= 3.0 AND avg_token_len <= 10.0
+            AND alpha_frac >= 0.8 AND symbol_frac <= 0.1
+            AND stop_hits >= 2) AS quality_keep
+           FROM f)
+         SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+           alpha_frac, symbol_frac, split, keeper, n_copies, pred_lang,
+           quality_keep,
+           (quality_keep AND pred_lang = 'en' AND doc_id = keeper) AS keep
+         FROM g ORDER BY doc_id""",
     "t_filter_rules" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
                     FROM documents),

@@ -165,13 +165,100 @@ object DedupIndex {
   def currentSets(spark: SparkSession, root: String): DataFrame =
     readSegments(spark, root, "sets", "id BIGINT, sh ARRAY<BIGINT>")
 
+  /** Committed, unshadowed segments. A compacted segment's `_sources`
+    * file names the segments it replaced; those stay EXCLUDED even if
+    * their directories still exist (a crash between the compaction
+    * commit and the source cleanup leaves them behind — shadowing
+    * makes that window invisible to readers instead of double-counted;
+    * [[vacuumShadowed]] reclaims them). */
   def segments(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("seg-")).sorted.toSeq
+    if (!fs.exists(p)) return Nil
+    val committed = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("seg-")).sorted.toSeq
       .filter(v => fs.exists(new Path(root, s"$v/_SUCCESS")))
+    val shadowed = committed.flatMap { v =>
+      val sp = new Path(root, s"$v/_sources")
+      if (!fs.exists(sp)) Nil
+      else {
+        val in = fs.open(sp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+      }
+    }.toSet
+    committed.filterNot(shadowed)
+  }
+
+  /** Merge every committed segment into ONE compacted segment — the
+    * janitorial pass the segment-log form requires at scale: a
+    * streaming writer ([[graft.streaming.StreamingDedup]]) commits one
+    * segment per micro-batch, and at 100 TB that is thousands of
+    * KB-scale parquet directories whose per-file open/footer cost
+    * dominates the store probe long before data volume does (same
+    * disease [[Compaction]] treats for plain tables). Semantics are
+    * preserved by construction: a document's band/set rows depend only
+    * on its own text, so unioning rows across segments and rewriting
+    * them into byte-targeted files changes file layout, never content.
+    *
+    * Crash-safe swap, matching the store's marker conventions: the
+    * merged bands/sets land in a fresh `seg-` dir, `_sources` (the
+    * replaced segment names) is written, then `_SUCCESS` LAST — the
+    * instant the marker exists the sources are shadowed (see
+    * [[segments]]), so readers never see a double-counted or partial
+    * store; source directories are deleted after the commit, and a
+    * crash inside that cleanup just leaves shadowed dirs for
+    * [[vacuumShadowed]]. Returns the new segment name, or None when
+    * there is nothing to merge. */
+  def compactSegments(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    val srcs = segments(spark, root)
+    if (srcs.size < 2) return None
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val seg = f"seg-${System.currentTimeMillis()}%013d-${
+      saveSeq.incrementAndGet()}%04d-compact"
+    for (table <- Seq("bands", "sets")) {
+      val paths = srcs.map(s => s"$root/$s/$table")
+      var bytes = 0L; var nFiles = 0L
+      for (p <- paths) {
+        val it = fs.listFiles(new Path(p), true)
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet")) {
+            nFiles += 1; bytes += f.getLen
+          }
+        }
+      }
+      val nOut = math.min(math.max(1L, nFiles),
+        math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
+      spark.read.parquet(paths: _*).repartition(nOut)
+        .write.mode("error").parquet(s"$root/$seg/$table")
+    }
+    val out = fs.create(new Path(root, s"$seg/_sources"), false)
+    try out.write(srcs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    srcs.foreach(s => fs.delete(new Path(root, s), true))
+    Some(seg)
+  }
+
+  /** Delete segment directories no reader can see: compaction sources
+    * a crashed cleanup left behind (committed but shadowed) and
+    * marker-less crash orphans. Readers are never affected; like
+    * every mutation here it assumes the store's single-maintenance-
+    * writer discipline (a concurrent update's not-yet-committed dir
+    * looks exactly like a crash orphan). */
+  def vacuumShadowed(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val live = segments(spark, root).toSet
+    val dead = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("seg-"))
+      .filterNot(live).toSeq.sorted
+    dead.foreach(s => fs.delete(new Path(root, s), true))
+    dead
   }
 
   private def readSegments(spark: SparkSession, root: String,

@@ -32,6 +32,13 @@ import graft.sources.DedupIndex
   * segment + pairs both committed and the replay is skipped whole.
   * Either way the store converges to exactly one copy of the batch.
   *
+  * The per-micro-batch segments this writer accumulates are exactly
+  * the many-small-segments tail [[DedupIndex.compactSegments]]
+  * exists for; run it while the stream is stopped or healthy — not
+  * in the window between a crash and its recovery, where a torn
+  * batch's committed segment could be folded away before the replay
+  * that expects to rewrite it.
+  *
   * Layout (extends the [[DedupIndex]] root):
   * {{{
   *   root/

@@ -248,6 +248,66 @@ object TextAnalysis {
     * comparison so the booleans are replayable cross-engine (a raw
     * double at the boundary could flip under reordered summation).
     * Entirely map-side — no shuffle, one scan, codegen'd. */
+  /** FUSED one-pass corpus curation — quality features + Gopher
+    * gate + language ID + deterministic split + exact-dup
+    * canonicalization in a single plan: ONE scan of the corpus and
+    * ONE shuffle (the dedup fingerprint window, carrying only the
+    * narrow feature row — the text column is dropped before the
+    * exchange). Running [[quality]], [[gopherRules]], [[langId]],
+    * [[assignSplit]] and `Dedup.exactGroups` separately costs four
+    * corpus scans plus a shuffle; at 100 TB the scans ARE the
+    * pipeline cost, so fusing them is not a convenience but the
+    * difference between one pass over object storage and five.
+    * Every output column is bit-identical to its standalone
+    * operator (pinned in CurationSpec): the token array is
+    * materialized once per row and every feature reads it.
+    *
+    * `keep` = Gopher rules pass ∧ predicted language is `lang` ∧
+    * the doc is its duplicate group's canonical (min-id) copy.
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minTokens: Int = 50,
+      maxTokens: Int = 100000): DataFrame = {
+    val toks = col("__toks")
+    val n = size(toks)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lg, words) =>
+      struct(round(countIn(toks, words).cast("double") / n, 6).as("score"),
+        lit(lg).as("lang"))
+    }
+    val feats = df
+      .select(col(idCol), col(textCol), wsTokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        graft.dedup.Dedup.bowFingerprint(col(textCol)).as("__fp"),
+        length(col(textCol)).as("n_chars"),
+        n.cast("long").as("n_tokens"),
+        round((length(col(textCol)) - (n - 1)).cast("double") / n, 4)
+          .as("avg_token_len"),
+        round(countIn(toks, stopwords("en")).cast("double") / n, 4)
+          .as("stopword_ratio"),
+        round(size(filter(toks, t => t.rlike("[A-Za-z]")))
+          .cast("double") / n, 4).as("alpha_frac"),
+        round(size(filter(toks, t => t.contains("#") || t.contains("...")))
+          .cast("double") / n, 4).as("symbol_frac"),
+        countIn(toks, stopwords("en")).cast("long").as("__stop_hits"),
+        greatest(scored: _*).as("__best"),
+        assignSplit(col(idCol)).as("split"))
+    // the only exchange: hash-partition the NARROW feature rows by
+    // content fingerprint; min/count need no ordered frame
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    feats
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("pred_lang", col("__best").getField("lang"))
+      .withColumn("quality_keep",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+          col("avg_token_len") >= 3.0 && col("avg_token_len") <= 10.0 &&
+          col("alpha_frac") >= 0.8 && col("symbol_frac") <= 0.1 &&
+          col("__stop_hits") >= 2L)
+      .withColumn("keep", col("quality_keep") &&
+        col("pred_lang") === lang && col(idCol) === col("keeper"))
+      .drop("__fp", "__stop_hits", "__best")
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
     val toks = col("__toks")

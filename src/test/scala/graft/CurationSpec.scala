@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** The fused one-pass curation operator: every output column equals
+  * its standalone operator bit-for-bit, and the fusion claim is a
+  * plan property — one corpus scan, one exchange — not prose. */
+class CurationSpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val docs =
+    Tables.documents(spark, sfDir).select("doc_id", "text").localCheckpoint()
+  private lazy val fused =
+    TextAnalysis.curate(docs, "doc_id", "text").localCheckpoint()
+
+  private def keyed(df: org.apache.spark.sql.DataFrame,
+      cols: String*): Map[Long, Seq[Any]] =
+    df.select(col("doc_id") +: cols.map(col): _*).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+
+  test("fused quality features equal TextAnalysis.quality") {
+    val want = keyed(TextAnalysis.quality(docs, "doc_id", "text"),
+      "n_chars", "n_tokens", "avg_token_len", "stopword_ratio")
+    val got = keyed(fused.withColumn("n_tokens", col("n_tokens").cast("int")),
+      "n_chars", "n_tokens", "avg_token_len", "stopword_ratio")
+    assert(got == want)
+  }
+
+  test("fused gate equals gopherRules.keep; langid and split equal theirs") {
+    val gopher = keyed(TextAnalysis.gopherRules(docs, "doc_id", "text"), "keep")
+    assert(keyed(fused, "quality_keep") == gopher)
+    val lang = keyed(TextAnalysis.langId(docs, "doc_id", "text"), "pred_lang")
+    assert(keyed(fused, "pred_lang") == lang)
+    val split = keyed(docs.select(col("doc_id"),
+      TextAnalysis.assignSplit(col("doc_id")).as("split")), "split")
+    assert(keyed(fused, "split") == split)
+  }
+
+  test("fused dedup columns equal exactGroups; keep composes the three") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val withFp = docs.select(col("doc_id"),
+        Dedup.bowFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fused.select("doc_id", "keeper", "n_copies").collect().foreach {
+      case Row(id: Long, keeper: Long, n: Long) =>
+        val (nc, kp) = (groups(withFp(id))._1, groups(withFp(id))._2)
+        assert(n == nc && keeper == kp, s"doc $id")
+    }
+    fused.select("doc_id", "quality_keep", "pred_lang", "keeper", "keep")
+      .collect().foreach { case Row(id: Long, q: Boolean, l: String,
+          kp: Long, k: Boolean) =>
+        assert(k == (q && l == "en" && id == kp), s"doc $id")
+      }
+    // the gate keeps a nonempty, strict subset at this corpus
+    val kept = fused.filter(col("keep")).count()
+    assert(kept > 0 && kept < fused.count())
+  }
+
+  test("the fusion IS the plan: one corpus scan, one exchange") {
+    val p = TextAnalysis.curate(
+        Tables.documents(spark, sfDir).select("doc_id", "text"),
+        "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    // while the naive composition of the same five operators scans
+    // the corpus five times (the cost fusing exists to remove)
+    val naive = TextAnalysis.quality(
+        Tables.documents(spark, sfDir), "doc_id", "text")
+      .join(TextAnalysis.langId(
+        Tables.documents(spark, sfDir), "doc_id", "text"), "doc_id")
+      .join(TextAnalysis.gopherRules(
+          Tables.documents(spark, sfDir), "doc_id", "text")
+        .select("doc_id", "keep"), "doc_id")
+      .join(Tables.documents(spark, sfDir).select(col("doc_id"),
+        Dedup.bowFingerprint(col("text")).as("fp")), "doc_id")
+      .join(Dedup.exactGroups(
+        Tables.documents(spark, sfDir), "doc_id", "text"), "fp")
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(naive).size == 5)
+  }
+}

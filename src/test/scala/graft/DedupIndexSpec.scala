@@ -58,6 +58,83 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
     assert(DedupIndex.currentSets(spark, root).count() == committed)
   }
 
+  test("segment compaction: content identical, fewer files, detection " +
+      "unchanged, crashed source-cleanup invisible then vacuumable") {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val root = Files.createTempDirectory("dedup-index-compact").toString
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(): Int = {
+      val it = fs.listFiles(new Path(root), true); var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    // a streaming-shaped store: many tiny segments (one per batch)
+    val probe = docs.filter(col("doc_id") >= 150)
+    (0 until 5).foreach { i =>
+      DedupIndex.update(spark, root,
+        docs.filter(col("doc_id") % 5 === i && col("doc_id") < 150),
+        "doc_id", "text", threshold = 0.8)
+    }
+    val bandsBefore = DedupIndex.currentBands(spark, root)
+      .collect().map(_.toSeq).toSet
+    val setsBefore = DedupIndex.currentSets(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val filesBefore = parquetFiles()
+
+    val seg = DedupIndex.compactSegments(spark, root)
+    assert(seg.nonEmpty)
+    assert(DedupIndex.segments(spark, root) == Seq(seg.get),
+      "compacted store must expose exactly the merged segment")
+    assert(DedupIndex.currentBands(spark, root)
+      .collect().map(_.toSeq).toSet == bandsBefore)
+    assert(DedupIndex.currentSets(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      == setsBefore)
+    assert(parquetFiles() < filesBefore,
+      s"compaction must shrink the file count (was $filesBefore)")
+    // detection over the compacted store == over an uncompacted twin
+    val twin = Files.createTempDirectory("dedup-index-twin").toString
+    (0 until 5).foreach { i =>
+      DedupIndex.update(spark, twin,
+        docs.filter(col("doc_id") % 5 === i && col("doc_id") < 150),
+        "doc_id", "text", threshold = 0.8)
+    }
+    val pc = pairSet(DedupIndex.update(spark, root, probe,
+      "doc_id", "text", threshold = 0.8).pairs)
+    val pu = pairSet(DedupIndex.update(spark, twin, probe,
+      "doc_id", "text", threshold = 0.8).pairs)
+    assert(pc.nonEmpty && pc == pu,
+      "probe batch must find identical pairs on compacted vs raw store")
+
+    // crashed cleanup: a committed source dir that compaction failed
+    // to delete is SHADOWED (readers unaffected), then vacuumable
+    val before = DedupIndex.currentSets(spark, root).count()
+    val relic = "seg-0000000000000-0000"
+    DedupIndex.currentSets(spark, root).limit(3)
+      .write.parquet(s"$root/$relic/sets")
+    DedupIndex.currentBands(spark, root).limit(3)
+      .write.parquet(s"$root/$relic/bands")
+    fs.create(new Path(root, s"$relic/_SUCCESS"), true).close()
+    val cur = {
+      val in = fs.open(new Path(root, s"${seg.get}/_sources"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = fs.create(new Path(root, s"${seg.get}/_sources"), true)
+    try out.write(s"$cur\n$relic".getBytes("UTF-8")) finally out.close()
+    assert(DedupIndex.currentSets(spark, root).count() == before,
+      "shadowed relic must be invisible to readers")
+    val dead = DedupIndex.vacuumShadowed(spark, root)
+    assert(dead.contains(relic))
+    assert(!fs.exists(new Path(root, relic)))
+    assert(DedupIndex.currentSets(spark, root).count() == before)
+  }
+
   test("geometry mismatch fails loudly instead of degrading recall") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").filter(col("doc_id") < 30)
