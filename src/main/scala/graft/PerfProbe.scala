@@ -1,11 +1,19 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Scratch perf probe (not part of the library surface). */
+/** Scratch perf probe (not part of the library surface).
+  *
+  * Current experiment: DedupIndex per-batch cost vs store size. The
+  * 8× probe corpus is 8 replicas with DISJOINT token spaces, so
+  * ingesting one replica per batch grows the store 8× while keeping
+  * cross-batch candidates ≈ 0 and same-batch output constant — any
+  * per-batch cost growth would be store-size overhead, which the
+  * O(batch) claim says must not exist. */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft8x")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -16,25 +24,21 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[A](label: String)(f: => A): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("dedupix-probe")
+      .toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").localCheckpoint()
+    val off = 10000000L
+    for (k <- 0 until 8) {
+      val batch = docs.filter(
+        col("doc_id") >= k * off && col("doc_id") < (k + 1) * off)
       val t0 = System.nanoTime()
-      f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    val und = graph.GraphBuilder.undirectedFor(spark, sfDir)
-    println(s"edges=${und.count()}")
-    for (r <- 1 to 2) {
-      time(s"r$r g_diameter") {
-        SparkEntry.queries("g_diameter")(spark, sfDir).count()
-      }
-      // force FULL materialization (collect all columns) so count
-      // pruning cannot hide the sketch cost — the Verify-path cost
-      time(s"r$r neighborhoodSizes FULL") {
-        graph.Algorithms.neighborhoodSizes(und, 3).collect()
-      }
-      time(s"r$r eccentricity FULL") {
-        graph.Algorithms.eccentricity(und, 4).collect()
-      }
+      val res = sources.DedupIndex.update(spark, root, batch,
+        "doc_id", "text", threshold = 0.8)
+      val nPairs = res.pairs.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val store = sources.DedupIndex.currentSets(spark, root).count()
+      println(f"batch $k: $dt%6.2f s  pairs=$nPairs%5d  store=$store%7d")
     }
   }
 }
