@@ -851,11 +851,21 @@ object LlmQueries {
            GROUP BY l, r)""",
         s"""b$k AS MATERIALIZED (
            SELECT l, r, cnt FROM c$k ORDER BY cnt DESC, l, r LIMIT 1)""",
+        // bx carries EXACTLY one row even when merges exhaust before
+        // step $bpeMerges (b empty would cross-join w to zero rows and
+        // silently empty the whole remaining chain): the chr(1)
+        // sentinel can never appear as a symbol, so its replace is a
+        // no-op carry — the same degrade-to-identity the trainer has
+        s"""bx$k AS MATERIALIZED (
+           SELECT l, r FROM b$k
+           UNION ALL
+           SELECT chr(1), chr(1)
+           WHERE NOT EXISTS (SELECT 1 FROM b$k))""",
         s"""w$k AS MATERIALIZED (
            SELECT w, n, replace(s,
              chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3),
              chr(2) || b.l || b.r || chr(3)) AS s
-           FROM w$p, b$k b)""")
+           FROM w$p, bx$k b)""")
     }
     "WITH " + (head ++ stages).mkString(",\n")
   }

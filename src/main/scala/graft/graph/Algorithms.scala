@@ -403,9 +403,22 @@ object Algorithms {
     // betweenness/LPA left ~tens of GB resident, while the identical
     // solo build passed. The /8 floor keeps a minimal hash window
     // (the fallback past it is spillable sort, correct either way).
-    val heap = Runtime.getRuntime.maxMemory
+    // the budget must be priced against the JVM the agg map LIVES in:
+    // in local mode that is this JVM (Runtime heap), but on a cluster
+    // it is an EXECUTOR heap — driver maxMemory says nothing about it
+    // (a 64 g driver over 8 g executors would overshoot 8×, the exact
+    // OOM class this cap exists to prevent). getRDDStorageInfo sums
+    // cached bytes across ALL executors, so divide by executor count
+    // for the per-JVM resident share before subtracting.
+    val sc = spark.sparkContext
+    val nExec = math.max(1,
+      sc.statusTracker.getExecutorInfos.length - (if (sc.isLocal) 0 else 1))
+    val heap =
+      if (sc.isLocal) Runtime.getRuntime.maxMemory
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.getOption("spark.executor.memory").getOrElse("1g"))
     val resident = scala.util.Try(
-      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum).getOrElse(0L)
+      sc.getRDDStorageInfo.map(_.memSize).sum).getOrElse(0L) / nExec
     val budget = math.max(heap / 8, heap - resident) / 4 / tasks
     math.max(128L, math.min(1L << 20, budget / unionGadgetBytes))
   }

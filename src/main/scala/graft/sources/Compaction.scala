@@ -36,16 +36,25 @@ object Compaction {
   /** One recursive listing; counts only data files (parquet parts),
     * not markers/checksums. */
   def plan(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionPlan =
+    planAll(spark, Seq(dir), targetBytes)
+
+  /** Multi-directory form — one plan over the union of the sources
+    * (what a segment-log merge like `DedupIndex.compactSegments`
+    * needs; the byte-sizing policy must live in exactly one place). */
+  def planAll(spark: SparkSession, dirs: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024): CompactionPlan = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
     var n = 0L; var bytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        n += 1; bytes += f.getLen
+    for (dir <- dirs) {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          n += 1; bytes += f.getLen
+        }
       }
     }
     // capped at the source file count: compaction MERGES small files;

@@ -91,7 +91,24 @@ object DedupIndex {
       if (fs.exists(sp)) fs.delete(sp, true)
     }
 
-    val sigs = Dedup.signatures(newDocs, idCol, textCol, numHashes, bands)
+    // ONE listing per update (segments() re-reads every _sources
+    // marker; on object storage with thousands of streaming segments
+    // that metadata walk must not run three times per micro-batch)
+    val segs = segments(spark, root)
+
+    val rawSigs = Dedup.signatures(newDocs, idCol, textCol, numHashes, bands)
+    // an id already in the store is dropped, not re-indexed: the
+    // segment log cannot retract the old rows, so re-ingesting would
+    // permanently double the id's bands/sets (every future batch
+    // fans out against both copies) and emit degenerate (id,id)
+    // self-pairs from the candidate join. First write wins — replays
+    // and at-least-once sources converge; a CHANGED text under the
+    // same id is an upsert, which is [[graft.sources.DocumentIngest]]
+    // territory, not an append-only dedup log's
+    val sigs = (if (segs.isEmpty) rawSigs
+      else rawSigs.join(readSegments(spark, root, segs, "sets",
+          "id BIGINT, sh ARRAY<BIGINT>").select(col("id")),
+        Seq("id"), "left_anti")).localCheckpoint()
     val newBands = sigs.select(col("id"), col("sz"),
       posexplode(col("ba")).as(Seq("band", "bucket")))
     val newSets = sigs.select(col("id"), col("sh"))
@@ -100,11 +117,11 @@ object DedupIndex {
     // so non-bigint id columns work on the first update too (the
     // public currentBands/currentSets readers default to the
     // documents-table shape)
-    val fresh = segments(spark, root).isEmpty
-    val storeBands = if (fresh) newBands.limit(0)
-      else currentBands(spark, root)
-    val storeSets = if (fresh) newSets.limit(0)
-      else currentSets(spark, root)
+    val storeBands = if (segs.isEmpty) newBands.limit(0)
+      else readSegments(spark, root, segs, "bands",
+        "band INT, bucket BIGINT, id BIGINT, sz INT")
+    val storeSets = if (segs.isEmpty) newSets.limit(0)
+      else readSegments(spark, root, segs, "sets", "id BIGINT, sh ARRAY<BIGINT>")
 
     // size-ratio guard (J ≥ t ⇒ min/max set sizes ≥ t) kills
     // impossible pairs before verification, same as the bulk path
@@ -158,12 +175,13 @@ object DedupIndex {
   /** All committed band rows (band, bucket, id, sz); empty when the
     * store is new. */
   def currentBands(spark: SparkSession, root: String): DataFrame =
-    readSegments(spark, root, "bands",
+    readSegments(spark, root, segments(spark, root), "bands",
       "band INT, bucket BIGINT, id BIGINT, sz INT")
 
   /** All committed shingle sets (id, sh); empty when the store is new. */
   def currentSets(spark: SparkSession, root: String): DataFrame =
-    readSegments(spark, root, "sets", "id BIGINT, sh ARRAY<BIGINT>")
+    readSegments(spark, root, segments(spark, root), "sets",
+      "id BIGINT, sh ARRAY<BIGINT>")
 
   /** Committed, unshadowed segments. A compacted segment's `_sources`
     * file names the segments it replaced; those stay EXCLUDED even if
@@ -221,19 +239,8 @@ object DedupIndex {
       saveSeq.incrementAndGet()}%04d-compact"
     for (table <- Seq("bands", "sets")) {
       val paths = srcs.map(s => s"$root/$s/$table")
-      var bytes = 0L; var nFiles = 0L
-      for (p <- paths) {
-        val it = fs.listFiles(new Path(p), true)
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.endsWith(".parquet")) {
-            nFiles += 1; bytes += f.getLen
-          }
-        }
-      }
-      val nOut = math.min(math.max(1L, nFiles),
-        math.max(1L, (bytes + targetBytes - 1) / targetBytes)).toInt
-      spark.read.parquet(paths: _*).repartition(nOut)
+      val pl = Compaction.planAll(spark, paths, targetBytes)
+      spark.read.parquet(paths: _*).repartition(pl.nOut)
         .write.mode("error").parquet(s"$root/$seg/$table")
     }
     val out = fs.create(new Path(root, s"$seg/_sources"), false)
@@ -262,13 +269,13 @@ object DedupIndex {
   }
 
   private def readSegments(spark: SparkSession, root: String,
-      table: String, emptyDdl: String): DataFrame =
-    segments(spark, root) match {
+      segs: Seq[String], table: String, emptyDdl: String): DataFrame =
+    segs match {
       case Nil => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
-      case segs => spark.read.parquet(
-        segs.map(s => s"$root/$s/$table"): _*)
+      case ss => spark.read.parquet(
+        ss.map(s => s"$root/$s/$table"): _*)
     }
 
   private def readOrInitMeta(spark: SparkSession, root: String,
@@ -281,8 +288,11 @@ object DedupIndex {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       // three numeric fields, fixed order (written below) — a full
-      // JSON parser dependency is not warranted for a marker file
-      val m = """\{"threshold":([0-9.]+),"numHashes":(\d+),"bands":(\d+)\}"""
+      // JSON parser dependency is not warranted for a marker file.
+      // The threshold charset admits scientific notation: Scala
+      // renders e.g. 1.0E-4 in exponent form, and a store created
+      // with such a threshold must stay readable
+      val m = """\{"threshold":([0-9.eE+-]+),"numHashes":(\d+),"bands":(\d+)\}"""
         .r.findFirstMatchIn(txt.trim)
         .getOrElse(throw new IllegalStateException(
           s"unreadable dedup-index meta at $mp: $txt"))

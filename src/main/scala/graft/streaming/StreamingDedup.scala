@@ -28,9 +28,14 @@ import graft.sources.DedupIndex
   * (DedupIndex deletes + rewrites a replayed segment before reading
   * the store, so recomputation sees the pre-batch state), and the
   * pairs log directory for the batch is overwritten, not appended.
-  * The pairs `_SUCCESS` marker is written LAST; its presence means
-  * segment + pairs both committed and the replay is skipped whole.
-  * Either way the store converges to exactly one copy of the batch.
+  * The pairs `_COMMITTED` marker is written LAST — by THIS code, not
+  * Spark's job committer, because the implicit job-level `_SUCCESS`
+  * is absent under `mapreduce.fileoutputcommitter.marksuccessfuljobs
+  * =false` (a common object-store setting) and a commit protocol
+  * must not hinge on a marker someone else may turn off. Its
+  * presence means segment + pairs both committed and the replay is
+  * skipped whole. Either way the store converges to exactly one
+  * copy of the batch.
   *
   * The per-micro-batch segments this writer accumulates are exactly
   * the many-small-segments tail [[DedupIndex.compactSegments]]
@@ -78,11 +83,12 @@ object StreamingDedup {
     val seg = f"seg-batch-$batchId%010d"
     val pairsDir = new Path(root, s"pairs/$seg")
     val fs = pairsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(pairsDir, "_SUCCESS"))) return
+    if (fs.exists(new Path(pairsDir, "_COMMITTED"))) return
     val res = DedupIndex.update(spark, root, batch, idCol, textCol,
       threshold, numHashes, bands, segmentName = Some(seg))
     res.pairs.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").parquet(pairsDir.toString)
+    fs.create(new Path(pairsDir, "_COMMITTED"), true).close()
   }
 
   /** Every near-dup verdict the stream has produced so far:
@@ -96,7 +102,7 @@ object StreamingDedup {
     val dirs =
       if (!fs.exists(p)) Array.empty[String]
       else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filter(d => fs.exists(new Path(d, "_SUCCESS")))
+        .filter(d => fs.exists(new Path(d, "_COMMITTED")))
         .map(_.toString)
     if (dirs.isEmpty)
       spark.createDataFrame(

@@ -135,6 +135,32 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
     assert(DedupIndex.currentSets(spark, root).count() == before)
   }
 
+  test("re-ingesting an already-indexed id is dropped: no duplicate " +
+      "store rows, no (id,id) self-pairs, first write wins") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val root = Files.createTempDirectory("dedup-index-reingest").toString
+    val first = docs.filter(col("doc_id") < 80)
+    DedupIndex.update(spark, root, first, "doc_id", "text", threshold = 0.8)
+    // second batch overlaps the first (an at-least-once source
+    // re-delivering) and adds genuinely new docs
+    val second = docs.filter(col("doc_id") >= 40 && col("doc_id") < 120)
+    val res = DedupIndex.update(spark, root, second, "doc_id", "text",
+      threshold = 0.8)
+    assert(DedupIndex.currentSets(spark, root).count() ==
+      docs.filter(col("doc_id") < 120).count(),
+      "overlapping ids must not duplicate store rows")
+    assert(res.pairs.filter(col("a") === col("b")).count() == 0,
+      "re-ingested ids must not emit self-pairs")
+    // detection is unharmed: the full incremental pair set still
+    // equals the bulk pipeline over the distinct corpus
+    val bulk = pairSet(Dedup.minhashNearDups(
+      docs.filter(col("doc_id") < 120), "doc_id", "text", threshold = 0.8))
+    val firstPairs = pairSet(Dedup.minhashNearDups(
+      first, "doc_id", "text", threshold = 0.8))
+    assert(firstPairs.union(pairSet(res.pairs)) == bulk)
+  }
+
   test("geometry mismatch fails loudly instead of degrading recall") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").filter(col("doc_id") < 30)
