@@ -94,21 +94,70 @@ object StreamingDedup {
   /** Every near-dup verdict the stream has produced so far:
     * (a, b, j, batch_id), canonically a < b, batch_id = the batch
     * whose arrival created the pair. Uncommitted (torn) batch
-    * directories are invisible, same reader contract as the index
+    * directories are invisible, and so are directories shadowed by a
+    * [[compactPairs]] merge — same reader contract as the index
     * segments. */
   def currentPairs(spark: SparkSession, root: String): DataFrame = {
     val p = new Path(root, "pairs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(p)) Array.empty[String]
-      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-        .filter(d => fs.exists(new Path(d, "_COMMITTED")))
-        .map(_.toString)
+    val dirs = committedPairDirs(fs, p)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "a BIGINT, b BIGINT, j DOUBLE, batch_id BIGINT"))
-    else spark.read.parquet(dirs.toIndexedSeq: _*)
+    else spark.read.parquet(dirs.map(d => new Path(p, d).toString): _*)
   }
+
+  /** Committed, unshadowed pairs dir names under root/pairs. */
+  private def committedPairDirs(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Seq[String] = {
+    if (!fs.exists(p)) return Nil
+    val committed = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+      .filter(d => fs.exists(new Path(p, s"$d/_COMMITTED")))
+    val shadowed = committed.flatMap { d =>
+      val sp = new Path(p, s"$d/_sources")
+      if (!fs.exists(sp)) Nil
+      else {
+        val in = fs.open(sp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+      }
+    }.toSet
+    committed.filterNot(shadowed)
+  }
+
+  /** Merge every committed pairs directory into one — the verdict
+    * log accumulates one directory per micro-batch exactly like the
+    * index accumulates segments, and pays the same many-small-files
+    * read tax. Same crash-safe protocol as
+    * [[graft.sources.DedupIndex.compactSegments]]: merged parquet +
+    * `_sources` land first, the `_COMMITTED` marker last (the
+    * instant it exists the sources are shadowed), sources deleted
+    * after; and the same operational caveat — run while the stream
+    * is healthy or stopped, not between a crash and its recovery. */
+  def compactPairs(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    val p = new Path(root, "pairs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcs = committedPairDirs(fs, p)
+    if (srcs.size < 2) return None
+    // timestamp + monotonic sequence, the GraphStore convention:
+    // same-millisecond safe, clock-step-back safe
+    val seg = f"compact-${System.currentTimeMillis()}%013d-${
+      compactSeq.incrementAndGet()}%04d"
+    val paths = srcs.map(d => new Path(p, d).toString)
+    val pl = graft.sources.Compaction.planAll(spark, paths, targetBytes)
+    spark.read.parquet(paths: _*).repartition(pl.nOut)
+      .write.mode("error").parquet(new Path(p, seg).toString)
+    val out = fs.create(new Path(p, s"$seg/_sources"), false)
+    try out.write(srcs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    fs.create(new Path(p, s"$seg/_COMMITTED"), true).close()
+    srcs.foreach(d => fs.delete(new Path(p, d), true))
+    Some(seg)
+  }
+
+  private val compactSeq = new java.util.concurrent.atomic.AtomicLong()
 }

@@ -87,5 +87,16 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
       "replay after a torn pairs write must not duplicate index rows")
     assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
       "verdict log must converge after torn-batch replay")
+
+    // pairs-log compaction: one merged dir, verdicts identical, and
+    // a second compaction has nothing to merge
+    val rowsBefore = StreamingDedup.currentPairs(spark, root)
+      .collect().map(_.toSeq).toSet
+    assert(StreamingDedup.compactPairs(spark, root).nonEmpty)
+    assert(StreamingDedup.currentPairs(spark, root)
+      .collect().map(_.toSeq).toSet == rowsBefore,
+      "compaction must not change the verdict log's content")
+    assert(StreamingDedup.compactPairs(spark, root).isEmpty,
+      "a single-dir log has nothing to compact")
   }
 }
