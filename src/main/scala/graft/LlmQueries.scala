@@ -513,6 +513,15 @@ object LlmQueries {
         .orderBy("source", "doc_id")
     },
 
+    "t_shards" -> { (s, d) =>
+      // trainer-shard manifest: content-independent md5 assignment,
+      // one scan + one 32-group aggregate (see Packing.shardAssign /
+      // writeShards for the partitioned-write half)
+      Packing.shardStats(Tables.documents(s, d), "doc_id", "text",
+          nShards = 32)
+        .orderBy("shard")
+    },
+
     "s_hop_window" -> { (s, d) =>
       EventStreams.hoppingWindowAggBatch(Tables.events(s, d))
         .orderBy("window_start", "event_type")
@@ -1757,6 +1766,13 @@ object LlmQueries {
            FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
          SELECT source, doc_id, n_toks, bin FROM r
          ORDER BY source, doc_id""",
+    "t_shards" ->
+      """SELECT ('0x' || substring(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 32
+           AS shard,
+         count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM documents GROUP BY shard ORDER BY shard""",
     "s_hop_window" ->
       """WITH e AS (SELECT event_type, value,
            ((epoch_ns(ts) // 1000) // 900000000) * 900000000 AS b_us

@@ -51,4 +51,46 @@ object Packing {
       }
       .toDF(groupCol, idCol, "n_toks", "bin")
   }
+
+  /** Deterministic trainer-shard assignment: first 24 md5 bits of
+    * the id, mod `nShards`. Content-independent and engine-replayable
+    * (same convention as `TextAnalysis.assignSplit`): a document's
+    * shard never changes as the corpus grows, any engine can
+    * recompute it, and md5's uniformity balances shards to within
+    * sampling noise with no scan of the data. */
+  def shardAssign(idCol: org.apache.spark.sql.Column,
+      nShards: Int): org.apache.spark.sql.Column = {
+    require(nShards > 0 && nShards <= (1 << 24),
+      s"nShards must be in [1, 2^24]: $nShards")
+    conv(substring(md5(idCol.cast("string")), 1, 6), 16, 10)
+      .cast("long") % nShards
+  }
+
+  /** Per-shard manifest row: (shard, n_docs, n_tokens, n_chars) —
+    * what a training job reads to plan its data-parallel split. One
+    * scan, one nShards-group aggregate (partial map-side). */
+  def shardStats(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame =
+    docs.select(shardAssign(col(idCol), nShards).as("shard"),
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long").as("n_toks"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+
+  /** Write the corpus as `shard=<k>/` parquet partitions plus a
+    * `_manifest/` stats table. `repartition(shard)` first so each
+    * shard is written by the task that owns it — without it every
+    * task opens a file in every shard dir and a 1000-task write
+    * creates nShards×1000 small files (the disease [[graft.sources
+    * .Compaction]] exists to cure; better not to catch it). */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, outDir: String): Unit = {
+    val sharded = docs
+      .withColumn("shard", shardAssign(col(idCol), nShards))
+    sharded.repartition(col("shard"))
+      .write.mode("error").partitionBy("shard").parquet(outDir)
+    shardStats(docs, idCol, textCol, nShards)
+      .coalesce(1).write.mode("error").parquet(s"$outDir/_manifest")
+  }
 }

@@ -66,6 +66,38 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(gaps.count() == 0)
   }
 
+  test("shard assignment is deterministic, total-preserving, and the " +
+      "partitioned write round-trips with a matching manifest") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val stats = Packing.shardStats(docs, "doc_id", "text", nShards = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every shard populated; totals preserved; recompute identical
+    assert(stats.keySet == (0L until 8L).toSet)
+    assert(stats.values.map(_._1).sum == docs.count())
+    val again = Packing.shardStats(docs, "doc_id", "text", nShards = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == stats)
+
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    Packing.writeShards(docs, "doc_id", "text", nShards = 8, out)
+    // partition pruning: one shard dir read touches only its rows
+    val s3 = spark.read.parquet(out).filter(col("shard") === 3)
+    assert(s3.count() == stats(3L)._1)
+    assert(s3.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(shard"), "prune on shard")
+    // round-trip: union of shards == corpus; manifest == stats
+    assert(spark.read.parquet(out).count() == docs.count())
+    val manifest = spark.read.parquet(s"$out/_manifest")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(manifest == stats)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("adamic-adar scores the strongly co-linked pair highest and excludes adjacent pairs") {
     import spark.implicits._
     // x and y share hubs h1, h2; x and z share only h1; y–z adjacent
