@@ -522,6 +522,12 @@ object LlmQueries {
         .orderBy("shard")
     },
 
+    "t_drift" -> { (s, d) =>
+      // train-vs-val token-distribution drift, top-200 tokens:
+      // smoothed rate ratio, no logs — bit-exact cross-engine
+      TextAnalysis.tokenDrift(Tables.documents(s, d), "doc_id", "text")
+    },
+
     "s_hop_window" -> { (s, d) =>
       EventStreams.hoppingWindowAggBatch(Tables.events(s, d))
         .orderBy("window_start", "event_type")
@@ -1773,6 +1779,34 @@ object LlmQueries {
          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
          CAST(sum(length(text)) AS BIGINT) AS n_chars
          FROM documents GROUP BY shard ORDER BY shard""",
+    // ratio divides the ROUNDED rates (both engines round first) so
+    // the 4-dp quotient can't diverge in the last ulp
+    "t_drift" ->
+      """WITH t AS (SELECT
+           CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+                WHEN substring(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         c AS (SELECT token,
+           CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val
+           FROM t WHERE split <> 'test' GROUP BY token),
+         tot AS (SELECT sum(n_train) AS tot_train, sum(n_val) AS tot_val
+                 FROM c),
+         top AS (SELECT * FROM c
+                 ORDER BY (n_train + n_val) DESC, token LIMIT 200),
+         r AS (SELECT token, n_train, n_val,
+           round((n_train + 1)::DOUBLE / (tot_train + 200), 6) AS p_train,
+           round((n_val + 1)::DOUBLE / (tot_val + 200), 6) AS p_val
+           FROM top, tot)
+         SELECT token, n_train, n_val, p_train, p_val,
+           round(p_train / p_val, 4) AS ratio,
+           (round(p_train / p_val, 4) >= 2.0
+            OR round(p_train / p_val, 4) <= 0.5) AS drifted
+         FROM r ORDER BY token""",
     "s_hop_window" ->
       """WITH e AS (SELECT event_type, value,
            ((epoch_ns(ts) // 1000) // 900000000) * 900000000 AS b_us

@@ -248,6 +248,42 @@ object TextAnalysis {
     * comparison so the booleans are replayable cross-engine (a raw
     * double at the boundary could flip under reordered summation).
     * Entirely map-side — no shuffle, one scan, codegen'd. */
+  /** Token-distribution drift between the train and val splits —
+    * the pre-training check that a corpus refresh (or a buggy
+    * curation change) did not shift what the model will see vs what
+    * it is evaluated on. Per top-`topK` token: add-one-smoothed
+    * rates on each side and their ratio; `drifted` flags tokens
+    * whose rate moved by ≥ `ratioThreshold` either way. All
+    * integer-count + rounded-division arithmetic — no logs — so the
+    * result replays bit-exact in any engine. One explode + one
+    * token-group aggregate (partial map-side) + a broadcast totals
+    * row; top-K via TakeOrderedAndProject, never a full sort. */
+  def tokenDrift(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 200, ratioThreshold: Double = 2.0): DataFrame = {
+    val toks = df.select(assignSplit(col(idCol)).as("split"),
+        explode(wsTokens(col(textCol))).as("token"))
+      .filter(col("split") =!= "test")
+    val counts = toks.groupBy("token").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val totals = counts.agg(sum("n_train").as("tot_train"),
+      sum("n_val").as("tot_val"))
+    val top = counts
+      .orderBy((col("n_train") + col("n_val")).desc, col("token"))
+      .limit(topK)
+    val p = round((col("n_train") + 1).cast("double") /
+      (col("tot_train") + topK), 6)
+    val q = round((col("n_val") + 1).cast("double") /
+      (col("tot_val") + topK), 6)
+    top.crossJoin(broadcast(totals))
+      .select(col("token"), col("n_train"), col("n_val"),
+        p.as("p_train"), q.as("p_val"),
+        round(p / q, 4).as("ratio"))
+      .withColumn("drifted", col("ratio") >= ratioThreshold ||
+        col("ratio") <= 1.0 / ratioThreshold)
+      .orderBy("token")
+  }
+
   /** FUSED one-pass corpus curation — quality features + Gopher
     * gate + language ID + deterministic split + exact-dup
     * canonicalization in a single plan: ONE scan of the corpus and

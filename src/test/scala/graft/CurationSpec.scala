@@ -61,6 +61,28 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(kept > 0 && kept < fused.count())
   }
 
+  test("tokenDrift flags planted train-only and val-only tokens, " +
+      "not the shared vocabulary") {
+    import spark.implicits._
+    val ids = (0L until 200L).toDF("doc_id")
+    val splits = ids.select(col("doc_id"),
+        TextAnalysis.assignSplit(col("doc_id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = splits.toSeq.map { case (id, sp) =>
+      val marker = if (sp == "train") "aaa" else if (sp == "val") "bbb"
+        else "ccc"
+      (id, s"$marker common common common")
+    }.toDF("doc_id", "text")
+    val drift = TextAnalysis.tokenDrift(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(5), r.getBoolean(6))).toMap
+    assert(drift("aaa")._2, "train-only token must flag as drifted")
+    assert(drift("bbb")._2 && drift("bbb")._1 < 1.0,
+      "val-only token must flag as drifted low")
+    assert(!drift("common")._2, "shared token must not flag")
+    assert(!drift.contains("ccc"), "test-split tokens are excluded")
+  }
+
   test("the fusion IS the plan: one corpus scan, one exchange") {
     val p = TextAnalysis.curate(
         Tables.documents(spark, sfDir).select("doc_id", "text"),
