@@ -81,6 +81,12 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       "val-only token must flag as drifted low")
     assert(!drift("common")._2, "shared token must not flag")
     assert(!drift.contains("ccc"), "test-split tokens are excluded")
+    // the top-K cut is TakeOrderedAndProject (bounded heaps), never a
+    // full vocabulary sort
+    val p = TextAnalysis.tokenDrift(
+        Tables.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("the fusion IS the plan: one corpus scan, one exchange") {
