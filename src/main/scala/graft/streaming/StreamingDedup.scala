@@ -159,5 +159,20 @@ object StreamingDedup {
     Some(seg)
   }
 
+  /** Delete pairs directories no reader can see — compaction sources
+    * a crashed cleanup left behind, and torn (marker-less) dirs.
+    * Same single-maintenance-writer discipline as
+    * [[graft.sources.DedupIndex.vacuumShadowed]]. */
+  def vacuumPairs(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root, "pairs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val live = committedPairDirs(fs, p).toSet
+    val dead = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(live).toSeq.sorted
+    dead.foreach(d => fs.delete(new Path(p, d), true))
+    dead
+  }
+
   private val compactSeq = new java.util.concurrent.atomic.AtomicLong()
 }

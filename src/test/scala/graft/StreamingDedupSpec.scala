@@ -98,5 +98,30 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
       "compaction must not change the verdict log's content")
     assert(StreamingDedup.compactPairs(spark, root).isEmpty,
       "a single-dir log has nothing to compact")
+    // crashed cleanup: a shadowed relic dir is invisible, vacuumable
+    val pairsP = new org.apache.hadoop.fs.Path(root, "pairs")
+    val fsP = pairsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compacted = fsP.listStatus(pairsP).map(_.getPath.getName)
+      .filter(_.startsWith("compact-")).head
+    val relic = "seg-batch-0000000000"
+    StreamingDedup.currentPairs(spark, root).limit(2)
+      .write.parquet(new org.apache.hadoop.fs.Path(pairsP, relic).toString)
+    fsP.create(new org.apache.hadoop.fs.Path(pairsP, s"$relic/_COMMITTED"),
+      true).close()
+    val cur2 = {
+      val in = fsP.open(new org.apache.hadoop.fs.Path(pairsP,
+        s"$compacted/_sources"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out2 = fsP.create(new org.apache.hadoop.fs.Path(pairsP,
+      s"$compacted/_sources"), true)
+    try out2.write(s"$cur2\n$relic".getBytes("UTF-8")) finally out2.close()
+    assert(StreamingDedup.currentPairs(spark, root)
+      .collect().map(_.toSeq).toSet == rowsBefore,
+      "shadowed relic must stay invisible")
+    assert(StreamingDedup.vacuumPairs(spark, root).contains(relic))
+    assert(StreamingDedup.currentPairs(spark, root)
+      .collect().map(_.toSeq).toSet == rowsBefore)
   }
 }
