@@ -1803,9 +1803,10 @@ object LlmQueries {
            round((n_val + 1)::DOUBLE / (tot_val + 200), 6) AS p_val
            FROM top, tot)
          SELECT token, n_train, n_val, p_train, p_val,
-           round(p_train / p_val, 4) AS ratio,
-           (round(p_train / p_val, 4) >= 2.0
-            OR round(p_train / p_val, 4) <= 0.5) AS drifted
+           round(p_train / greatest(p_val, 0.000001), 4) AS ratio,
+           (round(p_train / greatest(p_val, 0.000001), 4) >= 2.0
+            OR round(p_train / greatest(p_val, 0.000001), 4) <= 0.5)
+             AS drifted
          FROM r ORDER BY token""",
     "s_hop_window" ->
       """WITH e AS (SELECT event_type, value,

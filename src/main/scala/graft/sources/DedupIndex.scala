@@ -188,25 +188,11 @@ object DedupIndex {
     * their directories still exist (a crash between the compaction
     * commit and the source cleanup leaves them behind — shadowing
     * makes that window invisible to readers instead of double-counted;
-    * [[vacuumShadowed]] reclaims them). */
+    * [[vacuumShadowed]] reclaims them). Protocol: [[ShadowLog]]. */
   def segments(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    val committed = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("seg-")).sorted.toSeq
-      .filter(v => fs.exists(new Path(root, s"$v/_SUCCESS")))
-    val shadowed = committed.flatMap { v =>
-      val sp = new Path(root, s"$v/_sources")
-      if (!fs.exists(sp)) Nil
-      else {
-        val in = fs.open(sp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
-      }
-    }.toSet
-    committed.filterNot(shadowed)
+    ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))._1
   }
 
   /** Merge every committed segment into ONE compacted segment — the
@@ -231,10 +217,11 @@ object DedupIndex {
     * there is nothing to merge. */
   def compactSegments(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
-    val srcs = segments(spark, root)
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (srcs, shadowed) =
+      ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))
     if (srcs.size < 2) return None
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     val seg = f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d-compact"
     for (table <- Seq("bands", "sets")) {
@@ -243,8 +230,10 @@ object DedupIndex {
       spark.read.parquet(paths: _*).repartition(pl.nOut)
         .write.mode("error").parquet(s"$root/$seg/$table")
     }
-    val out = fs.create(new Path(root, s"$seg/_sources"), false)
-    try out.write(srcs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // closure, not just srcs: see ShadowLog — dropping a prior
+    // compaction target must not resurrect its crash relics
+    ShadowLog.writeSources(fs, p, seg,
+      ShadowLog.sourcesClosure(srcs, shadowed))
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
     srcs.foreach(s => fs.delete(new Path(root, s), true))
     Some(seg)
@@ -259,13 +248,7 @@ object DedupIndex {
   def vacuumShadowed(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    val live = segments(spark, root).toSet
-    val dead = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("seg-"))
-      .filterNot(live).toSeq.sorted
-    dead.foreach(s => fs.delete(new Path(root, s), true))
-    dead
+    ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
   }
 
   private def readSegments(spark: SparkSession, root: String,

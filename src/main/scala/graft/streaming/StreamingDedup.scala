@@ -83,7 +83,15 @@ object StreamingDedup {
     val seg = f"seg-batch-$batchId%010d"
     val pairsDir = new Path(root, s"pairs/$seg")
     val fs = pairsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(pairsDir, "_COMMITTED"))) return
+    // committed = own marker present, OR folded into a compaction
+    // target (whose _sources shadow this batch's name): a replay
+    // arriving after compactPairs removed the per-batch dir must NOT
+    // re-run — update() would first delete the still-present index
+    // segment, defeating the first-wins guard, and re-emit verdicts
+    // the compact dir already holds
+    if (fs.exists(new Path(pairsDir, "_COMMITTED")) ||
+        graft.sources.ShadowLog.list(fs, new Path(root, "pairs"),
+          "_COMMITTED", _ => true)._2.contains(seg)) return
     val res = DedupIndex.update(spark, root, batch, idCol, textCol,
       threshold, numHashes, bands, segmentName = Some(seg))
     res.pairs.withColumn("batch_id", lit(batchId))
@@ -109,25 +117,11 @@ object StreamingDedup {
     else spark.read.parquet(dirs.map(d => new Path(p, d).toString): _*)
   }
 
-  /** Committed, unshadowed pairs dir names under root/pairs. */
+  /** Committed, unshadowed pairs dir names under root/pairs —
+    * [[graft.sources.ShadowLog]] with `_COMMITTED` markers. */
   private def committedPairDirs(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Seq[String] = {
-    if (!fs.exists(p)) return Nil
-    val committed = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).sorted.toSeq
-      .filter(d => fs.exists(new Path(p, s"$d/_COMMITTED")))
-    val shadowed = committed.flatMap { d =>
-      val sp = new Path(p, s"$d/_sources")
-      if (!fs.exists(sp)) Nil
-      else {
-        val in = fs.open(sp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        txt.split('\n').map(_.trim).filter(_.nonEmpty).toSeq
-      }
-    }.toSet
-    committed.filterNot(shadowed)
-  }
+      p: Path): Seq[String] =
+    graft.sources.ShadowLog.list(fs, p, "_COMMITTED", _ => true)._1
 
   /** Merge every committed pairs directory into one — the verdict
     * log accumulates one directory per micro-batch exactly like the
@@ -142,7 +136,8 @@ object StreamingDedup {
       targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
     val p = new Path(root, "pairs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val srcs = committedPairDirs(fs, p)
+    val (srcs, shadowed) =
+      graft.sources.ShadowLog.list(fs, p, "_COMMITTED", _ => true)
     if (srcs.size < 2) return None
     // timestamp + monotonic sequence, the GraphStore convention:
     // same-millisecond safe, clock-step-back safe
@@ -152,8 +147,11 @@ object StreamingDedup {
     val pl = graft.sources.Compaction.planAll(spark, paths, targetBytes)
     spark.read.parquet(paths: _*).repartition(pl.nOut)
       .write.mode("error").parquet(new Path(p, seg).toString)
-    val out = fs.create(new Path(p, s"$seg/_sources"), false)
-    try out.write(srcs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // closure, not just srcs: see ShadowLog — and for this log the
+    // closure is doubly load-bearing, since dedupBatch's replay
+    // guard reads it to recognize compacted-away batches
+    graft.sources.ShadowLog.writeSources(fs, p, seg,
+      graft.sources.ShadowLog.sourcesClosure(srcs, shadowed))
     fs.create(new Path(p, s"$seg/_COMMITTED"), true).close()
     srcs.foreach(d => fs.delete(new Path(p, d), true))
     Some(seg)
@@ -162,16 +160,14 @@ object StreamingDedup {
   /** Delete pairs directories no reader can see — compaction sources
     * a crashed cleanup left behind, and torn (marker-less) dirs.
     * Same single-maintenance-writer discipline as
-    * [[graft.sources.DedupIndex.vacuumShadowed]]. */
+    * [[graft.sources.DedupIndex.vacuumShadowed]], and NEVER while
+    * the stream is running: an in-flight batch's pairs dir is
+    * marker-less between its parquet write and its `_COMMITTED`
+    * create, indistinguishable from a torn orphan. */
   def vacuumPairs(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root, "pairs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    val live = committedPairDirs(fs, p).toSet
-    val dead = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath.getName).filterNot(live).toSeq.sorted
-    dead.foreach(d => fs.delete(new Path(p, d), true))
-    dead
+    graft.sources.ShadowLog.vacuum(fs, p, "_COMMITTED", _ => true)
   }
 
   private val compactSeq = new java.util.concurrent.atomic.AtomicLong()

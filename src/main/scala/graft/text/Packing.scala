@@ -83,14 +83,26 @@ object Packing {
     * shard is written by the task that owns it — without it every
     * task opens a file in every shard dir and a 1000-task write
     * creates nShards×1000 small files (the disease [[graft.sources
-    * .Compaction]] exists to cure; better not to catch it). */
+    * .Compaction]] exists to cure; better not to catch it). Each row
+    * carries its `n_toks` (a token loader wants it anyway), so the
+    * manifest aggregates from a COLUMN-PRUNED read-back of the
+    * written shards — the corpus text is scanned and tokenized
+    * exactly once, not once for the write and again for the stats. */
   def writeShards(docs: DataFrame, idCol: String, textCol: String,
       nShards: Int, outDir: String): Unit = {
     val sharded = docs
       .withColumn("shard", shardAssign(col(idCol), nShards))
+      .withColumn("n_toks",
+        size(TextAnalysis.wsTokens(col(textCol))).cast("long"))
+      .withColumn("n_chars", length(col(textCol)).cast("long"))
     sharded.repartition(col("shard"))
       .write.mode("error").partitionBy("shard").parquet(outDir)
-    shardStats(docs, idCol, textCol, nShards)
+    docs.sparkSession.read.parquet(outDir)
+      // partition-column inference types `shard` as int; the manifest
+      // keeps shardStats' long schema
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
       .coalesce(1).write.mode("error").parquet(s"$outDir/_manifest")
   }
 }

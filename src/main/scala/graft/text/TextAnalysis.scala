@@ -275,10 +275,14 @@ object TextAnalysis {
       (col("tot_train") + topK), 6)
     val q = round((col("n_val") + 1).cast("double") /
       (col("tot_val") + topK), 6)
+    // denominator floored at the rounding quantum: past ~2M val-side
+    // tokens a rare token's 6-dp rate rounds to exactly 0.0 and an
+    // unguarded quotient is Infinity — which DuckDB renders
+    // differently, breaking the bit-exact cross-engine contract
     top.crossJoin(broadcast(totals))
       .select(col("token"), col("n_train"), col("n_val"),
         p.as("p_train"), q.as("p_val"),
-        round(p / q, 4).as("ratio"))
+        round(p / greatest(q, lit(1e-6)), 4).as("ratio"))
       .withColumn("drifted", col("ratio") >= ratioThreshold ||
         col("ratio") <= 1.0 / ratioThreshold)
       .orderBy("token")

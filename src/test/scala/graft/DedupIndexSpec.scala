@@ -129,6 +129,16 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
     try out.write(s"$cur\n$relic".getBytes("UTF-8")) finally out.close()
     assert(DedupIndex.currentSets(spark, root).count() == before,
       "shadowed relic must be invisible to readers")
+    // transitive shadowing: a SECOND compaction deletes the first
+    // compaction target — whose _sources were the only mention of the
+    // relic — and must carry the shadow closure forward, or the relic
+    // resurrects and double-counts
+    assert(DedupIndex.segments(spark, root).size == 2) // compacted + probe
+    assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+    assert(!fs.exists(new Path(root, seg.get)),
+      "second compaction should have deleted the first target")
+    assert(DedupIndex.currentSets(spark, root).count() == before,
+      "relic must STAY shadowed after its shadowing segment is compacted away")
     val dead = DedupIndex.vacuumShadowed(spark, root)
     assert(dead.contains(relic))
     assert(!fs.exists(new Path(root, relic)))

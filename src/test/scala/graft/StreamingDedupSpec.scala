@@ -98,6 +98,20 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
       "compaction must not change the verdict log's content")
     assert(StreamingDedup.compactPairs(spark, root).isEmpty,
       "a single-dir log has nothing to compact")
+    // a batch replayed AFTER its pairs dir was compacted away must be
+    // recognized as committed via the compact dir's _sources shadow —
+    // re-running it would delete the still-present index segment and
+    // re-emit verdicts the compact dir already holds
+    val segsAfterCompact = DedupIndex.segments(spark, root)
+    StreamingDedup.dedupBatch(
+      lastRows.toSeq.toDF("doc_id", "text"), lastBatch,
+      "doc_id", "text", 0.8, root, 30, 6)
+    assert(DedupIndex.segments(spark, root) == segsAfterCompact,
+      "replay of a compacted-away batch must not touch the index")
+    assert(StreamingDedup.currentPairs(spark, root)
+      .collect().map(_.toSeq).toSet == rowsBefore,
+      "replay of a compacted-away batch must not duplicate verdicts")
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length)
     // crashed cleanup: a shadowed relic dir is invisible, vacuumable
     val pairsP = new org.apache.hadoop.fs.Path(root, "pairs")
     val fsP = pairsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
