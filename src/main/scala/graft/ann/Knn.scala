@@ -187,7 +187,7 @@ object Knn {
     * (every candidate is verified). */
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, bands: Int = 10,
-      bitsPerBand: Int = 6): DataFrame = {
+      bitsPerBand: Int = 6, maxBucket: Int = 500): DataFrame = {
     Registry.registerAll(corpus.sparkSession)
     val base = withNorm(corpus, "id", "v", "nm", idCol, vecCol)
       .localCheckpoint()
@@ -199,11 +199,34 @@ object Knn {
     // row then hauls two 64-float arrays. Skinny (a, b) distinct +
     // broadcast-hash vector lookups keep the wide data out of the
     // fat stream entirely.
+    //
+    // TWO GUARDS make the candidate volume scale-safe (the 64× probe
+    // caught the unguarded form writing ~1 TB of candidate shuffle
+    // from 64-bucket bands over 1M vectors and dying on local disk):
+    // (a) bits grow with the corpus — log2(n/256) keeps the MEAN
+    // bucket ~256 at any n (6 bits at the gate corpus, unchanged
+    // behavior; 12 at 1M; capped at 16 where band collision
+    // probability, not bucket size, is the binding constraint);
+    // (b) buckets larger than `maxBucket` are dropped from candidate
+    // generation — an oversized SIGN bucket means the hyperplanes do
+    // not discriminate that region (skew, not similarity), its pairs
+    // are the quadratic tail, and true near-dups inside it are the
+    // exact/MinHash passes' job (near-dup CLUSTERS are inherently
+    // small relative to a degenerate region). With both guards the
+    // candidate stream is ≤ bands·n·maxBucket/2 rows of two longs —
+    // linear in n at fixed cap.
+    val n = base.count()
+    val bits = math.min(16, math.max(bitsPerBand,
+      math.ceil(math.log(n / 256.0) / math.log(2)).toInt))
     val banded = base.select(col("id"), posexplode(array(
         (0 until bands).map(j =>
-          lshBucketSeeded(col("v"), dim, bitsPerBand, seed = j)): _*))
-      .as(Seq("band", "bucket")))
-    val cands = banded.as("x").join(banded.as("y"),
+          lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
+      .as(Seq("band", "bucket"))).localCheckpoint()
+    val smallBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__sz")).filter(col("__sz") <= maxBucket)
+      .drop("__sz")
+    val pruned = banded.join(broadcast(smallBuckets), Seq("band", "bucket"))
+    val cands = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()

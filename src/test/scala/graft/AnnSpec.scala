@@ -81,6 +81,38 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"recall $recall below 0.8 ($nExact exact pairs)")
   }
 
+  test("lsh bucket cap drops a degenerate region but keeps real " +
+      "near-dup clusters (the 64x disk-exhaustion guard)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // a degenerate region: 1200 vectors all within a tiny cone (every
+    // sign bucket they touch blows past the cap) + planted small
+    // near-dup clusters far from it
+    val cone = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val degen = Seq.tabulate(1200)(i => (10000L + i,
+      cone.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    val bases = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = bases.map { case (id, v) =>
+      (1000L + id, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)) }
+    val corpus = (degen ++ bases ++ dups).toDF("vec_id", "embedding")
+    val got = Knn.nearDupPairsLsh(corpus, "vec_id", "embedding", dim,
+        threshold = 0.9, maxBucket = 200)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every small planted cluster is found (base i ~ dup 1000+i)...
+    val found = (0 until 60).count(i => got.contains((i.toLong, 1000L + i)))
+    assert(found >= 48, s"only $found/60 planted pairs survived the cap")
+    // ...and the degenerate region's quadratic tail is NOT
+    // enumerated: its ~719k all-pairs volume collapses to the few
+    // pairs that reach via small boundary buckets (the cap bounds
+    // candidate VOLUME, not membership — stragglers near a
+    // hyperplane land in small side-buckets and may legally pair)
+    val conePairs = got.count { case (a, b) => a >= 10000L && b >= 10000L }
+    assert(conePairs < 36000,
+      s"cap failed to collapse the degenerate region: $conePairs pairs " +
+        "(unguarded would be ~719k)")
+  }
+
   test("ivf knn: neighbors come from probed cells, recall beats single-cell") {
     import graft.ann.Ivf
     val model = Ivf.train(emb, "vec_id", "embedding", dim, k = 8, iters = 2)
