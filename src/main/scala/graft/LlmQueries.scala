@@ -412,6 +412,18 @@ object LlmQueries {
         .orderBy("vec_id")
     },
 
+    "d_semdedup_scaled" -> { (s, d) =>
+      // the k∝n form (label clusters grow with the corpus — the 64×
+      // probe measured the label form's quadratic wall). Rows-only:
+      // k-means is float-iteration dependent; AnnSpec pins precision
+      // (every pair cosine-verified) and recall vs the label form
+      Knn.semDedupScaled(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim, threshold = 0.35, targetClusterSize = 256)
+        .select(col("vec_id"), col("cluster"), col("dup_of"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("vec_id")
+    },
+
     "t_mixture" -> { (s, d) =>
       // token-budget corpus mixing: every source capped at the same
       // token budget by deterministic Bernoulli downsampling

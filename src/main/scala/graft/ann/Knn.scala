@@ -177,6 +177,152 @@ object Knn {
         col("dup_of"), col("sim"))
   }
 
+  /** The SCALE form of [[semDedup]]. Label-centroid SemDeDup has a
+    * fixed cluster count, so clusters grow linearly with the corpus
+    * and the cluster-local pair join goes quadratic — the 64× probe
+    * measured exactly that (40× wall per 8× data). Published
+    * SemDeDup scales k WITH the corpus; here k = n/targetClusterSize,
+    * centroids are k-means over a deterministic seed set with
+    * `iters` Lloyd refinements, and the within-cluster work is
+    * ~n·targetClusterSize/2 — linear in n at fixed target.
+    *
+    * Assignment is a broadcast centroid MATRIX + per-row argmax UDF,
+    * not a Column expression: k is data-derived and reaches tens of
+    * thousands, and an argmax expression over k struct literals
+    * bloats the plan and falls out of codegen — this is the genuine
+    * per-partition-numeric-loop case the architecture notes reserve
+    * UDFs for. The matrix is k×dim doubles (a 2000-cluster model is
+    * ~1 MB), well under broadcast limits at any plausible k. */
+  def semDedupScaled(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, targetClusterSize: Int = 1024,
+      iters: Int = 2): DataFrame = {
+    Registry.registerAll(corpus.sparkSession)
+    val base = withNorm(corpus, "id", "v", "nm", idCol, vecCol)
+      .localCheckpoint()
+    val n = base.count()
+    val k = math.max(1, math.min((n / targetClusterSize).toInt, 1 << 16))
+    def normalize(a: Array[Double]): Array[Double] = {
+      val nm = math.sqrt(a.map(x => x * x).sum)
+      if (nm == 0) a else a.map(_ / nm)
+    }
+    // Lloyd refinement runs over a CAPPED deterministic sample —
+    // training cost is bounded at any corpus size (the standard
+    // sampled-k-means trade; only the one final assignment pass
+    // touches every row), and the sample is materialized so each
+    // round re-reads it instead of re-scanning the corpus
+    val maxTrain = math.max(k * 8L, 100000L)
+    val train = (if (n <= maxTrain) base
+      else base.sample(withReplacement = false,
+        maxTrain.toDouble / n, seed = 42L)).localCheckpoint()
+    var cents = train.orderBy("id").limit(k).select(col("v")).collect()
+      .map(r => normalize(r.getSeq[Number](0).map(_.doubleValue).toArray))
+    // Flat argmax is n·k·dim work — QUADRATIC in n once k ∝ n (the
+    // first 64× probe of this operator measured exactly that: the
+    // assignment pass, not the pair join, was the 45×-per-octave
+    // term). Assignment therefore routes TWO-LEVEL, the standard
+    // IVF-of-centroids shape: ~√k coarse cells over the centroids
+    // (driver-side Lloyd — k vectors, trivial), each row probes the
+    // top-2 coarse cells and argmaxes only their members —
+    // ~3√k·dim per row, n^1.5 total; deeper trees generalize it to
+    // n·log k when k gets truly large.
+    def argmaxFlat(cs: Array[Array[Double]], v: Seq[Float]): Int = {
+      var best = 0; var bestDot = Double.MinValue
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j); var d = 0.0; var i = 0
+        while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = j }
+        j += 1
+      }
+      best
+    }
+    def argmaxUdf(cs: Array[Array[Double]]) = {
+      val k1 = math.max(1, math.ceil(math.sqrt(cs.length)).toInt)
+      // driver-side Lloyd over the CENTROIDS (cs.length vectors)
+      var coarse = cs.take(k1).map(_.clone)
+      for (_ <- 1 to 3) {
+        val sums = Array.fill(k1)(new Array[Double](dim))
+        val cnts = new Array[Int](k1)
+        cs.foreach { c =>
+          val a = argmaxFlat(coarse, c.map(_.toFloat).toSeq)
+          var i = 0; while (i < dim) { sums(a)(i) += c(i); i += 1 }
+          cnts(a) += 1
+        }
+        coarse = coarse.indices.map(j =>
+          if (cnts(j) == 0) coarse(j)
+          else normalize(sums(j).map(_ / cnts(j)))).toArray
+      }
+      val members: Array[Array[Int]] = {
+        val m = Array.fill(k1)(List.newBuilder[Int])
+        cs.zipWithIndex.foreach { case (c, j) =>
+          m(argmaxFlat(coarse, c.map(_.toFloat).toSeq)) += j }
+        m.map(_.result().toArray)
+      }
+      udf { (v: Seq[Float]) =>
+        // top-2 coarse cells, then flat argmax over their members
+        var b1 = 0; var d1 = Double.MinValue
+        var b2 = 0; var d2 = Double.MinValue
+        var j = 0
+        while (j < coarse.length) {
+          val c = coarse(j); var d = 0.0; var i = 0
+          while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+          if (d > d1) { b2 = b1; d2 = d1; b1 = j; d1 = d }
+          else if (d > d2) { b2 = j; d2 = d }
+          j += 1
+        }
+        var best = 0; var bestDot = Double.MinValue
+        for (cell <- Seq(b1, b2); m <- members(cell)) {
+          val c = cs(m); var d = 0.0; var i = 0
+          while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = m }
+        }
+        best
+      }
+    }
+    for (_ <- 1 to iters) {
+      // assignment materialized BEFORE the explode: fused into the
+      // same projection, the UDF would re-evaluate once per exploded
+      // element (dim× the work — measured as a 10-minute hang at 8×)
+      val assigned = train.select(argmaxUdf(cents)(col("v")).as("cell"),
+        col("v")).localCheckpoint()
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell").agg(map_from_arrays(
+          collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
+        .collect()
+        .map { r =>
+          val byPos = r.getMap[Int, Double](1)
+          r.getInt(0) -> normalize(
+            Array.tabulate(dim)(i => byPos.getOrElse(i, 0.0)))
+        }.toMap
+      cents = cents.indices.map(j => means.getOrElse(j, cents(j))).toArray
+    }
+    // the pair join's INPUT is small (n co-partitioned rows) but its
+    // OUTPUT expands ~targetClusterSize× — AQE coalesces on input
+    // bytes and ran the 64× expansion on ~1 core. An explicit
+    // partition count (which AQE respects, unlike a bare
+    // repartition(col)) keeps the expansion spread over the cluster.
+    val parts = base.sparkSession.sparkContext.defaultParallelism * 4
+    val withCell = base.withColumn("cell", argmaxUdf(cents)(col("v")))
+      .repartition(parts, col("cell"))
+      .localCheckpoint()
+    val x = withCell.select(col("cell"), col("id").as("a"),
+      col("v").as("va"), col("nm").as("na"))
+    val y = withCell.select(col("cell"), col("id").as("b"),
+      col("v").as("vb"), col("nm").as("nb"))
+    x.join(y, "cell")
+      .filter(col("b") < col("a"))
+      .select(col("cell"), col("a"), col("b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy(col("cell"), col("a"))
+      .agg(min("b").as("dup_of"), min_by(col("sim"), col("b")).as("sim"))
+      .select(col("a").as(idCol), col("cell").as("cluster"),
+        col("dup_of"), col("sim"))
+  }
+
   /** Scale path for embedding near-dup: banded sign-LSH candidate
     * generation, then exact-cosine verification — the n² pair join
     * of [[nearDupPairs]] replaced by a per-(band, bucket) local join,

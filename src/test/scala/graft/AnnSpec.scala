@@ -81,6 +81,39 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"recall $recall below 0.8 ($nExact exact pairs)")
   }
 
+  test("semDedupScaled: k grows with n, precision exact, finds the " +
+      "planted within-cluster dups the label form finds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 80 bases + a near-copy of each (cosine ≈ 0.97); k = n/target
+    val bases = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = bases.map { case (id, v) =>
+      (1000L + id, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)) }
+    val corpus = (bases ++ dups).toDF("vec_id", "embedding")
+    val got = Knn.semDedupScaled(corpus, "vec_id", "embedding", dim,
+      threshold = 0.9, targetClusterSize = 16).cache()
+    // k = 160/16 = 10 clusters actually materialized
+    assert(got.select("cluster").distinct().count() >= 5)
+    // precision is exact by construction: every emitted (a, dup_of)
+    // is cosine-verified at the threshold
+    val exact = Knn.nearDupPairs(corpus, "vec_id", "embedding", dim, 0.9)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.select("vec_id", "dup_of").collect().foreach { r =>
+      val p = (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))
+      assert(exact.contains(p), s"emitted non-dup $p")
+    }
+    // recall: a planted near-copy collides with its base only if
+    // k-means put them in one cell — which co-location at 0.97 cosine
+    // makes overwhelmingly likely; require most survive
+    val found = (0 until 80).count { i =>
+      got.filter(col("vec_id") === (1000L + i) &&
+        col("dup_of") === i.toLong).count() == 1 }
+    assert(found >= 64, s"only $found/80 planted dups found")
+  }
+
   test("lsh bucket cap drops a degenerate region but keeps real " +
       "near-dup clusters (the 64x disk-exhaustion guard)") {
     import spark.implicits._
