@@ -162,18 +162,26 @@ object Knn {
       .select(col(idCol).as("id"), col("assigned_label").as("cl"))
     val base = withNorm(corpus, "id", "v", "nm", idCol, vecCol)
       .join(assigned, "id")
-    val x = base.select(col("cl"), col("id").as("a"),
+    clusterLocalKeepers(base, "cl", idCol, threshold)
+  }
+
+  /** The shared tail of both SemDeDup forms: within-cell pair join,
+    * cosine verification at `threshold`, canonical min-id keeper per
+    * dropped vector. Expects (`cellCol`, id, v, nm) columns. */
+  private def clusterLocalKeepers(base: DataFrame, cellCol: String,
+      idCol: String, threshold: Double): DataFrame = {
+    val x = base.select(col(cellCol), col("id").as("a"),
       col("v").as("va"), col("nm").as("na"))
-    val y = base.select(col("cl"), col("id").as("b"),
+    val y = base.select(col(cellCol), col("id").as("b"),
       col("v").as("vb"), col("nm").as("nb"))
-    x.join(y, "cl")
+    x.join(y, cellCol)
       .filter(col("b") < col("a"))
-      .select(col("cl"), col("a"), col("b"),
+      .select(col(cellCol), col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .groupBy(col("cl"), col("a"))
+      .groupBy(col(cellCol), col("a"))
       .agg(min("b").as("dup_of"), min_by(col("sim"), col("b")).as("sim"))
-      .select(col("a").as(idCol), col("cl").as("cluster"),
+      .select(col("a").as(idCol), col(cellCol).as("cluster"),
         col("dup_of"), col("sim"))
   }
 
@@ -192,7 +200,12 @@ object Knn {
     * bloats the plan and falls out of codegen — this is the genuine
     * per-partition-numeric-loop case the architecture notes reserve
     * UDFs for. The matrix is k×dim doubles (a 2000-cluster model is
-    * ~1 MB), well under broadcast limits at any plausible k. */
+    * ~1 MB). The k cap (2^16 ≈ 33 MB of centroids at dim 64) is a
+    * broadcast bound, not an asymptotic fix: past n ≈ cap·target the
+    * per-cluster size grows again — at that regime raise
+    * targetClusterSize, or extend the two-level router to a deeper
+    * tree with sharded centroid storage (the same construction, one
+    * more level). */
   def semDedupScaled(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, threshold: Double, targetClusterSize: Int = 1024,
       iters: Int = 2): DataFrame = {
@@ -208,12 +221,16 @@ object Knn {
     // Lloyd refinement runs over a CAPPED deterministic sample —
     // training cost is bounded at any corpus size (the standard
     // sampled-k-means trade; only the one final assignment pass
-    // touches every row), and the sample is materialized so each
-    // round re-reads it instead of re-scanning the corpus
+    // touches every row), and the sample is persisted so each round
+    // re-reads it instead of re-scanning the corpus (persist, not
+    // localCheckpoint: it can be explicitly unpersisted after
+    // training instead of squatting in the block manager — which the
+    // storage-priced agg budgets elsewhere would otherwise have to
+    // absorb)
     val maxTrain = math.max(k * 8L, 100000L)
     val train = (if (n <= maxTrain) base
       else base.sample(withReplacement = false,
-        maxTrain.toDouble / n, seed = 42L)).localCheckpoint()
+        maxTrain.toDouble / n, seed = 42L)).persist()
     var cents = train.orderBy("id").limit(k).select(col("v")).collect()
       .map(r => normalize(r.getSeq[Number](0).map(_.doubleValue).toArray))
     // Flat argmax is n·k·dim work — QUADRATIC in n once k ∝ n (the
@@ -225,12 +242,17 @@ object Knn {
     // top-2 coarse cells and argmaxes only their members —
     // ~3√k·dim per row, n^1.5 total; deeper trees generalize it to
     // n·log k when k gets truly large.
-    def argmaxFlat(cs: Array[Array[Double]], v: Seq[Float]): Int = {
+    // Array-to-array dot/argmax for the driver-side quantizer build:
+    // no Seq boxing, no double→float loss (at the k cap the build is
+    // k·√k·dim·rounds ≈ 10^10 ops — boxed access would turn seconds
+    // of driver time into minutes)
+    def argmaxArr(cs: Array[Array[Double]], v: Array[Double]): Int = {
       var best = 0; var bestDot = Double.MinValue
       var j = 0
       while (j < cs.length) {
-        val c = cs(j); var d = 0.0; var i = 0
-        while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+        val c = cs(j); var d = 0.0
+        var i = 0; val lim = math.min(c.length, v.length)
+        while (i < lim) { d += c(i) * v(i); i += 1 }
         if (d > bestDot) { bestDot = d; best = j }
         j += 1
       }
@@ -244,47 +266,60 @@ object Knn {
         val sums = Array.fill(k1)(new Array[Double](dim))
         val cnts = new Array[Int](k1)
         cs.foreach { c =>
-          val a = argmaxFlat(coarse, c.map(_.toFloat).toSeq)
-          var i = 0; while (i < dim) { sums(a)(i) += c(i); i += 1 }
+          val a = argmaxArr(coarse, c)
+          val lim = math.min(dim, c.length)
+          var i = 0; while (i < lim) { sums(a)(i) += c(i); i += 1 }
           cnts(a) += 1
         }
         coarse = coarse.indices.map(j =>
           if (cnts(j) == 0) coarse(j)
           else normalize(sums(j).map(_ / cnts(j)))).toArray
       }
-      val members: Array[Array[Int]] = {
+      // ghost coarse cells (no member centroids) are EXCLUDED from
+      // the row-level scoring: a stale empty cell that won a row's
+      // top-2 would fall through to centroid 0 regardless of
+      // similarity — silent recall loss into one inflated cluster
+      val memberOf = {
         val m = Array.fill(k1)(List.newBuilder[Int])
-        cs.zipWithIndex.foreach { case (c, j) =>
-          m(argmaxFlat(coarse, c.map(_.toFloat).toSeq)) += j }
+        cs.zipWithIndex.foreach { case (c, j) => m(argmaxArr(coarse, c)) += j }
         m.map(_.result().toArray)
       }
+      val live = memberOf.indices.filter(memberOf(_).nonEmpty).toArray
+      val coarseLive = live.map(coarse)
+      val membersLive = live.map(memberOf)
       udf { (v: Seq[Float]) =>
-        // top-2 coarse cells, then flat argmax over their members
-        var b1 = 0; var d1 = Double.MinValue
-        var b2 = 0; var d2 = Double.MinValue
-        var j = 0
-        while (j < coarse.length) {
-          val c = coarse(j); var d = 0.0; var i = 0
-          while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
-          if (d > d1) { b2 = b1; d2 = d1; b1 = j; d1 = d }
-          else if (d > d2) { b2 = j; d2 = d }
-          j += 1
-        }
-        var best = 0; var bestDot = Double.MinValue
-        for (cell <- Seq(b1, b2); m <- members(cell)) {
-          val c = cs(m); var d = 0.0; var i = 0
-          while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = m }
-        }
-        best
+        if (v == null) null
+        else {
+          // top-2 live coarse cells, then flat argmax over members
+          var b1 = 0; var d1 = Double.MinValue
+          var b2 = 0; var d2 = Double.MinValue
+          var j = 0
+          while (j < coarseLive.length) {
+            val c = coarseLive(j); var d = 0.0; var i = 0
+            while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+            if (d > d1) { b2 = b1; d2 = d1; b1 = j; d1 = d }
+            else if (d > d2) { b2 = j; d2 = d }
+            j += 1
+          }
+          var best = 0; var bestDot = Double.MinValue
+          for (cell <- Seq(b1, b2).distinct; m <- membersLive(cell)) {
+            val c = cs(m); var d = 0.0; var i = 0
+            while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+            if (d > bestDot) { bestDot = d; best = m }
+          }
+          Integer.valueOf(best)
+        }: java.lang.Integer
       }
     }
     for (_ <- 1 to iters) {
-      // assignment materialized BEFORE the explode: fused into the
-      // same projection, the UDF would re-evaluate once per exploded
-      // element (dim× the work — measured as a 10-minute hang at 8×)
+      // assignment materialized BEFORE the explode (via the exchange
+      // an explicit repartition inserts — no resident checkpoint
+      // copies): fused into the same projection, the UDF would
+      // re-evaluate once per exploded element (dim× the work —
+      // measured as a 10-minute hang at 8×)
       val assigned = train.select(argmaxUdf(cents)(col("v")).as("cell"),
-        col("v")).localCheckpoint()
+          col("v"))
+        .repartition(train.sparkSession.sparkContext.defaultParallelism)
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
@@ -304,23 +339,12 @@ object Knn {
     // bytes and ran the 64× expansion on ~1 core. An explicit
     // partition count (which AQE respects, unlike a bare
     // repartition(col)) keeps the expansion spread over the cluster.
+    train.unpersist()
     val parts = base.sparkSession.sparkContext.defaultParallelism * 4
     val withCell = base.withColumn("cell", argmaxUdf(cents)(col("v")))
       .repartition(parts, col("cell"))
       .localCheckpoint()
-    val x = withCell.select(col("cell"), col("id").as("a"),
-      col("v").as("va"), col("nm").as("na"))
-    val y = withCell.select(col("cell"), col("id").as("b"),
-      col("v").as("vb"), col("nm").as("nb"))
-    x.join(y, "cell")
-      .filter(col("b") < col("a"))
-      .select(col("cell"), col("a"), col("b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-      .filter(col("sim") >= threshold)
-      .groupBy(col("cell"), col("a"))
-      .agg(min("b").as("dup_of"), min_by(col("sim"), col("b")).as("sim"))
-      .select(col("a").as(idCol), col("cell").as("cluster"),
-        col("dup_of"), col("sim"))
+    clusterLocalKeepers(withCell, "cell", idCol, threshold)
   }
 
   /** Scale path for embedding near-dup: banded sign-LSH candidate
