@@ -89,6 +89,48 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("the library composes end-to-end: curate → near-dup clusters → " +
+      "drift → pack → shards, invariants hold at every stage") {
+    val kept = docs.join(fused.filter(col("keep")).select("doc_id"),
+      "doc_id").localCheckpoint()
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < docs.count(),
+      "curation must keep a nonempty strict subset")
+    // curate's keep removed exact dups; the MinHash pass catches the
+    // NEAR-dups that survive it, transitively clustered
+    val pairs = Dedup.minhashNearDups(kept, "doc_id", "text",
+      threshold = 0.8)
+    val kc = Dedup.resolveClusters(pairs).columns
+    val drop = Dedup.resolveClusters(pairs)
+      .filter(col(kc(0)) =!= col(kc(1)))
+      .select(col(kc(0)).as("doc_id"))
+    val deduped = kept.join(drop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    assert(deduped.count() < nKept,
+      "the corpus's planted near-dups must survive curation and be " +
+        "removed here")
+    // distribution check on what a trainer would actually see
+    val drift = graft.text.TextAnalysis.tokenDrift(
+      deduped, "doc_id", "text", topK = 50)
+    assert(drift.count() > 0)
+    // context-window packing per split: every surviving doc lands in
+    // exactly one bin
+    val withSplit = deduped.select(col("doc_id"), col("text"),
+      graft.text.TextAnalysis.assignSplit(col("doc_id")).as("split"))
+    val packed = graft.text.Packing.packGreedy(withSplit,
+      "doc_id", "text", "split", budget = 256)
+    assert(packed.count() == deduped.count())
+    // shard write: the manifest accounts for every packed doc
+    val out = java.nio.file.Files.createTempDirectory("pipe-shards")
+      .toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    graft.text.Packing.writeShards(deduped, "doc_id", "text", 4, out)
+    val manifest = spark.read.parquet(s"$out/_manifest")
+    assert(manifest.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .collect()(0).getLong(0) == deduped.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+  }
+
   test("the fusion IS the plan: one corpus scan, one exchange") {
     val p = TextAnalysis.curate(
         Tables.documents(spark, sfDir).select("doc_id", "text"),
