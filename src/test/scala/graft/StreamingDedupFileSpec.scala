@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sources.DedupIndex
+import graft.streaming.StreamingDedup
+
+/** Dedup-on-arrival over a REAL file source with a real checkpoint —
+  * the deployment shape (StreamingDedupSpec's MemoryStream pins the
+  * per-batch semantics; this pins the restart contract around it):
+  *  - each start/stop cycle is a kill-and-resume (AvailableNow);
+  *  - a restart with no new files must NOT reprocess old ones (the
+  *    store's segment list stays put);
+  *  - a restart with new files dedups ONLY those against the store;
+  *  - full redelivery against a FRESH checkpoint converges: batch
+  *    ids restart at 0, the batch-id-named segment is rewritten, the
+  *    first-wins re-ingest guard drops already-indexed ids, and the
+  *    verdict SET equals the bulk pipeline's (the pairs log is a
+  *    fact log — redelivery may restate a fact with a new batch id,
+  *    never invent or lose one). */
+class StreamingDedupFileSpec extends AnyFunSuite with SparkFixture {
+
+  private def deleteDir(p: String): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+
+  private def drop(dir: String, name: String, rows: Seq[String]): Unit = {
+    val tmp = java.nio.file.Files.createTempFile("graft-sdedup", ".json")
+    java.nio.file.Files.writeString(tmp, rows.mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir, name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("a", "b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("file-source dedup stream: resume processes only new files, " +
+      "fresh-checkpoint redelivery converges to the bulk verdicts") {
+    import spark.implicits._
+    val base = "/tmp/graft-test-sdedup-file"
+    deleteDir(base)
+    val in = s"$base/in"; val root = s"$base/index"
+    val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    def json(r: (Long, String)) = {
+      val t = r._2.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"doc_id": ${r._1}, "text": "$t"}"""
+    }
+    val third = rows.length / 3
+
+    def run(checkpoint: String): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING").json(in)
+      val q = StreamingDedup.start(stream, "doc_id", "text",
+        threshold = 0.8, root, checkpoint, availableNow = true)
+      q.awaitTermination()
+    }
+
+    // cycle 1: first file
+    drop(in, "f1.json", rows.take(third).map(json))
+    run(ckpt)
+    val segsAfter1 = DedupIndex.segments(spark, root)
+    assert(segsAfter1.nonEmpty)
+
+    // cycle 2: nothing new — the restart must not touch the store
+    run(ckpt)
+    assert(DedupIndex.segments(spark, root) == segsAfter1,
+      "an empty restart must not add segments or rewrite old ones")
+
+    // cycle 3: two more files fold in against the prior store
+    drop(in, "f2.json", rows.slice(third, 2 * third).map(json))
+    drop(in, "f3.json", rows.drop(2 * third).map(json))
+    run(ckpt)
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length)
+    val bulk = pairSet(Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8))
+    assert(bulk.nonEmpty)
+    assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk)
+
+    // full redelivery, FRESH checkpoint: same files, batch ids reset —
+    // the store must not double and the verdict set must not change
+    run(s"$base/ckpt2")
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length,
+      "fresh-checkpoint redelivery must not duplicate the store")
+    assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
+      "fresh-checkpoint redelivery must not change the verdict set")
+    deleteDir(base)
+  }
+}
