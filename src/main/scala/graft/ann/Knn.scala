@@ -287,7 +287,11 @@ object Knn {
       val live = memberOf.indices.filter(memberOf(_).nonEmpty).toArray
       val coarseLive = live.map(coarse)
       val membersLive = live.map(memberOf)
-      udf { (v: Seq[Float]) =>
+      // input arrives cast to array<double> (see call sites): float
+      // corpora upcast losslessly, double corpora keep full precision
+      // — a Seq[Float] signature would silently truncate doubles and
+      // route borderline vectors differently than the label form
+      udf { (v: Seq[Double]) =>
         if (v == null) null
         else {
           // top-2 live coarse cells, then flat argmax over members
@@ -317,7 +321,7 @@ object Knn {
       // copies): fused into the same projection, the UDF would
       // re-evaluate once per exploded element (dim× the work —
       // measured as a 10-minute hang at 8×)
-      val assigned = train.select(argmaxUdf(cents)(col("v")).as("cell"),
+      val assigned = train.select(argmaxUdf(cents)(col("v").cast("array<double>")).as("cell"),
           col("v"))
         .repartition(train.sparkSession.sparkContext.defaultParallelism)
       val means = assigned
@@ -341,7 +345,8 @@ object Knn {
     // repartition(col)) keeps the expansion spread over the cluster.
     train.unpersist()
     val parts = base.sparkSession.sparkContext.defaultParallelism * 4
-    val withCell = base.withColumn("cell", argmaxUdf(cents)(col("v")))
+    val withCell = base.withColumn("cell",
+        argmaxUdf(cents)(col("v").cast("array<double>")))
       .repartition(parts, col("cell"))
       .localCheckpoint()
     clusterLocalKeepers(withCell, "cell", idCol, threshold)

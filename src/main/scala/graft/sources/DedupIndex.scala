@@ -233,7 +233,7 @@ object DedupIndex {
     // closure, not just srcs: see ShadowLog — dropping a prior
     // compaction target must not resurrect its crash relics
     ShadowLog.writeSources(fs, p, seg,
-      ShadowLog.sourcesClosure(srcs, shadowed))
+      ShadowLog.sourcesClosure(fs, p, srcs, shadowed))
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
     srcs.foreach(s => fs.delete(new Path(root, s), true))
     Some(seg)

@@ -42,10 +42,21 @@ object ShadowLog {
   }
 
   /** The `_sources` content a compaction of `srcs` must write: the
-    * direct sources plus everything they already shadowed. */
-  def sourcesClosure(srcs: Seq[String],
+    * direct sources plus every already-shadowed name whose directory
+    * is STILL ON DISK (a crash relic that must stay invisible).
+    * Shadowed names whose dirs are confirmed gone are pruned — they
+    * cannot resurrect, and without pruning the closure grows by the
+    * full batch-name history at every compaction of a long-lived
+    * stream. The one writer that could recreate a pruned name — a
+    * streaming batch replay — is covered by the existing contract
+    * that compaction never runs between a crash and its recovery;
+    * pruning only widens that to "…nor between the crash and TWO
+    * compaction+vacuum cycles", far outside any real checkpoint
+    * lag. */
+  def sourcesClosure(fs: FileSystem, base: Path, srcs: Seq[String],
       alreadyShadowed: Set[String]): Seq[String] =
-    (srcs ++ alreadyShadowed).distinct.sorted
+    (srcs ++ alreadyShadowed.filter(d => fs.exists(new Path(base, d))))
+      .distinct.sorted
 
   def readSources(fs: FileSystem, base: Path, dir: String): Seq[String] = {
     val sp = new Path(base, s"$dir/_sources")

@@ -88,10 +88,22 @@ object StreamingDedup {
     // arriving after compactPairs removed the per-batch dir must NOT
     // re-run — update() would first delete the still-present index
     // segment, defeating the first-wins guard, and re-emit verdicts
-    // the compact dir already holds
+    // the compact dir already holds. The shadow lookup reads ONLY
+    // committed compact-* targets' _sources (one listing + a handful
+    // of small reads), not a marker probe per pairs dir — this runs
+    // on every micro-batch's forward path and must stay O(compactions),
+    // not O(log length)
+    def shadowedBatches: Set[String] = {
+      val base = new Path(root, "pairs")
+      if (!fs.exists(base)) Set.empty
+      else fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("compact-"))
+        .filter(d => fs.exists(new Path(base, s"$d/_COMMITTED")))
+        .flatMap(d => graft.sources.ShadowLog.readSources(fs, base, d))
+        .toSet
+    }
     if (fs.exists(new Path(pairsDir, "_COMMITTED")) ||
-        graft.sources.ShadowLog.list(fs, new Path(root, "pairs"),
-          "_COMMITTED", _ => true)._2.contains(seg)) return
+        shadowedBatches.contains(seg)) return
     val res = DedupIndex.update(spark, root, batch, idCol, textCol,
       threshold, numHashes, bands, segmentName = Some(seg))
     res.pairs.withColumn("batch_id", lit(batchId))
@@ -151,7 +163,7 @@ object StreamingDedup {
     // closure is doubly load-bearing, since dedupBatch's replay
     // guard reads it to recognize compacted-away batches
     graft.sources.ShadowLog.writeSources(fs, p, seg,
-      graft.sources.ShadowLog.sourcesClosure(srcs, shadowed))
+      graft.sources.ShadowLog.sourcesClosure(fs, p, srcs, shadowed))
     fs.create(new Path(p, s"$seg/_COMMITTED"), true).close()
     srcs.foreach(d => fs.delete(new Path(p, d), true))
     Some(seg)

@@ -97,9 +97,10 @@ object Packing {
       .withColumn("n_chars", length(col(textCol)).cast("long"))
     sharded.repartition(col("shard"))
       .write.mode("error").partitionBy("shard").parquet(outDir)
-    docs.sparkSession.read.parquet(outDir)
-      // partition-column inference types `shard` as int; the manifest
-      // keeps shardStats' long schema
+    // explicit schema: inference dies on an EMPTY partitioned write
+    // (no footers), and it would type the shard partition column int
+    // — the manifest keeps shardStats' long schema either way
+    docs.sparkSession.read.schema(sharded.schema).parquet(outDir)
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
         sum("n_chars").as("n_chars"))

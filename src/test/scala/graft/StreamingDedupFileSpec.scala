@@ -50,7 +50,17 @@ class StreamingDedupFileSpec extends AnyFunSuite with SparkFixture {
       .select("doc_id", "text").localCheckpoint()
     val rows = docs.as[(Long, String)].collect().sortBy(_._1)
     def json(r: (Long, String)) = {
-      val t = r._2.replace("\\", "\\\\").replace("\"", "\\\"")
+      // control chars escaped too: a raw newline would split one
+      // record across lines and misdiagnose as an exactly-once bug
+      val t = r._2.flatMap {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       s"""{"doc_id": ${r._1}, "text": "$t"}"""
     }
     val third = rows.length / 3
