@@ -87,7 +87,9 @@ object Knn {
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-      .filter(col("sim") >= threshold)
+      // zero-norm vectors give 0/0 = NaN, which Spark orders ABOVE
+      // every double — an unguarded >= would assert similarity
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
   }
 
   /** Nearest-centroid assignment: per-label mean centroids (exact
@@ -178,7 +180,7 @@ object Knn {
       .filter(col("b") < col("a"))
       .select(col(cellCol), col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-      .filter(col("sim") >= threshold)
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .groupBy(col(cellCol), col("a"))
       .agg(min("b").as("dup_of"), min_by(col("sim"), col("b")).as("sim"))
       .select(col("a").as(idCol), col(cellCol).as("cluster"),
@@ -410,7 +412,7 @@ object Knn {
       .join(base.select(col("id").as("b"), col("v").as("vb"), col("nm").as("nb")), "b")
       .select(col("a"), col("b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-      .filter(col("sim") >= threshold)
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
   }
 
   /** Deterministic ±1 hyperplanes for the sign-LSH bucketing (fixed

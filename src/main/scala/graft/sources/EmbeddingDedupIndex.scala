@@ -38,7 +38,8 @@ import graft.functions.Registry
   */
 object EmbeddingDedupIndex {
 
-  case class Meta(threshold: Double, bands: Int, bits: Int)
+  case class Meta(threshold: Double, bands: Int, bits: Int,
+      maxBucket: Int)
 
   case class UpdateResult(segment: String, pairs: DataFrame)
 
@@ -51,13 +52,21 @@ object EmbeddingDedupIndex {
     * dropped (first write wins). */
   def update(spark: SparkSession, root: String, newVecs: DataFrame,
       idCol: String, vecCol: String, dim: Int, threshold: Double,
-      bands: Int = 10, bits: Int = 6,
+      bands: Int = 10, bits: Int = 6, maxBucket: Int = 500,
       segmentName: Option[String] = None): UpdateResult = {
     Registry.registerAll(spark)
-    val meta = readOrInitMeta(spark, root, Meta(threshold, bands, bits))
-    require(meta == Meta(threshold, bands, bits),
+    // loud bounds: bits > 63 silently wraps the bucket bit shift and
+    // bits <= 0 degenerates every vector into one bucket — and a bad
+    // geometry would be pinned in _meta.json forever
+    require(bits > 0 && bits <= 32, s"bits must be in [1, 32]: $bits")
+    require(bands > 0 && maxBucket > 0,
+      s"bands/maxBucket must be positive: $bands/$maxBucket")
+    val meta = readOrInitMeta(spark, root,
+      Meta(threshold, bands, bits, maxBucket))
+    require(meta == Meta(threshold, bands, bits, maxBucket),
       s"index at $root was built with $meta; updates must match " +
-        s"(got threshold=$threshold bands=$bands bits=$bits)")
+        s"(got threshold=$threshold bands=$bands bits=$bits " +
+        s"maxBucket=$maxBucket)")
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     segmentName.foreach { s =>
@@ -70,15 +79,22 @@ object EmbeddingDedupIndex {
     val rawBase = newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(Knn.dot(col(vecCol), col(vecCol))).as("nm"))
     // first write wins — replays and at-least-once sources converge
-    val base = (if (segs.isEmpty) rawBase
-      else rawBase.join(readSegs(spark, root, segs, "vecs",
+    // exactly one row per id even WITHIN a batch: an at-least-once
+    // source can redeliver inside one micro-batch, and the append-only
+    // log could never retract the double row
+    val base = (if (segs.isEmpty) rawBase.dropDuplicates("id")
+      else rawBase.dropDuplicates("id")
+        .join(readSegs(spark, root, segs, "vecs",
           "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE").select(col("id")),
         Seq("id"), "left_anti")).localCheckpoint()
 
+    // banding materialized once: candOld, both candNew sides and the
+    // segment write all read it (bands x bits dot products per row —
+    // the bulk path checkpoints its banded frame for the same reason)
     val newBands = base.select(col("id"), posexplode(array(
         (0 until bands).map(j =>
           Knn.lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
-      .as(Seq("band", "bucket")))
+      .as(Seq("band", "bucket"))).localCheckpoint()
     val storeBands = if (segs.isEmpty) newBands.limit(0)
       else readSegs(spark, root, segs, "bands",
         "band INT, bucket BIGINT, id BIGINT")
@@ -86,11 +102,23 @@ object EmbeddingDedupIndex {
       else readSegs(spark, root, segs, "vecs",
         "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE")
 
-    val candOld = newBands.as("x").join(storeBands.as("y"),
+    // the bulk path's oversized-bucket guard, incremental form: a
+    // bucket whose STORE+BATCH population exceeds maxBucket is
+    // dropped from candidate generation (hyperplane non-
+    // discrimination, not similarity — its quadratic tail would
+    // otherwise grow with the store and reproduce the 64x disk
+    // death); maxBucket is index geometry, pinned in _meta.json
+    val okBuckets = newBands.unionByName(storeBands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") <= maxBucket).drop("__sz")
+    val newB = newBands.join(broadcast(okBuckets), Seq("band", "bucket"))
+    val storeB = storeBands.join(broadcast(okBuckets), Seq("band", "bucket"))
+
+    val candOld = newB.as("x").join(storeB.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
       .select(least(col("x.id"), col("y.id")).as("a"),
         greatest(col("x.id"), col("y.id")).as("b"))
-    val candNew = newBands.as("x").join(newBands.as("y"),
+    val candNew = newB.as("x").join(newB.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
@@ -102,7 +130,10 @@ object EmbeddingDedupIndex {
         col("nm").as("nb")), "b")
       .select(col("a"), col("b"),
         (Knn.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
-      .filter(col("sim") >= threshold)
+      // NaN guard: a zero-norm vector (padded/failed encoder row)
+      // yields 0/0 = NaN, and Spark orders NaN above every double, so
+      // an unguarded >= would assert similarity for it
+      .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .localCheckpoint()
 
     val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
@@ -141,16 +172,17 @@ object EmbeddingDedupIndex {
       val in = fs.open(mp)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      val m = """\{"threshold":([0-9.eE+-]+),"bands":(\d+),"bits":(\d+)\}"""
+      val m = """\{"threshold":([0-9.eE+-]+),"bands":(\d+),"bits":(\d+),"maxBucket":(\d+)\}"""
         .r.findFirstMatchIn(txt.trim)
         .getOrElse(throw new IllegalStateException(
           s"unreadable embedding-dedup-index meta at $mp: $txt"))
-      Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt)
+      Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt,
+        m.group(4).toInt)
     } else {
       fs.mkdirs(new Path(root))
       val out = fs.create(mp, false)
       try out.write(
-        s"""{"threshold":${init.threshold},"bands":${init.bands},"bits":${init.bits}}"""
+        s"""{"threshold":${init.threshold},"bands":${init.bands},"bits":${init.bits},"maxBucket":${init.maxBucket}}"""
           .getBytes("UTF-8"))
       finally out.close()
       init
