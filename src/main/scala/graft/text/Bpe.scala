@@ -12,11 +12,23 @@ import org.apache.spark.sql.functions._
   *     shuffle over the corpus). This is the only pass that sees the
   *     data; 100 TB of text affects nothing else.
   *  2. BOUNDED: the merge loop runs on the collected (word, freq)
-  *     MODEL — vocabulary-sized (Heaps' law: ~millions of types at
-  *     web scale, like the IVF/centroid model collects), never
-  *     corpus-sized. Every production tokenizer trainer (HF,
-  *     sentencepiece) makes the same split; the driver loop is
-  *     O(merges × vocab) with per-word early exit.
+  *     MODEL — and the collect itself is HARD-BOUNDED, not merely
+  *     Heaps'-law-hopeful. Raw web text has a heavy tail of
+  *     one-off types (URLs, hex blobs, typos) that can push the
+  *     distinct-token count to 10^8–10^9; the driver never sees it:
+  *     a `minCount` floor drops singletons map-side and a `vocabCap`
+  *     top-N (count DESC, word ASC — a distributed
+  *     TakeOrderedAndProject, executors keep N rows each) caps what
+  *     ships. The driver holds ≤ vocabCap (word, freq) rows —
+  *     ≤ ~60 MB at the 1M default — the same model-sized-collect
+  *     contract as the IVF/PQ codebooks and the ≤2M union-find
+  *     bound in Dedup.resolveClusters. The truncation is the
+  *     standard BPE trainer practice (HF tokenizers / sentencepiece
+  *     both floor rare types): a type below the cap cannot win a
+  *     merge argmax against the head of a Zipfian vocabulary, so
+  *     the learned table is unchanged for any realistic nMerges;
+  *     at the driver gate corpus the vocabulary is far below both
+  *     bounds and the cap is the identity.
   *
   * Determinism: the best pair each step is (count DESC, left ASC,
   * right ASC) — a total order, so the merge table is a pure function
@@ -25,9 +37,10 @@ import org.apache.spark.sql.functions._
   * The learned table is the model artifact; applying it to text is a
   * map-side longest-match pass.
   *
-  * The query is rows-only at the driver gate (an N-step argmax chain
-  * is not SQL-expressible); BpeSpec pins hand-computed merges on a
-  * toy corpus and the monotone best-count invariant.
+  * The query is exact at the driver gate (the greedy chain is
+  * replayed in DuckDB as chained CTE stages — LlmQueries.bpeWithChain);
+  * BpeSpec pins hand-computed merges on a toy corpus and the
+  * monotone best-count invariant.
   */
 object Bpe {
 
@@ -36,16 +49,27 @@ object Bpe {
   private val Eow = "</w>"
 
   /** Learn `nMerges` merges from the corpus; returns one row per
-    * merge step: (step, left, right, pair_count, merged). */
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int)
-      : DataFrame = {
+    * merge step: (step, left, right, pair_count, merged).
+    *
+    * `vocabCap` / `minCount` bound the driver collect (see the
+    * class doc): at most `vocabCap` (word, freq) rows ever reach
+    * the driver, selected by (freq DESC, word ASC) so the
+    * truncation itself is deterministic. Defaults are the identity
+    * at gate scale and a hard OOM guard at corpus scale. */
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+      vocabCap: Int = 1000000, minCount: Long = 1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // tier 1: the one distributed pass — word frequencies
+    // tier 1: the one distributed pass — word frequencies, floored
+    // then top-N'd BEFORE the collect (TakeOrderedAndProject: each
+    // executor retains ≤ vocabCap rows, the driver merges heads).
     val wf = docs
       .select(explode(TextAnalysis.wsTokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("w").asc)
+      .limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     // tier 2: the merge loop on the vocabulary-sized model
     var words: Array[(Array[String], Long)] = wf.map { case (w, n) =>

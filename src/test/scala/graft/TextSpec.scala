@@ -84,6 +84,32 @@ class TextSpec extends AnyFunSuite with SparkFixture {
       (5, "lo", "w", 7L, "low")), merges.mkString(", "))
   }
 
+  test("bpe vocab cap and min-count floor bound the driver collect " +
+      "deterministically") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq("zebra")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    // defaults are the identity: same table as the uncapped call
+    val full = text.Bpe.learnMerges(docs, "text", nMerges = 5)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    val dflt = text.Bpe.learnMerges(docs, "text", nMerges = 5,
+      vocabCap = 1000000, minCount = 1L)
+      .orderBy("step").collect().map(_.toSeq).toSeq
+    assert(full == dflt)
+    // minCount=2 drops the singleton type "zebra" → identical to
+    // training on the Sennrich corpus without it
+    val floored = text.Bpe.learnMerges(docs, "text", nMerges = 5,
+      minCount = 2L).orderBy("step").collect().map(_.toSeq).toSeq
+    assert(floored == full, "singleton type must not affect merges")
+    // vocabCap=2 keeps only (newest×6, low×5): merges come from
+    // those two types alone — hand-computed head: (e,s)=6 wins first
+    val capped = text.Bpe.learnMerges(docs, "text", nMerges = 2,
+      vocabCap = 2).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(capped.head == (("e", "s", 6L)), capped.mkString(", "))
+  }
+
   test("bpe encode replays learned merges in order, hand-computed") {
     import spark.implicits._
     val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
