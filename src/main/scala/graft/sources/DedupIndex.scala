@@ -96,7 +96,16 @@ object DedupIndex {
     // that metadata walk must not run three times per micro-batch)
     val segs = segments(spark, root)
 
-    val rawSigs = Dedup.signatures(newDocs, idCol, textCol, numHashes, bands)
+    // dropDuplicates BEFORE the store check: an at-least-once source
+    // can redeliver a document INSIDE one micro-batch, and the store
+    // left-anti below only filters ids already committed — without
+    // this a within-batch duplicate is written twice into the
+    // append-only segment (unretractable) and fans out duplicate
+    // (a,b,j) rows in this and every future update. Same guard as
+    // EmbeddingDedupIndex.update
+    val rawSigs = Dedup
+      .signatures(newDocs, idCol, textCol, numHashes, bands)
+      .dropDuplicates("id")
     // an id already in the store is dropped, not re-indexed: the
     // segment log cannot retract the old rows, so re-ingesting would
     // permanently double the id's bands/sets (every future batch
@@ -214,13 +223,37 @@ object DedupIndex {
     * store; source directories are deleted after the commit, and a
     * crash inside that cleanup just leaves shadowed dirs for
     * [[vacuumShadowed]]. Returns the new segment name, or None when
-    * there is nothing to merge. */
+    * there is nothing to merge.
+    *
+    * Replay-pending guard (ENFORCED, not advisory): a streaming
+    * batch ([[graft.streaming.StreamingDedup]]) commits its index
+    * segment BEFORE its verdict log — a crash in between leaves a
+    * committed `…-batch-…` segment whose recovery will delete and
+    * rewrite it. Folding such a segment into a compaction target
+    * would let that rewrite re-append the batch's rows NEXT TO the
+    * compacted copy (double-counting the batch forever). So any
+    * source segment with `-batch-` in its name whose verdicts are
+    * not committed under `root/pairs` (neither a `_COMMITTED`
+    * marker nor shadowed by a committed pairs compaction) is
+    * EXCLUDED from this pass — compaction is now safe to run in the
+    * crash-recovery window, it simply leaves the replay-pending
+    * segment alone until its batch commits. */
   def compactSegments(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (srcs, shadowed) =
+    val (all, shadowed) =
       ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))
+    val pairsBase = new Path(root, "pairs")
+    val replayPending: Set[String] =
+      if (!all.exists(_.contains("-batch-")) || !fs.exists(pairsBase))
+        Set.empty
+      else {
+        val (vis, shad) = ShadowLog.list(fs, pairsBase, "_COMMITTED", _ => true)
+        val pairsCommitted = vis.toSet ++ shad
+        all.filter(s => s.contains("-batch-") && !pairsCommitted(s)).toSet
+      }
+    val srcs = all.filterNot(replayPending)
     if (srcs.size < 2) return None
     val seg = f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d-compact"

@@ -33,8 +33,10 @@ import graft.functions.Registry
   * bits with n and caps oversized buckets; an incremental store must
   * pin geometry at creation (signatures across segments must agree),
   * so `bits` here is an explicit knob — size it for the corpus you
-  * expect (log2(expected_n/256)), and rebuild the index to re-band,
-  * exactly like re-sharding any hash layout.
+  * expect (log2(expected_n/256)). When the corpus outgrows it, the
+  * store does NOT need re-ingesting: `vecs/` persists the raw
+  * vectors, so [[reband]] migrates the whole index to a new geometry
+  * in one read+rewrite under the existing shadow protocol.
   */
 object EmbeddingDedupIndex {
 
@@ -55,10 +57,14 @@ object EmbeddingDedupIndex {
       bands: Int = 10, bits: Int = 6, maxBucket: Int = 500,
       segmentName: Option[String] = None): UpdateResult = {
     Registry.registerAll(spark)
-    // loud bounds: bits > 63 silently wraps the bucket bit shift and
-    // bits <= 0 degenerates every vector into one bucket — and a bad
-    // geometry would be pinned in _meta.json forever
-    require(bits > 0 && bits <= 32, s"bits must be in [1, 32]: $bits")
+    // loud bounds: bits <= 0 degenerates every vector into one
+    // bucket, and the cap is 16 like the bulk path
+    // (Knn.nearDupPairsLsh) — 2^16 buckets per band already
+    // discriminates a billion-row store (expected 15k rows/bucket at
+    // 1e9), while an unbounded bits lets the per-band bucket space
+    // (and with it any bucket-census frame) outgrow executor memory.
+    // A bad geometry would be pinned in _meta.json forever
+    require(bits > 0 && bits <= 16, s"bits must be in [1, 16]: $bits")
     require(bands > 0 && maxBucket > 0,
       s"bands/maxBucket must be positive: $bands/$maxBucket")
     val meta = readOrInitMeta(spark, root,
@@ -69,6 +75,9 @@ object EmbeddingDedupIndex {
         s"maxBucket=$maxBucket)")
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(root, Intent)),
+      s"a reband of $root is in progress or crashed — rerun reband " +
+        "to converge the store before updating")
     segmentName.foreach { s =>
       require(s.startsWith("seg-"), s"segment name must start with seg-: $s")
       val sp = new Path(root, s)
@@ -107,12 +116,24 @@ object EmbeddingDedupIndex {
     // dropped from candidate generation (hyperplane non-
     // discrimination, not similarity — its quadratic tail would
     // otherwise grow with the store and reproduce the 64x disk
-    // death); maxBucket is index geometry, pinned in _meta.json
-    val okBuckets = newBands.unionByName(storeBands)
+    // death); maxBucket is index geometry, pinned in _meta.json.
+    // Census scope: only buckets the BATCH touches matter (every
+    // candidate join below is keyed on the batch's buckets), so the
+    // store side is semi-joined down to those buckets FIRST — the
+    // per-update census costs O(store rows in batch buckets), not a
+    // full-store re-aggregation as the store grows. No broadcast
+    // hints: the batch-bucket set is batch-sized and the census
+    // batch-bucket-bounded, so AQE picks broadcast when they fit and
+    // degrades to shuffle joins when a pathological batch doesn't —
+    // a forced broadcast() here was an OOM waiting for a big batch
+    val batchBuckets = newBands.select("band", "bucket").distinct()
+    val storeTouched = storeBands.join(batchBuckets,
+      Seq("band", "bucket"), "left_semi")
+    val okBuckets = newBands.unionByName(storeTouched)
       .groupBy("band", "bucket").agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") <= maxBucket).drop("__sz")
-    val newB = newBands.join(broadcast(okBuckets), Seq("band", "bucket"))
-    val storeB = storeBands.join(broadcast(okBuckets), Seq("band", "bucket"))
+    val newB = newBands.join(okBuckets, Seq("band", "bucket"))
+    val storeB = storeTouched.join(okBuckets, Seq("band", "bucket"))
 
     val candOld = newB.as("x").join(storeB.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
@@ -144,6 +165,87 @@ object EmbeddingDedupIndex {
     UpdateResult(seg, pairs)
   }
 
+  /** Migrate the store to a NEW LSH geometry without re-ingesting:
+    * the vectors are the source of truth (`vecs/` persists them
+    * precisely so detection artifacts stay derivable), so rebanding
+    * is one read of the committed vectors + one rewrite of the band
+    * rows into a single segment that shadows every prior one —
+    * O(store) once, vs O(corpus re-delivery) for a rebuild. The use
+    * case is the corpus outgrowing its creation-time `bits` (the
+    * log2(n/256) sizing): re-shard the hash layout in place.
+    *
+    * Crash safety — the danger is a HALF-FLIPPED store (meta says
+    * one geometry, visible bands another: updates would sign with
+    * one hash and probe buckets built with a different one, a silent
+    * recall hole, which is why geometry mismatch is a loud error
+    * everywhere else). Protocol:
+    *  1. `_reband` intent lands first (carrying the full target
+    *     meta); [[update]] REFUSES while it exists;
+    *  2. new bands + copied vecs + `_sources` closure + `_SUCCESS`
+    *     commit the segment under the shadow protocol;
+    *  3. `_meta.json` is overwritten with the target geometry;
+    *  4. the intent is cleared and shadowed sources deleted.
+    * A crash at any point re-converges by calling reband again with
+    * the same target: the intent pins the target (a different one is
+    * rejected loudly), every committed generation carries the full
+    * vecs, and steps 2–4 are idempotent. Threshold is preserved —
+    * reband migrates the hash layout, not the detection contract.
+    * Same single-maintenance-writer discipline as compaction. */
+  def reband(spark: SparkSession, root: String, bands: Int, bits: Int,
+      maxBucket: Int): String = {
+    Registry.registerAll(spark)
+    require(bits > 0 && bits <= 16, s"bits must be in [1, 16]: $bits")
+    require(bands > 0 && maxBucket > 0,
+      s"bands/maxBucket must be positive: $bands/$maxBucket")
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val intentP = new Path(root, Intent)
+    val target =
+      if (fs.exists(intentP)) {
+        // crashed reband: the intent is the contract — recovery must
+        // finish THAT migration, not start a different one
+        val t = parseMeta(readSmall(fs, intentP), intentP)
+        require(t.bands == bands && t.bits == bits &&
+          t.maxBucket == maxBucket,
+          s"a crashed reband to $t is pending at $root; rerun with " +
+            s"that geometry to converge (got bands=$bands bits=$bits " +
+            s"maxBucket=$maxBucket)")
+        t
+      } else {
+        val mp = new Path(root, "_meta.json")
+        require(fs.exists(mp), s"no index at $root")
+        val old = parseMeta(readSmall(fs, mp), mp)
+        val t = Meta(old.threshold, bands, bits, maxBucket)
+        val out = fs.create(intentP, false)
+        try out.write(metaJson(t).getBytes("UTF-8")) finally out.close()
+        t
+      }
+    val (segs, shadowed) = ShadowLog.list(fs, p, "_SUCCESS",
+      _.startsWith("seg-"))
+    require(segs.nonEmpty, s"nothing to reband at $root")
+    // materialize BEFORE any write: the vecs read must see the
+    // pre-reband store even while this pass rewrites it
+    val vecs = readSegs(spark, root, segs, "vecs",
+      "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE").localCheckpoint()
+    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    val newBands = vecs.select(col("id"), posexplode(array(
+        (0 until bands).map(j =>
+          Knn.lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
+      .as(Seq("band", "bucket")))
+    val seg = f"seg-${System.currentTimeMillis()}%013d-${
+      saveSeq.incrementAndGet()}%04d-reband"
+    newBands.write.parquet(s"$root/$seg/bands")
+    vecs.write.parquet(s"$root/$seg/vecs")
+    ShadowLog.writeSources(fs, p, seg,
+      ShadowLog.sourcesClosure(fs, p, segs, shadowed))
+    fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    val out = fs.create(new Path(root, "_meta.json"), true)
+    try out.write(metaJson(target).getBytes("UTF-8")) finally out.close()
+    fs.delete(intentP, false)
+    segs.foreach(s => fs.delete(new Path(root, s), true))
+    seg
+  }
+
   def currentVecs(spark: SparkSession, root: String): DataFrame =
     readSegs(spark, root, segments(spark, root), "vecs",
       "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE")
@@ -163,27 +265,40 @@ object EmbeddingDedupIndex {
       case ss => spark.read.parquet(ss.map(s => s"$root/$s/$table"): _*)
     }
 
+  /** Reband intent marker: present from the moment a reband starts
+    * until its meta flip completes — updates refuse while it exists,
+    * closing the half-flipped-geometry window. */
+  private val Intent = "_reband"
+
+  private def metaJson(m: Meta): String =
+    s"""{"threshold":${m.threshold},"bands":${m.bands},"bits":${m.bits},"maxBucket":${m.maxBucket}}"""
+
+  private def parseMeta(txt: String, at: Path): Meta = {
+    val m = """\{"threshold":([0-9.eE+-]+),"bands":(\d+),"bits":(\d+),"maxBucket":(\d+)\}"""
+      .r.findFirstMatchIn(txt.trim)
+      .getOrElse(throw new IllegalStateException(
+        s"unreadable embedding-dedup-index meta at $at: $txt"))
+    Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt,
+      m.group(4).toInt)
+  }
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   private def readOrInitMeta(spark: SparkSession, root: String,
       init: Meta): Meta = {
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val mp = new Path(root, "_meta.json")
-    if (fs.exists(mp)) {
-      val in = fs.open(mp)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val m = """\{"threshold":([0-9.eE+-]+),"bands":(\d+),"bits":(\d+),"maxBucket":(\d+)\}"""
-        .r.findFirstMatchIn(txt.trim)
-        .getOrElse(throw new IllegalStateException(
-          s"unreadable embedding-dedup-index meta at $mp: $txt"))
-      Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt,
-        m.group(4).toInt)
-    } else {
+    if (fs.exists(mp)) parseMeta(readSmall(fs, mp), mp)
+    else {
       fs.mkdirs(new Path(root))
       val out = fs.create(mp, false)
-      try out.write(
-        s"""{"threshold":${init.threshold},"bands":${init.bands},"bits":${init.bits},"maxBucket":${init.maxBucket}}"""
-          .getBytes("UTF-8"))
+      try out.write(metaJson(init).getBytes("UTF-8"))
       finally out.close()
       init
     }

@@ -24,10 +24,17 @@ import graft.sources.DedupIndex
   *
   * Exactly-once under crash recovery: foreachBatch redelivers a
   * batch whose offsets were not committed, so every on-disk artifact
-  * is keyed by BATCH ID — the index segment is `seg-batch-<id>`
-  * (DedupIndex deletes + rewrites a replayed segment before reading
-  * the store, so recomputation sees the pre-batch state), and the
-  * pairs log directory for the batch is overwritten, not appended.
+  * is keyed by (CHECKPOINT EPOCH, BATCH ID) — the index segment is
+  * `seg-<epoch>-batch-<id>` (DedupIndex deletes + rewrites a
+  * replayed segment before reading the store, so recomputation sees
+  * the pre-batch state), and the pairs log directory for the batch
+  * is overwritten, not appended. The epoch is the streaming query id
+  * Spark pins in `<checkpoint>/metadata`: stable across every
+  * restart of the SAME checkpoint (so replays stay idempotent), and
+  * fresh the moment the checkpoint is reset — without it, a reset
+  * checkpoint over a kept store would reuse batch ids 0..n, land a
+  * batch of NEW documents on a previously committed id, hit the
+  * replay guard below, and silently never index it.
   * The pairs `_COMMITTED` marker is written LAST — by THIS code, not
   * Spark's job committer, because the implicit job-level `_SUCCESS`
   * is absent under `mapreduce.fileoutputcommitter.marksuccessfuljobs
@@ -39,10 +46,12 @@ import graft.sources.DedupIndex
   *
   * The per-micro-batch segments this writer accumulates are exactly
   * the many-small-segments tail [[DedupIndex.compactSegments]]
-  * exists for; run it while the stream is stopped or healthy — not
-  * in the window between a crash and its recovery, where a torn
-  * batch's committed segment could be folded away before the replay
-  * that expects to rewrite it.
+  * exists for — and since r8 that pass ENFORCES the recovery-window
+  * guard itself: a `-batch-` segment whose verdicts are not yet
+  * committed under `root/pairs` is replay-pending and excluded from
+  * compaction, so a torn batch's segment can no longer be folded
+  * away before the replay that expects to rewrite it (previously a
+  * scaladoc warning the operator had to obey).
   *
   * Layout (extends the [[DedupIndex]] root):
   * {{{
@@ -65,22 +74,58 @@ object StreamingDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // epoch resolved lazily INSIDE the callback: Spark writes
+        // <checkpoint>/metadata during query construction, so it
+        // exists by the first batch — and resolving it per batch (one
+        // memoized tiny read) keeps this closure free of driver state
+        // that a restart would stale
         dedupBatch(batch, batchId, idCol, textCol, threshold, root,
-          numHashes, bands)
+          numHashes, bands,
+          epoch = Some(checkpointEpoch(batch.sparkSession, checkpoint)))
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
 
+  /** Stable incarnation id of a checkpoint: the streaming query id
+    * Spark persists in `<checkpoint>/metadata` — identical across
+    * restarts of the same checkpoint, regenerated when the
+    * checkpoint is reset. 8 hex chars is collision-safe for the
+    * handful of incarnations a store ever sees. */
+  private[graft] def checkpointEpoch(spark: SparkSession,
+      checkpoint: String): String =
+    epochCache.getOrElseUpdate(checkpoint, {
+      val p = new Path(checkpoint, "metadata")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(p),
+        s"no streaming metadata at $p — epoch is only resolvable " +
+          "under a started query's checkpoint")
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(
+          s"unreadable query id in $p: $txt"))
+        .group(1).replace("-", "").take(8)
+    })
+
+  private val epochCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** One micro-batch: detect against the store, append the segment,
-    * publish the verdicts. Idempotent per (root, batchId) — see the
-    * object doc's crash-recovery contract. */
+    * publish the verdicts. Idempotent per (root, epoch, batchId) —
+    * see the object doc's crash-recovery contract. `epoch = None`
+    * (direct harness/test callers without a checkpoint) drops the
+    * epoch component and keys by batch id alone. */
   private[graft] def dedupBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, threshold: Double, root: String,
-      numHashes: Int, bands: Int): Unit = {
+      numHashes: Int, bands: Int, epoch: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val seg = f"seg-batch-$batchId%010d"
+    val seg = epoch match {
+      case Some(e) => f"seg-$e%s-batch-$batchId%010d"
+      case None => f"seg-batch-$batchId%010d"
+    }
     val pairsDir = new Path(root, s"pairs/$seg")
     val fs = pairsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // committed = own marker present, OR folded into a compaction

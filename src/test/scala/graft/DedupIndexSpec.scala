@@ -44,6 +44,35 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
     assert(DedupIndex.currentSets(spark, root).count() == docs.count())
   }
 
+  test("a within-batch duplicate id is indexed once, no self-pairs") {
+    // at-least-once sources can redeliver INSIDE one micro-batch; the
+    // store left-anti only filters prior segments, so without the
+    // batch-local dropDuplicates the id's rows land twice in the
+    // append-only segment (r7 ADVICE)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val root = Files.createTempDirectory("dedup-index-dup").toString
+    val batch = docs.limit(40).unionByName(docs.limit(15)) // 15 ids twice
+    val r = DedupIndex.update(spark, root, batch, "doc_id", "text",
+      threshold = 0.8)
+    assert(DedupIndex.currentSets(spark, root).count() == 40,
+      "each id exactly once in the segment")
+    assert(r.pairs.filter(col("a") === col("b")).isEmpty,
+      "no degenerate self-pairs")
+    // the duplicate must also not fan out future verdicts: re-check
+    // the same 15 docs under fresh ids — a store id indexed twice
+    // would match its sets row twice and emit each (a, b) verdict
+    // twice (candidate distinct() cannot dedup a sets-join fan-out)
+    val probe = docs.limit(15).withColumn("doc_id",
+      col("doc_id") + 1000000L)
+    val p2 = DedupIndex.update(spark, root, probe, "doc_id", "text",
+      threshold = 0.8).pairs
+    assert(p2.filter(col("b") >= 1000000L).count() > 0,
+      "probes are exact copies — pairs must exist")
+    assert(p2.groupBy("a", "b").count().filter(col("count") > 1).isEmpty,
+      "a store id indexed twice would emit duplicate verdict rows")
+  }
+
   test("uncommitted segment (no _SUCCESS) is invisible to readers") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").filter(col("doc_id") < 30)

@@ -80,4 +80,74 @@ class EmbeddingDedupIndexSpec extends AnyFunSuite with SparkFixture {
     }
     assert(e.getMessage.contains("must match"))
   }
+
+  test("reband migrates to a new geometry in place: probe equals a " +
+      "fresh index, crash mid-reband refuses updates then converges") {
+    val root = Files.createTempDirectory("emb-dedup-reband").toString
+    val th = 0.9
+    val store = corpus.filter(col("vec_id") =!= 0L)
+    val probe = corpus.filter(col("vec_id") === 0L) // near-dups 1000L
+    EmbeddingDedupIndex.update(spark, root, store,
+      "vec_id", "embedding", dim, th) // creation geometry 10/6/500
+    // migrate to a finer layout, as if the corpus outgrew 6 bits
+    val seg = EmbeddingDedupIndex.reband(spark, root,
+      bands = 12, bits = 8, maxBucket = 300)
+    assert(EmbeddingDedupIndex.segments(spark, root) == Seq(seg),
+      "one reband segment shadows the whole prior store")
+    assert(EmbeddingDedupIndex.currentVecs(spark, root).count()
+      == store.count(), "reband must carry every vector over")
+    // old geometry now fails loudly; new geometry is the contract
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingDedupIndex.update(spark, root, probe,
+        "vec_id", "embedding", dim, th)
+    }
+    assert(e.getMessage.contains("must match"))
+    // probing the rebanded store == probing a fresh store built at
+    // the target geometry (hyperplanes are seed-derived, so equal
+    // geometry means equal buckets means equal candidates)
+    val fresh = Files.createTempDirectory("emb-dedup-reband-fresh").toString
+    EmbeddingDedupIndex.update(spark, fresh, store, "vec_id", "embedding",
+      dim, th, bands = 12, bits = 8, maxBucket = 300)
+    val gotFresh = pairSet(EmbeddingDedupIndex.update(spark, fresh, probe,
+      "vec_id", "embedding", dim, th, bands = 12, bits = 8,
+      maxBucket = 300).pairs)
+    val gotReband = pairSet(EmbeddingDedupIndex.update(spark, root, probe,
+      "vec_id", "embedding", dim, th, bands = 12, bits = 8,
+      maxBucket = 300).pairs)
+    assert(gotFresh.nonEmpty, "probe must find its planted near-dup")
+    assert(gotReband == gotFresh,
+      s"rebanded != fresh: missing=${(gotFresh -- gotReband).take(5)} " +
+        s"extra=${(gotReband -- gotFresh).take(5)}")
+
+    // crash mid-reband: intent present, segment not yet committed —
+    // updates must refuse, a DIFFERENT target must be rejected, and
+    // rerunning the SAME reband converges
+    val root2 = Files.createTempDirectory("emb-dedup-reband-crash").toString
+    EmbeddingDedupIndex.update(spark, root2, store,
+      "vec_id", "embedding", dim, th)
+    val fs = new org.apache.hadoop.fs.Path(root2).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root2, "_reband"), false)
+    try out.write(
+      s"""{"threshold":$th,"bands":12,"bits":8,"maxBucket":300}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    val eu = intercept[IllegalArgumentException] {
+      EmbeddingDedupIndex.update(spark, root2, probe,
+        "vec_id", "embedding", dim, th)
+    }
+    assert(eu.getMessage.contains("reband"))
+    val ed = intercept[IllegalArgumentException] {
+      EmbeddingDedupIndex.reband(spark, root2, bands = 9, bits = 7,
+        maxBucket = 200)
+    }
+    assert(ed.getMessage.contains("pending"))
+    EmbeddingDedupIndex.reband(spark, root2, bands = 12, bits = 8,
+      maxBucket = 300)
+    val gotRecovered = pairSet(EmbeddingDedupIndex.update(spark, root2,
+      probe, "vec_id", "embedding", dim, th, bands = 12, bits = 8,
+      maxBucket = 300).pairs)
+    assert(gotRecovered == gotFresh,
+      "recovered reband must converge to the fresh-index geometry")
+  }
 }

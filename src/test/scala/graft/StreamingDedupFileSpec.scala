@@ -15,11 +15,16 @@ import graft.streaming.StreamingDedup
   *    store's segment list stays put);
   *  - a restart with new files dedups ONLY those against the store;
   *  - full redelivery against a FRESH checkpoint converges: batch
-  *    ids restart at 0, the batch-id-named segment is rewritten, the
+  *    ids restart at 0 but the fresh checkpoint carries a fresh
+  *    EPOCH, so the redelivered batch lands in its own segment, the
   *    first-wins re-ingest guard drops already-indexed ids, and the
   *    verdict SET equals the bulk pipeline's (the pairs log is a
   *    fact log — redelivery may restate a fact with a new batch id,
-  *    never invent or lose one). */
+  *    never invent or lose one);
+  *  - a checkpoint RESET over a kept store must not swallow NEW
+  *    documents whose batch id collides with a previously committed
+  *    one (r7 ADVICE: without the epoch key this was silent data
+  *    loss). */
 class StreamingDedupFileSpec extends AnyFunSuite with SparkFixture {
 
   private def deleteDir(p: String): Unit =
@@ -101,6 +106,20 @@ class StreamingDedupFileSpec extends AnyFunSuite with SparkFixture {
       "fresh-checkpoint redelivery must not duplicate the store")
     assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
       "fresh-checkpoint redelivery must not change the verdict set")
+
+    // checkpoint RESET, store kept, and a genuinely NEW document in
+    // the first batch of the new incarnation — its batch id (0)
+    // collides with ids every prior incarnation committed; the epoch
+    // key must keep the replay guard from swallowing it
+    val newId = rows.map(_._1).max + 1
+    drop(in, "f4.json", Seq(json((newId, rows.head._2))))
+    run(s"$base/ckpt3")
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length + 1,
+      "a new doc after checkpoint reset must be indexed, not " +
+        "swallowed by a colliding committed batch id")
+    assert(pairSet(StreamingDedup.currentPairs(spark, root))
+      .contains((rows.head._1, newId)),
+      "the new doc's near-dup pair against the old store must surface")
     deleteDir(base)
   }
 }

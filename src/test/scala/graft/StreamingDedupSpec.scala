@@ -62,16 +62,19 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     // (AvailableNow may coalesce addData groups, so the batch's true
     // membership is read back from its own segment, not assumed.)
     val segsBefore = DedupIndex.segments(spark, root)
-    val lastBatch = segsBefore.filter(_.startsWith("seg-batch-"))
-      .map(_.stripPrefix("seg-batch-").toLong).max
+    // started-query segments are epoch-keyed: seg-<epoch>-batch-<id>
+    val ep = StreamingDedup.checkpointEpoch(spark, ckpt)
+    val segPrefix = s"seg-$ep-batch-"
+    val lastBatch = segsBefore.filter(_.startsWith(segPrefix))
+      .map(_.stripPrefix(segPrefix).toLong).max
     val lastIds = spark.read
-      .parquet(f"$root/seg-batch-$lastBatch%010d/sets")
+      .parquet(f"$root/$segPrefix%s$lastBatch%010d/sets")
       .select("id").as[Long].collect().toSet
     val lastRows = rows.filter(r => lastIds.contains(r._1))
     val pairsBefore = StreamingDedup.currentPairs(spark, root).count()
     StreamingDedup.dedupBatch(
       lastRows.toSeq.toDF("doc_id", "text"), lastBatch,
-      "doc_id", "text", 0.8, root, 30, 6)
+      "doc_id", "text", 0.8, root, 30, 6, epoch = Some(ep))
     assert(DedupIndex.segments(spark, root) == segsBefore)
     assert(StreamingDedup.currentPairs(spark, root).count() == pairsBefore)
     assert(DedupIndex.currentSets(spark, root).count() == rows.length)
@@ -79,10 +82,10 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     // torn-batch replay: a segment that committed WITHOUT its pairs
     // marker (crash between the two) must be rewritten, not doubled
     org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File(f"$root/pairs/seg-batch-$lastBatch%010d"))
+      new java.io.File(f"$root/pairs/$segPrefix%s$lastBatch%010d"))
     StreamingDedup.dedupBatch(
       lastRows.toSeq.toDF("doc_id", "text"), lastBatch,
-      "doc_id", "text", 0.8, root, 30, 6)
+      "doc_id", "text", 0.8, root, 30, 6, epoch = Some(ep))
     assert(DedupIndex.currentSets(spark, root).count() == rows.length,
       "replay after a torn pairs write must not duplicate index rows")
     assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
@@ -105,7 +108,7 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     val segsAfterCompact = DedupIndex.segments(spark, root)
     StreamingDedup.dedupBatch(
       lastRows.toSeq.toDF("doc_id", "text"), lastBatch,
-      "doc_id", "text", 0.8, root, 30, 6)
+      "doc_id", "text", 0.8, root, 30, 6, epoch = Some(ep))
     assert(DedupIndex.segments(spark, root) == segsAfterCompact,
       "replay of a compacted-away batch must not touch the index")
     assert(StreamingDedup.currentPairs(spark, root)
@@ -137,5 +140,49 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     assert(StreamingDedup.vacuumPairs(spark, root).contains(relic))
     assert(StreamingDedup.currentPairs(spark, root)
       .collect().map(_.toSeq).toSet == rowsBefore)
+  }
+
+  test("index compaction refuses replay-pending batch segments: " +
+      "crash a batch, compact, replay still converges") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val third = rows.length / 3
+    val base = "/tmp/graft-test-streamdedup-guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"
+    def deliver(id: Long, rs: Seq[(Long, String)]): Unit =
+      StreamingDedup.dedupBatch(rs.toDF("doc_id", "text"), id,
+        "doc_id", "text", 0.8, root, 30, 6)
+    deliver(0, rows.take(third).toSeq)
+    deliver(1, rows.slice(third, 2 * third).toSeq)
+    deliver(2, rows.drop(2 * third).toSeq)
+    // crash batch 2 between its index commit and its pairs commit:
+    // the index segment exists, the verdicts do not — recovery WILL
+    // replay this batch and expects to delete + rewrite its segment
+    val torn = "seg-batch-0000000002"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$root/pairs/$torn"))
+    // compaction in the crash-recovery window: must fold ONLY the
+    // two committed batches and leave the replay-pending one alone
+    val compacted = DedupIndex.compactSegments(spark, root)
+    assert(compacted.nonEmpty)
+    val segsAfter = DedupIndex.segments(spark, root)
+    assert(segsAfter.contains(torn),
+      s"replay-pending segment must survive compaction: $segsAfter")
+    assert(segsAfter.size == 2, s"two committed folded into one: $segsAfter")
+    // recovery replays batch 2 — the rewrite must land exactly once
+    deliver(2, rows.drop(2 * third).toSeq)
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length,
+      "replay after guarded compaction must not lose or double docs")
+    val bulk = pairSet(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
+      "verdict log must converge after guarded compaction + replay")
+    // with the batch committed, the next compaction may fold it
+    assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+    assert(DedupIndex.segments(spark, root).size == 1)
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length)
   }
 }
