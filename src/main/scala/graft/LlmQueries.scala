@@ -118,8 +118,9 @@ object LlmQueries {
     "d_neardup_lsh" -> { (s, d) =>
       // scale path of d_neardup_embedding: banded sign-LSH candidates
       // + exact verification instead of the n² pair join; recall vs
-      // the exact pairs is pinned in AnnSpec (rows-only here — the
-      // candidate set is hash-dependent)
+      // the exact pairs is pinned in AnnSpec. EXACT oracle since r8:
+      // the hyperplanes are md5-derived, so DuckDB replays the whole
+      // band/bucket/verify pipeline including the log2(n/256) bits
       Knn.nearDupPairsLsh(Tables.embeddings(s, d), "vec_id", "embedding",
           dim, threshold = 0.35, bands = 12, bitsPerBand = 3)
         .select(col("a"), col("b"), round(col("sim"), 4).as("sim"))
@@ -146,6 +147,8 @@ object LlmQueries {
     },
 
     "e_knn_lsh" -> { (s, d) =>
+      // EXACT oracle since r8 — md5-derived hyperplanes make the
+      // bucket computation engine-independent (see Knn.hyperplanes)
       val emb = Tables.embeddings(s, d)
       Knn.lshTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", dim, k = 5)
@@ -1060,6 +1063,97 @@ object LlmQueries {
            FROM sims)
          SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim
          FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // replays the sign-LSH pipeline code-for-code: hyperplane cell
+    // (j, i) sign = parity of the first hex digit of
+    // md5('lsh:<seed>:<j>:<i>') — the same strings Knn.hyperplanes
+    // hashes driver-side (seed 7 is lshBucket's default family).
+    // Bucket = sum of 2^j over positive dots, single-probe join,
+    // exact cosine re-rank
+    "e_knn_lsh" ->
+      """WITH hp AS (
+           SELECT t1.j, t2.i,
+             CASE WHEN strpos('13579bdf', substring(md5(
+                 'lsh:7:' || t1.j::VARCHAR || ':' || t2.i::VARCHAR), 1, 1)) > 0
+               THEN 1.0 ELSE -1.0 END AS s
+           FROM range(0, 8) t1(j), range(0, 64) t2(i)),
+         dots AS (
+           SELECT e.vec_id, hp.j,
+             sum(e.embedding[hp.i + 1]::DOUBLE * hp.s) AS dj
+           FROM embeddings e, hp GROUP BY e.vec_id, hp.j),
+         b AS (
+           SELECT vec_id,
+             sum(CASE WHEN dj > 0 THEN 1 << j ELSE 0 END) AS bucket
+           FROM dots GROUP BY vec_id),
+         sims AS (
+           SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE))))
+               AS sim
+           FROM b qb
+           JOIN b cb ON cb.bucket = qb.bucket AND cb.vec_id <> qb.vec_id
+           JOIN embeddings qe ON qe.vec_id = qb.vec_id
+           JOIN embeddings ce ON ce.vec_id = cb.vec_id
+           WHERE qb.vec_id < 10),
+         ranked AS (
+           SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY sim DESC, neighbor_id) AS rk
+           FROM sims)
+         SELECT query_id, neighbor_id, rk, round(sim, 4) AS sim
+         FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""",
+    // the banded variant: 12 independent md5 hyperplane families
+    // (band b's seed = 1000003*(b+1), Knn.lshBucketSeeded), bits
+    // scaled to the corpus exactly like the Spark path
+    // (min(16, max(3, ceil(log2(n/256)))) at bitsPerBand=3), buckets
+    // over 500 dropped, candidates distinct, exact cosine >= 0.35
+    "d_neardup_lsh" ->
+      """WITH geo AS (
+           SELECT least(16, greatest(3,
+             CAST(ceil(ln(count(*) / 256.0) / ln(2)) AS INT))) AS bits
+           FROM embeddings),
+         hp AS (
+           SELECT bd.band, t1.j, t2.i,
+             CASE WHEN strpos('13579bdf', substring(md5(
+                 'lsh:' || (1000003 * (bd.band + 1))::VARCHAR || ':'
+                   || t1.j::VARCHAR || ':' || t2.i::VARCHAR), 1, 1)) > 0
+               THEN 1.0 ELSE -1.0 END AS s
+           FROM range(0, 12) bd(band), range(0, 16) t1(j),
+                range(0, 64) t2(i), geo
+           WHERE t1.j < geo.bits),
+         dots AS (
+           SELECT e.vec_id, hp.band, hp.j,
+             sum(e.embedding[hp.i + 1]::DOUBLE * hp.s) AS dj
+           FROM embeddings e, hp GROUP BY e.vec_id, hp.band, hp.j),
+         bk AS (
+           SELECT vec_id, band,
+             sum(CASE WHEN dj > 0 THEN 1 << j ELSE 0 END) AS bucket
+           FROM dots GROUP BY vec_id, band),
+         ok AS (SELECT band, bucket FROM bk
+                GROUP BY band, bucket HAVING count(*) <= 500),
+         pruned AS (SELECT bk.* FROM bk JOIN ok USING (band, bucket)),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM pruned x JOIN pruned y
+             ON y.band = x.band AND y.bucket = x.bucket
+               AND x.vec_id < y.vec_id),
+         sims AS (
+           SELECT cand.a, cand.b,
+             list_sum(list_transform(range(1, 65),
+               i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE)))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))))
+               AS sim
+           FROM cand
+           JOIN embeddings ea ON ea.vec_id = cand.a
+           JOIN embeddings eb ON eb.vec_id = cand.b)
+         SELECT a, b, round(sim, 4) AS sim FROM sims
+         WHERE sim >= 0.35 ORDER BY a, b""",
     "t_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re_tokens,

@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Registry
@@ -416,13 +415,22 @@ object Knn {
   }
 
   /** Deterministic ±1 hyperplanes for the sign-LSH bucketing (fixed
-    * hash-derived pattern, no stored model). */
+    * hash-derived pattern, no stored model). Derived from md5 over a
+    * canonical cell string — NOT a JVM RNG and not XXH64 — so the
+    * whole bucket computation is replayable by any engine with an
+    * md5() builtin: the DuckDB oracles for e_knn_lsh / d_neardup_lsh
+    * rebuild this exact table from the same strings (the g_walks
+    * md5-argmin convention). Cost is driver-side and model-sized
+    * (bits×dim md5 calls ≤ 1024 per band). */
   private[graft] def hyperplanes(dim: Int, bits: Int,
       seed: Long = 7L): Seq[Array[Double]] =
     (0 until bits).map { j =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(dim) { i =>
-        if ((XXH64.hashLong((j.toLong << 32) | i.toLong, seed) & 1L) == 1L) 1.0
-        else -1.0
+        val d = md.digest(s"lsh:$seed:$j:$i".getBytes("UTF-8"))
+        // parity of the first hex digit (= high nibble of byte 0):
+        // in SQL, strpos('13579bdf', substring(md5(s), 1, 1)) > 0
+        if (((d(0) >> 4) & 1) == 1) 1.0 else -1.0
       }
     }
 
