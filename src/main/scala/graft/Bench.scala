@@ -5,13 +5,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master for multi-executor
+    // probes — e.g. local-cluster[2,16,36864] runs two REAL executor
+    // JVMs (separate heaps, real shuffle fabric, closure
+    // serialization), the shape local[N] can't exercise.
+    // SPARK_GRAFT_EXEC_MEM / SPARK_GRAFT_EXEC_CP size those executors
+    // (extraClassPath must carry the graft classes: local-cluster
+    // executors don't inherit the driver's -cp)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXEC_MEM")
+      .foreach(m => builder.config("spark.executor.memory", m))
+    sys.env.get("SPARK_GRAFT_EXEC_CP")
+      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    val spark = builder.getOrCreate()
     // ERROR, not WARN: registry-replacement WARNs otherwise land in
     // the captured bench tail right around the one JSON output line
     spark.sparkContext.setLogLevel("ERROR")

@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   *    one-row exchange.
   *  - Perplexity is the classic two-pass shape: vocab counts are one
   *    partial-aggregated shuffle (vocab-sized, not corpus-sized), the
-  *    per-token log-probability join is a broadcast (vocabularies fit
-  *    in memory by Heaps' law even at 100 TB corpus scale — ~millions
-  *    of types), and the per-doc re-aggregation partial-aggregates
-  *    before its single shuffle on doc id.
+  *    per-token log-probability join goes UN-hinted — Heaps' law
+  *    bounds curated-text vocabularies to millions of types, but raw
+  *    web corpora carry a 10^8–10^9 one-off-token tail (the same
+  *    tail the BPE collect caps), so this library refuses to promise
+  *    a driver-sized frame on a corpus-derived key: AQE broadcasts
+  *    the model while it measures small and degrades to a shuffle
+  *    join past the threshold instead of OOM-ing a forced broadcast
+  *    (probed at the 64× disjoint-vocab corpus, see PlanAuditSpec).
+  *    The per-doc re-aggregation partial-aggregates before its
+  *    single shuffle on doc id.
   */
 object Retrieval {
 
@@ -279,7 +285,9 @@ object Retrieval {
     val total = vocab.agg(sum("cnt").cast("double").as("total"))
     val logp = vocab.crossJoin(broadcast(total))
       .select(col("tok"), log(col("cnt") / col("total")).as("lp"))
-    toks.join(broadcast(logp), "tok")
+    // un-hinted on purpose: logp's key is corpus-derived (see the
+    // object doc) — AQE broadcasts it while small, shuffles past that
+    toks.join(logp, "tok")
       .groupBy(idCol)
       .agg(avg(-col("lp")).as("xent"))
       .select(col(idCol), round(col("xent"), 4).as("cross_entropy"),
@@ -299,8 +307,9 @@ object Retrieval {
     * from the target slice). Plan: one (token) count shuffle builds
     * both models in a single aggregate (conditional count for the
     * target slice), the single-row totals broadcast back, the
-    * vocab-sized log-ratio table broadcasts into the per-doc join
-    * (Heaps'-law bounded, same argument as the perplexity ops), and
+    * vocab-sized log-ratio table joins into the per-doc stream
+    * UN-hinted (corpus-derived key — the same refusal as the
+    * perplexity ops; AQE broadcasts while it measures small), and
     * the per-doc weight folds LEFT-TO-RIGHT over token-sorted
     * (count, ratio) pairs so both engines run the identical IEEE op
     * sequence — bit-for-bit doubles before round(4).
@@ -321,7 +330,7 @@ object Retrieval {
           log((col("c_all") + 1).cast("double") /
             (col("n_all") + col("nv")).cast("double"))).as("lr"))
     toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
-      .join(broadcast(lr), "tok")
+      .join(lr, "tok")
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("tok"), col("c"), col("lr"))))
           .as("arr"),

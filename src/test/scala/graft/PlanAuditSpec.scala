@@ -212,6 +212,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1, p)
   }
 
+  test("unigram LM: the vocab join is un-hinted — AQE broadcasts the " +
+      "small model, degrades to a shuffle join past the threshold") {
+    // r8: the logp/lr model joins (unigramPerplexity, dsirWeights)
+    // dropped their broadcast() hints — a corpus-derived vocab is NOT
+    // promised driver-sized (raw-web one-off-token tail), so the
+    // plan must flex with the measured size instead of OOM-ing a
+    // forced broadcast. Small side of the regime:
+    val df = SparkEntry.queries("t_perplexity")(spark, sfDir)
+    df.count() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small vocab should broadcast under AQE:\n$p")
+    // big side, simulated by shrinking the thresholds (the honest
+    // 64x-vocab probe is in SURVEY §13): same un-hinted plan must
+    // pick a shuffle join and still complete
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1024")
+    try {
+      val big = SparkEntry.queries("t_perplexity")(spark, sfDir)
+      assert(big.count() > 0)
+      val p2 = big.queryExecution.executedPlan.toString
+      assert(p2.contains("SortMergeJoin") || p2.contains("ShuffledHashJoin"),
+        s"vocab join must degrade to a shuffle join, not force a " +
+          s"broadcast:\n$p2")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("cms: counter build keeps map-side partial aggregation") {
     // the 100 TB contract: the only corpus-scale shuffle is the
     // (row, bucket) cell agg, and partial aggregation bounds it at
