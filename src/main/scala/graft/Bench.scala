@@ -23,6 +23,20 @@ object Bench {
       .foreach(m => builder.config("spark.executor.memory", m))
     sys.env.get("SPARK_GRAFT_EXEC_CP")
       .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    // SPARK_GRAFT_SHUFFLE right-sizes shuffle parallelism for scale
+    // probes: partitions must grow with the DATA, not the core count
+    // (the 512× probes proved it — 32 partitions over 600M-edge
+    // shuffles put ~19M rows in every task and died three different
+    // ways: task hash-agg OOM, join spill memory, disk-spill
+    // concentration). Setting initialPartitionNum alongside lets AQE
+    // coalesce small stages back down, so only the stages that NEED
+    // the width pay for it — the cluster-operator config this
+    // library documents for 100 TB deployments.
+    sys.env.get("SPARK_GRAFT_SHUFFLE").foreach { n =>
+      builder.config("spark.sql.shuffle.partitions", n)
+      builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
+    }
     val spark = builder.getOrCreate()
     // ERROR, not WARN: registry-replacement WARNs otherwise land in
     // the captured bench tail right around the one JSON output line

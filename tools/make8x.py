@@ -26,6 +26,7 @@ import sys
 import duckdb
 
 OFF = 10_000_000
+OFFSQL = "10000000::BIGINT"  # BIGINT literal: k*OFF overflows INT32 past k=214 (512x probes)
 
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft8x"
@@ -53,31 +54,31 @@ def main() -> None:
 
     o = OFF
     rep("customer",
-        "SELECT c_custkey + {k} * " + str(o) + " AS c_custkey, c_name, "
+        "SELECT c_custkey + {k} * " + OFFSQL + " AS c_custkey, c_name, "
         "c_nationkey, c_acctbal, c_mktsegment FROM {src}")
     rep("supplier",
-        "SELECT s_suppkey + {k} * " + str(o) + " AS s_suppkey, s_name, "
+        "SELECT s_suppkey + {k} * " + OFFSQL + " AS s_suppkey, s_name, "
         "s_nationkey, s_acctbal FROM {src}")
     rep("part",
-        "SELECT p_partkey + {k} * " + str(o) + " AS p_partkey, p_name, "
+        "SELECT p_partkey + {k} * " + OFFSQL + " AS p_partkey, p_name, "
         "p_brand, p_type, p_size, p_retailprice FROM {src}")
     rep("orders",
-        "SELECT o_orderkey + {k} * " + str(o) + " AS o_orderkey, "
-        "o_custkey + {k} * " + str(o) + " AS o_custkey, o_orderstatus, "
+        "SELECT o_orderkey + {k} * " + OFFSQL + " AS o_orderkey, "
+        "o_custkey + {k} * " + OFFSQL + " AS o_custkey, o_orderstatus, "
         "o_totalprice, o_orderdate, o_orderpriority FROM {src}")
     rep("lineitem",
-        "SELECT l_orderkey + {k} * " + str(o) + " AS l_orderkey, "
-        "l_partkey + {k} * " + str(o) + " AS l_partkey, "
-        "l_suppkey + {k} * " + str(o) + " AS l_suppkey, l_linenumber, "
+        "SELECT l_orderkey + {k} * " + OFFSQL + " AS l_orderkey, "
+        "l_partkey + {k} * " + OFFSQL + " AS l_partkey, "
+        "l_suppkey + {k} * " + OFFSQL + " AS l_suppkey, l_linenumber, "
         "l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, "
         "l_linestatus, l_shipdate FROM {src}")
     rep("events",
-        "SELECT event_id + {k} * " + str(o) + " AS event_id, ts, "
-        "user_id + {k} * " + str(o) + " AS user_id, event_type, value, "
+        "SELECT event_id + {k} * " + OFFSQL + " AS event_id, ts, "
+        "user_id + {k} * " + OFFSQL + " AS user_id, event_type, value, "
         "props FROM {src}")
     # k=0 keeps the original text; k>0 prefixes every token
     rep("documents",
-        "SELECT doc_id + {k} * " + str(o) + " AS doc_id, "
+        "SELECT doc_id + {k} * " + OFFSQL + " AS doc_id, "
         "CASE WHEN {k} = 0 THEN text ELSE "
         "array_to_string(list_transform(string_split(text, ' '), "
         "t -> 'r{k}' || t), ' ') END AS text, "
@@ -85,7 +86,7 @@ def main() -> None:
         "array_to_string(list_transform(string_split(text, ' '), "
         "t -> 'r{k}' || t), ' ') END) AS n_chars FROM {src}")
     rep("embeddings",
-        "SELECT vec_id + {k} * " + str(o) + " AS vec_id, "
+        "SELECT vec_id + {k} * " + OFFSQL + " AS vec_id, "
         "list_transform(embedding, x -> x + {k} * 0.001::FLOAT) "
         "AS embedding, label FROM {src}")
     print(f"done -> {out}")
