@@ -37,6 +37,21 @@ object Bench {
       builder.config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
     }
+    // Iterative algos that checkpoint per round (HyperBall's shuffle
+    // regime) rely on the ContextCleaner to reclaim superseded
+    // rounds' shuffle files — but the cleaner only learns an RDD is
+    // garbage when the DRIVER GCs, and a 100 g heap may not GC for
+    // the whole run (default periodicGC is 30 min). 1 min keeps
+    // reclamation ahead of round production; no-op at gate scale.
+    builder.config("spark.cleaner.periodicGC.interval", "1min")
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — arbitrary conf passthrough for
+    // probe A/Bs (e.g. graft.ball.roundCheckpoint=false)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ =>
+      }
+    })
     val spark = builder.getOrCreate()
     // ERROR, not WARN: registry-replacement WARNs otherwise land in
     // the captured bench tail right around the one JSON output line

@@ -358,11 +358,25 @@ object Algorithms {
         val spark = undirectedEdges.sparkSession
         val nodes = undirectedEdges.select(col("a")).distinct()
         val nNodes = nodes.count()
-        val bcast = nNodes <= ballBroadcastNodes
+        // conf override so tests can pin the shuffle-regime round
+        // shape (per-round checkpoint) on spec-sized graphs
+        val ceiling = spark.conf.getOption("graft.ball.broadcastNodes")
+          .flatMap(v => scala.util.Try(v.toLong).toOption)
+          .getOrElse(ballBroadcastNodes)
+        val bcast = nNodes <= ceiling
         val lgk = if (bcast) 10 else 8
+        // per-round lineage truncation (see ballSizesBuild): default
+        // follows the regime — off while the state broadcasts (the
+        // lazy chain's measured fast path), on in the shuffle regime
+        // where rounds × |E| × sketch-bytes is a real scratch-disk
+        // budget. graft.ball.roundCheckpoint=true|false overrides
+        // for operators whose cluster has ample per-node scratch
+        // (trade peak disk back for round fusion) or probes.
+        val roundCkpt = spark.conf.getOption("graft.ball.roundCheckpoint")
+          .map(_.trim.equalsIgnoreCase("true")).getOrElse(!bcast)
         val built = withHashAgg(spark, hashAggThreshold(spark, lgk))(
-          ballSizesBuild(undirectedEdges, nodes, bcast, lgk, maxDepth)
-            .localCheckpoint())
+          ballSizesBuild(undirectedEdges, nodes, bcast, lgk, maxDepth,
+            roundCkpt).localCheckpoint())
         ballCache.put(undirectedEdges, (maxDepth, built))
         built
     }
@@ -460,7 +474,7 @@ object Algorithms {
 
   private def ballSizesBuild(undirectedEdges: DataFrame,
       nodes: DataFrame, bcast: Boolean, lgk: Int,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int, roundCkpt: Boolean): DataFrame = {
     // broadcast path: partition edges by the OUTPUT key `a`, so the
     // map-side join's result feeds groupBy(a) with no exchange at
     // all — the per-round cost is |E| local hash probes + unions
@@ -495,6 +509,19 @@ object Algorithms {
       state = joined.groupBy("node")
         .agg(expr("hll_union_agg(sketch, true)").as("sketch"), aggs: _*)
         .withColumn(s"s$t", expr("hll_sketch_estimate(sketch)"))
+      // Shuffle regime only: checkpoint the |V|-sized round state so
+      // round t-1's EDGE-sized shuffle legs become garbage the
+      // ContextCleaner can reclaim. The lazy single-reference chain
+      // (kept on the broadcast path, where it benched 2-9× faster)
+      // pins every round's shuffle files until the final checkpoint —
+      // peak shuffle disk = rounds × |E|-with-sketch bytes, which is
+      // what killed the 256× probe (~5 rounds × ~20 GB against 68 GB
+      // free; a cluster's aggregate disk absorbs this, one host's
+      // does not). Per-round truncation bounds the peak at ~1 round
+      // plus the |V|-sized states; HLL register merge is
+      // max-per-register (commutative/associative), so values are
+      // unchanged by the materialization boundary.
+      if (roundCkpt) state = state.localCheckpoint()
     }
     // the sketches did their job — only the scalar curve is memoized
     state.select(col("node") +: (0 to maxDepth).map(i => col(s"s$i")): _*)

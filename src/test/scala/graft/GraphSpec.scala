@@ -189,6 +189,30 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(Algorithms.effectiveDiameter(nf, 0.1).head().getDouble(0) <= 1.0)
   }
 
+  test("shuffle-regime ball rounds (per-round checkpoint) match the broadcast path") {
+    // force the >240k-node round shape — shuffle-partitioned edges,
+    // per-round localCheckpoint lineage truncation — onto a
+    // spec-sized graph and pin the identical exact P4 curve. HLL
+    // register merge is max-per-register, so the materialization
+    // boundary must not move a single value.
+    val spark = this.spark
+    spark.conf.set("graft.ball.broadcastNodes", "0")
+    try {
+      // fresh frame: the ball memo-cache keys on the DataFrame
+      // instance, and a cached broadcast-path curve would shadow
+      // the path under test
+      val e = und("a" -> "b", "b" -> "c", "c" -> "d")
+      val nf = Algorithms.neighborhoodFunction(e, 3)
+      val curve = nf.orderBy("t").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(curve == Map(0 -> 4.0, 1 -> 10.0, 2 -> 14.0, 3 -> 16.0), curve)
+      val ecc = Algorithms.eccentricity(
+          und("a" -> "b", "b" -> "c", "c" -> "d"), 4)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(ecc == Map("a" -> 3, "b" -> 2, "c" -> 2, "d" -> 3))
+    } finally spark.conf.unset("graft.ball.broadcastNodes")
+  }
+
   test("betweenness is exact on path and star when every node is a seed") {
     // P4 a—b—c—d: BC(b) = BC(c) = 2, endpoints 0 (k ≥ n ⇒ the
     // sampling estimator degenerates to exact Brandes, scale = 1/2
