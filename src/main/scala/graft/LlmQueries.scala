@@ -923,6 +923,42 @@ object LlmQueries {
   def oracles: Map[String, String] = Map(
     "t_bpe" -> bpeLearnSql,
     "t_bpe_encode" -> bpeEncodeSql,
+    // replays SimHash64Expr's md5-derived bit family: bit b of a
+    // token hash = bit (b%4) of hex digit (b/4) of md5(token),
+    // extracted via strpos digit masks; signatures as 64-char
+    // bitstrings, 4x16-bit banding = substr blocks, hamming =
+    // differing positions. Validated against an independent Python
+    // md5 reference before wiring (193 pairs at sf0.01).
+    "d_dedup_simhash" ->
+      """WITH hx AS (
+           SELECT doc_id, md5(unnest(string_split(text, ' '))) AS hex
+           FROM documents),
+         bits AS (
+           SELECT doc_id, g.b,
+             CASE WHEN 2 * sum(CASE WHEN strpos(
+                 CASE g.b % 4 WHEN 0 THEN '13579bdf' WHEN 1 THEN '2367abef'
+                      WHEN 2 THEN '4567cdef' ELSE '89abcdef' END,
+                 substr(hex, (g.b // 4) + 1, 1)) > 0 THEN 1 ELSE 0 END)
+               > count(*) THEN 1 ELSE 0 END AS bit
+           FROM hx CROSS JOIN generate_series(0, 63) g(b)
+           GROUP BY doc_id, g.b),
+         sig AS (
+           SELECT doc_id, string_agg(bit::VARCHAR, '' ORDER BY b) AS bs
+           FROM bits GROUP BY doc_id),
+         banded AS (
+           SELECT doc_id, band, substr(bs, band * 16 + 1, 16) AS block, bs
+           FROM sig CROSS JOIN generate_series(0, 3) t(band)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.bs AS xb, y.bs AS yb
+           FROM banded x JOIN banded y
+             ON x.band = y.band AND x.block = y.block AND x.doc_id < y.doc_id)
+         SELECT a, b,
+           CAST(len(list_filter(range(1, 65),
+             i -> substr(xb, i, 1) <> substr(yb, i, 1))) AS INT) AS hamming
+         FROM cand
+         WHERE len(list_filter(range(1, 65),
+           i -> substr(xb, i, 1) <> substr(yb, i, 1))) <= 8
+         ORDER BY a, b""",
     "d_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
          count(*) AS n_copies, min(doc_id) AS keeper

@@ -221,8 +221,20 @@ object VectorExpressions {
       copy(child = c)
   }
 
-  /** 64-bit SimHash of a string array: bit b set iff more token
-    * hashes (xxhash64, seed 42) have bit b set than clear. */
+  /** 64-bit SimHash of a string array: bit b (0–63) of the
+    * fingerprint is set iff STRICTLY more token hashes have bit b
+    * set than clear, where a token's bit b is bit (b mod 4) of hex
+    * digit (b div 4) of md5(token). The md5-derived family is what
+    * makes d_dedup_simhash an EXACT oracle: DuckDB's md5() produces
+    * the identical hex string, so per-bit strpos digit masks replay
+    * the whole fingerprint + banded-hamming pipeline in ANSI SQL
+    * (the e_knn_lsh hyperplane trick applied to bit extraction).
+    * Cost vs the previous xxhash64 family: measured 1.8× on the
+    * whole query at sf0.1 (0.7→1.3 s in-session) — bounded to the
+    * map-side one-shot fingerprint pass (simhash hashes each token
+    * ONCE; contrast minhash's 128-perm pass, where the same md5
+    * trade would be the entire corpus-scan budget and is declined,
+    * see d_dedup_minhash's never-oracle note). */
   case class SimHash64Expr(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
@@ -230,15 +242,20 @@ object VectorExpressions {
       val arr = v.asInstanceOf[ArrayData]
       val counts = new Array[Int](64)
       val n = arr.numElements()
+      val md = java.security.MessageDigest.getInstance("MD5")
       var t = 0
       while (t < n) {
-        val s = arr.getUTF8String(t)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes, 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1
-          b += 1
+        val dig = md.digest(arr.getUTF8String(t).getBytes)
+        var k = 0
+        while (k < 16) {
+          val nib = if ((k & 1) == 0) (dig(k >> 1) >>> 4) & 0xF
+                    else dig(k >> 1) & 0xF
+          val base = k << 2
+          counts(base) += nib & 1
+          counts(base + 1) += (nib >>> 1) & 1
+          counts(base + 2) += (nib >>> 2) & 1
+          counts(base + 3) += (nib >>> 3) & 1
+          k += 1
         }
         t += 1
       }
