@@ -229,8 +229,9 @@ object VectorExpressions {
     * the identical hex string, so per-bit strpos digit masks replay
     * the whole fingerprint + banded-hamming pipeline in ANSI SQL
     * (the e_knn_lsh hyperplane trick applied to bit extraction).
-    * Cost vs the previous xxhash64 family: measured 1.8× on the
-    * whole query at sf0.1 (0.7→1.3 s in-session) — bounded to the
+    * Cost vs the previous xxhash64 family: measured 1.3× on the
+    * whole query at sf0.1 (0.72→0.93 s in the full-gate session) —
+    * bounded to the
     * map-side one-shot fingerprint pass (simhash hashes each token
     * ONCE; contrast minhash's 128-perm pass, where the same md5
     * trade would be the entire corpus-scan budget and is declined,
