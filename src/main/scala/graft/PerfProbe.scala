@@ -29,7 +29,8 @@ object PerfProbe {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").localCheckpoint()
     val off = 10000000L
-    for (k <- 0 until 8) {
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "8").toInt
+    for (k <- 0 until nBatches) {
       val batch = docs.filter(
         col("doc_id") >= k * off && col("doc_id") < (k + 1) * off)
       val t0 = System.nanoTime()
