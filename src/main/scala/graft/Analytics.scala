@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.Materialize._
 
 /** OLAP block over the TPC-H-ish tables (SURVEY.md §2 "Analytics").
   *
@@ -462,7 +463,7 @@ object Analytics {
         .join(regionSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy("l_partkey", "l_suppkey")
         .agg(min(money(col("l_extendedprice"))).as("cost"))
-        .localCheckpoint(true)
+        .materialize(true)
       val perPart = pairs.groupBy(col("l_partkey").as("pk"))
         .agg(min(col("cost")).as("min_cost"))
       pairs

@@ -1,58 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    // SPARK_GRAFT_MASTER overrides the master for multi-executor
-    // probes — e.g. local-cluster[2,16,36864] runs two REAL executor
-    // JVMs (separate heaps, real shuffle fabric, closure
-    // serialization), the shape local[N] can't exercise.
-    // SPARK_GRAFT_EXEC_MEM / SPARK_GRAFT_EXEC_CP size those executors
-    // (extraClassPath must carry the graft classes: local-cluster
-    // executors don't inherit the driver's -cp)
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-    sys.env.get("SPARK_GRAFT_EXEC_MEM")
-      .foreach(m => builder.config("spark.executor.memory", m))
-    sys.env.get("SPARK_GRAFT_EXEC_CP")
-      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
-    // SPARK_GRAFT_SHUFFLE right-sizes shuffle parallelism for scale
-    // probes: partitions must grow with the DATA, not the core count
-    // (the 512× probes proved it — 32 partitions over 600M-edge
-    // shuffles put ~19M rows in every task and died three different
-    // ways: task hash-agg OOM, join spill memory, disk-spill
-    // concentration). Setting initialPartitionNum alongside lets AQE
-    // coalesce small stages back down, so only the stages that NEED
-    // the width pay for it — the cluster-operator config this
-    // library documents for 100 TB deployments.
-    sys.env.get("SPARK_GRAFT_SHUFFLE").foreach { n =>
-      builder.config("spark.sql.shuffle.partitions", n)
-      builder.config(
-        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n)
-    }
-    // Iterative algos that checkpoint per round (HyperBall's shuffle
-    // regime) rely on the ContextCleaner to reclaim superseded
-    // rounds' shuffle files — but the cleaner only learns an RDD is
-    // garbage when the DRIVER GCs, and a 100 g heap may not GC for
-    // the whole run (default periodicGC is 30 min). 1 min keeps
-    // reclamation ahead of round production; no-op at gate scale.
-    builder.config("spark.cleaner.periodicGC.interval", "1min")
-    // SPARK_GRAFT_CONF="k=v;k2=v2" — arbitrary conf passthrough for
-    // probe A/Bs (e.g. graft.ball.roundCheckpoint=false)
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      kv.split("=", 2) match {
-        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
-        case _ =>
-      }
-    })
-    val spark = builder.getOrCreate()
+    // all env knobs (master/executor sizing/shuffle width/conf
+    // passthrough) live in SparkEnv — shared with Verify so
+    // correctness runs and probes see the identical fabric
+    val spark = SparkEnv.session()
     // ERROR, not WARN: registry-replacement WARNs otherwise land in
     // the captured bench tail right around the one JSON output line
     spark.sparkContext.setLogLevel("ERROR")

@@ -6,6 +6,7 @@ import graft.graph.{Algorithms, GraphBuilder, GraphXBridge, Traversal}
 import graft.index.TypedIndexes
 import graft.search.Search
 import graft.functions.Registry
+import graft.plans.Materialize._
 
 /** The egraph-semantics block of SURVEY.md §2: node/link model,
   * typed index probes, traversal, and the generic search surface.
@@ -56,7 +57,7 @@ object EgraphQueries {
   private def overlaidFor(s: SparkSession, d: String): DataFrame =
     overlayCache.getOrElseUpdate((s, d))(
       GraphBuilder.undirectedFor(s, d)
-        .unionByName(supplierChainOverlay(s, d)).localCheckpoint())
+        .unionByName(supplierChainOverlay(s, d)).materialize())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n_nodes_build" -> { (s, d) =>
@@ -263,7 +264,7 @@ object EgraphQueries {
       // the 5-row curve feeds both branches — materialize once so
       // the 4 HLL rounds don't run twice
       val nf = Algorithms.neighborhoodFunction(
-        GraphBuilder.undirectedFor(s, d), 4).localCheckpoint(true)
+        GraphBuilder.undirectedFor(s, d), 4).materialize(true)
       nf.crossJoin(broadcast(Algorithms.effectiveDiameter(nf)))
         .orderBy("t")
     },

@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.streaming.{EventStreams, Funnels}
 import graft.text.{Packing, Retrieval => TextRetrieval, TextAnalysis}
+import graft.plans.Materialize._
 
 /** LLM-training-data pipeline + streaming blocks of SURVEY.md §2. */
 object LlmQueries {
@@ -30,7 +31,7 @@ object LlmQueries {
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d),
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.8).localCheckpoint())
+        threshold = 0.8).materialize())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_exact" -> { (s, d) =>

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.plans.Materialize._
 
 /** Scratch perf probe (not part of the library surface).
   *
@@ -38,7 +39,7 @@ object PerfProbe {
     // runs with its disjoint-token replicas.
     if (sys.env.get("SPARK_GRAFT_PROBE").contains("embed")) {
       val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), col("embedding")).localCheckpoint()
+        .select(col("vec_id"), col("embedding")).materialize()
       val nBase = vecs.select(pmod(col("vec_id"), lit(off)).as("b"))
         .agg(max("b")).head().getLong(0) + 1
       val per = (nBase + nBatches - 1) / nBatches
@@ -58,7 +59,7 @@ object PerfProbe {
       return
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text").localCheckpoint()
+      .select("doc_id", "text").materialize()
     for (k <- 0 until nBatches) {
       val batch = docs.filter(
         col("doc_id") >= k * off && col("doc_id") < (k + 1) * off)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Registry
+import graft.plans.Materialize._
 
 /** IVF (inverted-file) approximate nearest neighbor: a coarse
   * k-means quantizer splits the corpus into cells; a query probes
@@ -56,7 +57,7 @@ object Ivf {
     val corpus =
       if (sampleFraction >= 1.0) corpus0
       else corpus0.sample(withReplacement = false, sampleFraction, seed = 42L)
-        .localCheckpoint()
+        .materialize()
     Registry.registerAll(corpus.sparkSession)
     val seeds = corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()

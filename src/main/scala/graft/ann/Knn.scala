@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Registry
+import graft.plans.Materialize._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -212,7 +213,7 @@ object Knn {
       iters: Int = 2): DataFrame = {
     Registry.registerAll(corpus.sparkSession)
     val base = withNorm(corpus, "id", "v", "nm", idCol, vecCol)
-      .localCheckpoint()
+      .materialize()
     val n = base.count()
     val k = math.max(1, math.min((n / targetClusterSize).toInt, 1 << 16))
     def normalize(a: Array[Double]): Array[Double] = {
@@ -349,7 +350,7 @@ object Knn {
     val withCell = base.withColumn("cell",
         argmaxUdf(cents)(col("v").cast("array<double>")))
       .repartition(parts, col("cell"))
-      .localCheckpoint()
+      .materialize()
     clusterLocalKeepers(withCell, "cell", idCol, threshold)
   }
 
@@ -366,7 +367,7 @@ object Knn {
       bitsPerBand: Int = 6, maxBucket: Int = 500): DataFrame = {
     Registry.registerAll(corpus.sparkSession)
     val base = withNorm(corpus, "id", "v", "nm", idCol, vecCol)
-      .localCheckpoint()
+      .materialize()
     // NEGATIVE RESULT, kept on purpose: carrying the vectors through
     // the banded self-join and verifying inline (the shape that wins
     // for MinHash's firstMatch dedup) benched 7-10× SLOWER here —
@@ -397,7 +398,7 @@ object Knn {
     val banded = base.select(col("id"), posexplode(array(
         (0 until bands).map(j =>
           lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
-      .as(Seq("band", "bucket"))).localCheckpoint()
+      .as(Seq("band", "bucket"))).materialize()
     val smallBuckets = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__sz")).filter(col("__sz") <= maxBucket)
       .drop("__sz")
@@ -498,7 +499,7 @@ object Knn {
     import spark.implicits._
     val cands = bruteForceTopK(corpus, queryVec, idCol, vecCol, dim, candK)
       .select(col("neighbor_id").as("cid"), col("sim").as("rel"))
-      .localCheckpoint(true)
+      .materialize(true)
     val cvecs = corpus
       .join(cands.select(col("cid")), col(idCol) === col("cid"), "left_semi")
     val cv = withNorm(cvecs, "cid", "v", "n", idCol, vecCol)

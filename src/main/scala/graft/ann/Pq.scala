@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Registry
+import graft.plans.Materialize._
 
 /** Product quantization (PQ) approximate nearest neighbor (Jégou,
   * Douze, Schmid, "Product Quantization for Nearest Neighbor
@@ -90,7 +91,7 @@ object Pq {
         if (sampleFraction >= 1.0) corpus0
         else corpus0.sample(withReplacement = false, sampleFraction, 42L)
       base.select(col(idCol).as("id"), unit(col(vecCol)).as("v"))
-        .localCheckpoint()
+        .materialize()
     }
     val seedRows = corpus.orderBy("id").limit(k).select("v").collect()
       .map(_.getSeq[Double](0))

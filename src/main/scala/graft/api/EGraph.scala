@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.graph.{Algorithms, GraphBuilder, Traversal}
 import graft.search.Search
+import graft.plans.Materialize._
 
 /** Facade exposing the reference's operation surface as batch
   * verbs over the three frames. A user of the reference maps each
@@ -23,7 +24,7 @@ final class EGraph(
     val edges: DataFrame,
     val indexes: DataFrame) {
 
-  private lazy val undirected = GraphBuilder.undirected(edges).localCheckpoint()
+  private lazy val undirected = GraphBuilder.undirected(edges).materialize()
 
   def node(key: String): DataFrame =
     nodes.filter(col("key_data") === key)

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.plans.Materialize._
 
 /** Whole-graph analytics over the edge DataFrame — the batch-scale
   * path for the reference's "massively scalable" graph vision
@@ -70,7 +71,7 @@ object Algorithms {
     new graft.util.LruCache[DataFrame, DataFrame](8)
   private def triangleStream(undirectedEdges: DataFrame): DataFrame =
     triangleCache.getOrElseUpdate(undirectedEdges)(
-      triangleStreamBuild(undirectedEdges).localCheckpoint())
+      triangleStreamBuild(undirectedEdges).materialize())
 
   /** Degree-ordered triangle enumeration — each triangle exactly once. */
   private def triangleStreamBuild(undirectedEdges: DataFrame): DataFrame = {
@@ -94,7 +95,7 @@ object Algorithms {
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint()
+      .materialize()
     val wedges = e.select(col("u"), col("v").as("w1"))
       .join(e.select(col("u"), col("v").as("w2")), "u")
       .filter(col("w1") < col("w2"))
@@ -125,13 +126,13 @@ object Algorithms {
   def pageRank(undirectedEdges0: DataFrame, iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val undirectedEdges = undirectedEdges0.repartition(col("a"))
-      .localCheckpoint()
+      .materialize()
     // base: (node, deg) — every node of an undirected adjacency has
     // at least one edge, so the group-by covers all nodes
     val base = undirectedEdges.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .agg(count(lit(1)).as("deg")).materialize()
     var ranks = base.select(col("node"), lit(1.0).as("rank"),
-      (lit(1.0) / col("deg")).as("share")).localCheckpoint()
+      (lit(1.0) / col("deg")).as("share")).materialize()
     for (_ <- 1 to iters) {
       val contribs = undirectedEdges
         .join(ranks.select(col("node"), col("share")), col("a") === col("node"))
@@ -146,7 +147,7 @@ object Algorithms {
             .as("rank"), col("deg"))
         .withColumn("share", col("rank") / col("deg"))
         .drop("deg")
-        .localCheckpoint()
+        .materialize()
     }
     ranks.select("node", "rank")
   }
@@ -159,9 +160,9 @@ object Algorithms {
   def connectedComponents(undirectedEdges0: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val undirectedEdges = undirectedEdges0.repartition(col("a"))
-      .localCheckpoint()
+      .materialize()
     var labels = undirectedEdges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+      .withColumn("label", col("node")).materialize()
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -175,7 +176,7 @@ object Algorithms {
           lit(null).cast(labels.schema("label").dataType).as("old"))
         .unionByName(labels.withColumn("old", col("label")))
         .groupBy("node").agg(min("label").as("label"), min("old").as("old"))
-        .localCheckpoint()
+        .materialize()
       changed = next.filter(col("label") =!= col("old")).limit(1).count() > 0
       labels = next.select("node", "label")
     }
@@ -201,7 +202,7 @@ object Algorithms {
     * pathological degree ever demanded it. Returns (node, core). */
   def kCore(undirectedEdges0: DataFrame, maxIter: Int = 50): DataFrame = {
     val undirectedEdges = undirectedEdges0.repartition(col("a"))
-      .localCheckpoint()
+      .materialize()
     // h-index of a desc-sorted estimate list: |{i : s_i ≥ i+1}| —
     // the count form of "largest h with h values ≥ h"
     def hIndex(ests: Column): Column =
@@ -210,7 +211,7 @@ object Algorithms {
         sequence(lit(1), size(ests)),
         (v, i) => v >= i), x => x))
     var core = undirectedEdges.groupBy(col("a").as("node"))
-      .agg(count(lit(1)).cast("int").as("c")).localCheckpoint()
+      .agg(count(lit(1)).cast("int").as("c")).materialize()
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -230,7 +231,7 @@ object Algorithms {
         // exceed a shrunken own estimate mid-run; the min pins the
         // invariant the fixpoint proof relies on)
         .select(col("node"), least(col("h"), col("old")).as("c"), col("old"))
-        .localCheckpoint()
+        .materialize()
       changed = next.filter(col("c") =!= col("old")).limit(1).count() > 0
       core = next.select("node", "c")
     }
@@ -376,7 +377,7 @@ object Algorithms {
           .map(_.trim.equalsIgnoreCase("true")).getOrElse(!bcast)
         val built = withHashAgg(spark, hashAggThreshold(spark, lgk))(
           ballSizesBuild(undirectedEdges, nodes, bcast, lgk, maxDepth,
-            roundCkpt).localCheckpoint())
+            roundCkpt).materialize())
         ballCache.put(undirectedEdges, (maxDepth, built))
         built
     }
@@ -483,7 +484,7 @@ object Algorithms {
     // side, and the groupBy(a) exchange moves partial-agged sketches.
     val edges = undirectedEdges
       .unionByName(nodes.select(col("a"), col("a").as("b")))
-      .repartition(if (bcast) col("a") else col("b")).localCheckpoint()
+      .repartition(if (bcast) col("a") else col("b")).materialize()
     // sketch precision by graph size: lgk=10 (±3.3 %) while the
     // state still broadcasts; lgk=8 (±6.5 %) on the shuffle path —
     // HyperBall's own billion-node runs used 2^7-2^9 registers
@@ -521,7 +522,7 @@ object Algorithms {
       // plus the |V|-sized states; HLL register merge is
       // max-per-register (commutative/associative), so values are
       // unchanged by the materialization boundary.
-      if (roundCkpt) state = state.localCheckpoint()
+      if (roundCkpt) state = state.materialize()
     }
     // the sketches did their job — only the scalar curve is memoized
     state.select(col("node") +: (0 to maxDepth).map(i => col(s"s$i")): _*)
@@ -571,7 +572,7 @@ object Algorithms {
   def betweenness(undirectedEdges: DataFrame, k: Int = 16,
       maxDepth: Int = 4): DataFrame = {
     val nodes = undirectedEdges.select(col("a")).distinct()
-      .localCheckpoint(true)
+      .materialize(true)
     val n = nodes.count()
     val kk = math.min(k.toLong, n)
     val seeds = nodes.orderBy(md5(col("a")), col("a")).limit(kk.toInt)
@@ -583,12 +584,12 @@ object Algorithms {
     // this; the backward sweep reads neighbors through the same
     // a-keyed frame — N(w) via a = w — which symmetry permits).
     // Same convention as pageRank/connectedComponents/kCore.
-    val edges = undirectedEdges.repartition(col("a")).localCheckpoint()
+    val edges = undirectedEdges.repartition(col("a")).materialize()
     // forward: settled (s, v, sigma, d); sigma = #shortest s→v paths
     var settled = seeds
       .select(col("s"), col("s").as("v"), lit(1.0).as("sigma"),
         lit(0).as("d"))
-      .localCheckpoint(true)
+      .materialize(true)
     var frontier = settled
     var t = 1
     while (t <= maxDepth && frontier.limit(1).count() > 0) {
@@ -599,11 +600,11 @@ object Algorithms {
         .join(settled.select(col("s").as("ss"), col("v").as("sv")),
           col("s") === col("ss") && col("v") === col("sv"), "left_anti")
         .withColumn("d", lit(t))
-        .localCheckpoint(true)
+        .materialize(true)
       settled = settled.unionByName(frontier)
       t += 1
     }
-    settled = settled.localCheckpoint(true)
+    settled = settled.materialize(true)
     val maxd = settled.agg(max("d")).head().getInt(0)
     // backward: delta per depth, deepest first; a node's dependency
     // δ(v) = Σ_{w ∈ succ(v)} σv/σw · (1 + δw) arrives as one
@@ -635,7 +636,7 @@ object Algorithms {
         .groupBy(col("s"), col("v"))
         .agg(sum(col("sv") / col("sw") * (lit(1.0) + col("dw")))
           .as("delta"))
-        .localCheckpoint(true)
+        .materialize(true)
     }
     // deltaAt now holds the sources' own rows (d=0) — excluded by
     // construction of `acc` (only depths ≥ 1 entered it)
@@ -728,7 +729,7 @@ object Algorithms {
     // if AQE misses the exchange-reuse the whole 5-round chain would
     // execute twice. A tiny eager localCheckpoint guarantees single
     // execution and cuts the round lineage.
-    val mat = labels.localCheckpoint()
+    val mat = labels.materialize()
     val canon = mat.groupBy("label").agg(min("node").as("community"))
     mat.join(canon, "label").select("node", "community")
   }
@@ -743,7 +744,7 @@ object Algorithms {
   def labelPropagationCached(undirectedEdges: DataFrame,
       steps: Int = 5): DataFrame =
     lpaCache.getOrElseUpdate((undirectedEdges, steps))(
-      labelPropagation(undirectedEdges, steps).localCheckpoint())
+      labelPropagation(undirectedEdges, steps).materialize())
 
   private val lpaCache =
     new graft.util.LruCache[(DataFrame, Int), DataFrame](8)
@@ -770,7 +771,7 @@ object Algorithms {
       .groupBy("cur", "t")
       .agg(min_by(col("b"),
         md5(concat_ws("|", col("cur"), col("t"), col("b")))).as("nxt"))
-      .localCheckpoint()
+      .materialize()
     val start = undirectedEdges.select(col("a").as("start")).distinct()
     var cur = start.select(col("start"), lit(0).as("step"),
       col("start").as("node"))

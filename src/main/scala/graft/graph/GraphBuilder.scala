@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.plans.Materialize._
 
 /** Builds the property graph (nodes + links) from the raw tables.
   *
@@ -92,7 +93,7 @@ object GraphBuilder {
           // the link details hash identically in any oracle engine
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
-        .localCheckpoint())
+        .materialize())
 
   // the adjacency is a materialized artifact (GraphStore persists it
   // in production); memoizing the built frame per (session, dir)
@@ -116,7 +117,7 @@ object GraphBuilder {
   /** Memoized undirected adjacency of the demo graph for `dir`. */
   def undirectedFor(s: SparkSession, dir: String): DataFrame =
     undirectedCache.getOrElseUpdate((s, dir))(
-      undirected(edges(s, dir)).localCheckpoint())
+      undirected(edges(s, dir)).materialize())
 
   /** Undirected, deduplicated (a, b) adjacency — both directions
     * materialized, like the reference's two-rows-per-bidirectional-link

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.plans.Materialize._
 
 /** Frontier-based traversals over an undirected adjacency DataFrame
   * `(a, b)` — the Spark re-expression of the reference's N-depth
@@ -25,8 +26,8 @@ object Traversal {
     val spark = edges0.sparkSession
     import spark.implicits._
     // materialize the adjacency once — every level joins against it
-    val edges = edges0.localCheckpoint()
-    var visited = seeds.toDF("node").withColumn("depth", lit(0)).localCheckpoint()
+    val edges = edges0.materialize()
+    var visited = seeds.toDF("node").withColumn("depth", lit(0)).materialize()
     var frontier = visited.select("node")
     var frontierSize = seeds.size.toLong
     var depth = 0
@@ -37,9 +38,9 @@ object Traversal {
         .select(col("b").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .localCheckpoint()
+        .materialize()
       frontierSize = next.count()
-      visited = visited.unionByName(next).localCheckpoint()
+      visited = visited.unionByName(next).materialize()
       frontier = next.select("node")
     }
     visited
@@ -60,8 +61,8 @@ object Traversal {
     import spark.implicits._
     if (source == destination)
       return Seq((0, source)).toDF("step", "node")
-    val edges = edges0.localCheckpoint()
-    var frontier = Seq(source).toDF("node").localCheckpoint()
+    val edges = edges0.materialize()
+    var frontier = Seq(source).toDF("node").materialize()
     var visited = frontier
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var found = false
@@ -73,11 +74,11 @@ object Traversal {
       val parents = edges.join(f, edges("a") === col("node"))
         .groupBy(col("b").as("child")).agg(min(col("a")).as("parent"))
         .join(visited, col("child") === col("node"), "left_anti")
-        .localCheckpoint()
+        .materialize()
       levels += parents
       visited = visited.unionByName(parents.select(col("child").as("node")))
-        .localCheckpoint()
-      frontier = parents.select(col("child").as("node")).localCheckpoint()
+        .materialize()
+      frontier = parents.select(col("child").as("node")).materialize()
       // one scan of the checkpointed level yields both loop signals
       val agg = parents.agg(count(lit(1)),
         count(when(col("child") === destination, 1))).head()
@@ -105,8 +106,8 @@ object Traversal {
       maxIter: Int = 20): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val edges = edges0.repartition(col("a")).localCheckpoint()
-    var dist = Seq((source, 0.0)).toDF("node", "dist").localCheckpoint()
+    val edges = edges0.repartition(col("a")).materialize()
+    var dist = Seq((source, 0.0)).toDF("node", "dist").materialize()
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -120,7 +121,7 @@ object Traversal {
         .unionByName(dist.select(col("node"), col("dist"),
           col("dist").as("old")))
         .groupBy("node").agg(min("dist").as("dist"), min("old").as("old"))
-        .localCheckpoint()
+        .materialize()
       changed = relaxed.filter(col("old").isNull || col("dist") < col("old"))
         .limit(1).count() > 0
       dist = relaxed.select("node", "dist")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.plans.Materialize._
 
 /** Incremental near-duplicate index — dedup-on-arrival for a
   * continuously ingested corpus, the shape a 100 TB training-data
@@ -117,7 +118,7 @@ object DedupIndex {
     val sigs = (if (segs.isEmpty) rawSigs
       else rawSigs.join(readSegments(spark, root, segs, "sets",
           "id BIGINT, sh ARRAY<BIGINT>").select(col("id")),
-        Seq("id"), "left_anti")).localCheckpoint()
+        Seq("id"), "left_anti")).materialize()
     val newBands = sigs.select(col("id"), col("sz"),
       posexplode(col("ba")).as(Seq("band", "bucket")))
     val newSets = sigs.select(col("id"), col("sh"))
@@ -167,7 +168,7 @@ object DedupIndex {
         round(graft.functions.Registry.jaccardSorted(
           col("sha"), col("shb")), 4).as("j"))
       .filter(col("j") >= threshold)
-      .localCheckpoint()
+      .materialize()
 
     // commit LAST: bands + sets land, then the root-level marker —
     // a crash before the marker leaves an ignored orphan directory

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ann.Knn
 import graft.functions.Registry
+import graft.plans.Materialize._
 
 /** The EMBEDDING twin of [[DedupIndex]]: an incremental near-dup
   * index over vectors — each new batch is cosine-near-dup checked
@@ -95,7 +96,7 @@ object EmbeddingDedupIndex {
       else rawBase.dropDuplicates("id")
         .join(readSegs(spark, root, segs, "vecs",
           "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE").select(col("id")),
-        Seq("id"), "left_anti")).localCheckpoint()
+        Seq("id"), "left_anti")).materialize()
 
     // banding materialized once: candOld, both candNew sides and the
     // segment write all read it (bands x bits dot products per row —
@@ -103,7 +104,7 @@ object EmbeddingDedupIndex {
     val newBands = base.select(col("id"), posexplode(array(
         (0 until bands).map(j =>
           Knn.lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
-      .as(Seq("band", "bucket"))).localCheckpoint()
+      .as(Seq("band", "bucket"))).materialize()
     val storeBands = if (segs.isEmpty) newBands.limit(0)
       else readSegs(spark, root, segs, "bands",
         "band INT, bucket BIGINT, id BIGINT")
@@ -155,7 +156,7 @@ object EmbeddingDedupIndex {
       // yields 0/0 = NaN, and Spark orders NaN above every double, so
       // an unguarded >= would assert similarity for it
       .filter(!isnan(col("sim")) && col("sim") >= threshold)
-      .localCheckpoint()
+      .materialize()
 
     val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d")
@@ -226,7 +227,7 @@ object EmbeddingDedupIndex {
     // materialize BEFORE any write: the vecs read must see the
     // pre-reband store even while this pass rewrites it
     val vecs = readSegs(spark, root, segs, "vecs",
-      "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE").localCheckpoint()
+      "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE").materialize()
     val dim = vecs.select(size(col("v"))).head().getInt(0)
     val newBands = vecs.select(col("id"), posexplode(array(
         (0 until bands).map(j =>

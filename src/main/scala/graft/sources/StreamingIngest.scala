@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.plans.Materialize._
 
 /** Continuous ingestion: the streaming form of the reference's write
   * surface (`POST /detail` arriving as a stream rather than a
@@ -70,8 +71,8 @@ object StreamingIngest {
     // atomically — readers resolve through the epoch, so they see
     // the (nodes, indexes) pair of THIS batch or the previous one,
     // never nodes from one and indexes from the other
-    val nodesOut = nodes.localCheckpoint()
-    val ixOut = ix.localCheckpoint()
+    val nodesOut = nodes.materialize()
+    val ixOut = ix.materialize()
     val nv = GraphStore.saveNodes(nodesOut, root, publish = false)
     val iv = GraphStore.saveIndexes(ixOut, root, publish = false)
     GraphStore.commitEpoch(spark, root, Map("nodes" -> nv, "indexes" -> iv))

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import graft.plans.Materialize._
 
 /** Space-Saving heavy hitters (Metwally, Agrawal & El Abbadi 2005):
   * approximate top-k token counts in ONE pass with O(capacity)
@@ -109,7 +110,7 @@ object HeavyHitters {
     // unpersisted before the caller's action runs)
     val summaries = tokens.mapPartitions(summarize(_, capacity))
       .toDF("token", "est", "err", "pmin")
-      .localCheckpoint(true)
+      .materialize(true)
     // M = Σ_p m_p, from the one floor-carrier row per partition.
     // Tiny (≤ one row per partition pre-agg) and broadcast back.
     val totalFloor = summaries.filter(col("token").isNull)
