@@ -1149,9 +1149,14 @@ object LlmQueries {
     // over 500 dropped, candidates distinct, exact cosine >= 0.35
     "d_neardup_lsh" ->
       """WITH geo AS (
-           SELECT least(16, greatest(3,
-             CAST(ceil(ln(count(*) / 256.0) / ln(2)) AS INT))) AS bits
-           FROM embeddings),
+           -- integer ceil-log2, mirroring Knn.nearDupPairsLsh exactly:
+           -- ceil(ln/ln) risks a 1-ulp libm disagreement with the JVM
+           -- at power-of-two corpus sizes, which would flip bits by
+           -- one and diverge every bucket
+           SELECT least(16, greatest(3, CAST(min(s.b) AS INT))) AS bits
+           FROM (SELECT ((count(*) + 255) // 256) AS cells
+                 FROM embeddings) c, range(0, 33) s(b)
+           WHERE (CAST(1 AS BIGINT) << s.b) >= c.cells),
          hp AS (
            SELECT bd.band, t1.j, t2.i,
              CASE WHEN strpos('13579bdf', substring(md5(

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.plans.Materialize._
 
@@ -15,15 +14,11 @@ import graft.plans.Materialize._
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft8x")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // same env-driven fabric knobs as Bench/Verify — a
+    // SPARK_GRAFT_MASTER/SHUFFLE/CONF passed to this probe must not
+    // be silently ignored (it was, pre-r8-review: numbers would be
+    // attributed to a fabric that was never used)
+    val spark = SparkEnv.session()
     spark.sparkContext.setLogLevel("ERROR")
     val root = java.nio.file.Files.createTempDirectory("dedupix-probe")
       .toString

@@ -70,15 +70,29 @@ object StreamChaosProbe {
       }
     }
 
+    // Spark failure messages carry newlines/quotes/backslashes — a
+    // naive interpolation tears the one-JSON-line-per-phase contract
+    // in exactly the kill case this probe exists to record
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def jerr(err: Option[String]): String = err.map(jstr).getOrElse("null")
+
     phase match {
       case "feed1" =>
         stage(0)
         val err = drain()
-        println(s"""{"phase":"feed1","err":${err.map("\"" + _.replace("\"", "'") + "\"").getOrElse("null")},"segments":${DedupIndex.segments(spark, root).size}}""")
+        println(s"""{"phase":"feed1","err":${jerr(err)},"segments":${DedupIndex.segments(spark, root).size}}""")
       case "feed2" =>
         stage(1)
         val err = drain()
-        println(s"""{"phase":"feed2","err":${err.map("\"" + _.replace("\"", "'") + "\"").getOrElse("null")},"segments":${DedupIndex.segments(spark, root).size}}""")
+        println(s"""{"phase":"feed2","err":${jerr(err)},"segments":${DedupIndex.segments(spark, root).size}}""")
       case "resume" =>
         val err = drain()
         // invariants after recovery: every doc indexed exactly once,
@@ -94,7 +108,7 @@ object StreamChaosProbe {
         val nStreamed = streamed.count()
         val missing = bulk.exceptAll(streamed).count()
         val extra = streamed.exceptAll(bulk).count()
-        println(s"""{"phase":"resume","err":${err.map("\"" + _.replace("\"", "'") + "\"").getOrElse("null")},"segments":${DedupIndex.segments(spark, root).size},"docs":$nDocs,"indexed":$nSets,"streamed_pairs":$nStreamed,"missing_vs_bulk":$missing,"extra_vs_bulk":$extra}""")
+        println(s"""{"phase":"resume","err":${jerr(err)},"segments":${DedupIndex.segments(spark, root).size},"docs":$nDocs,"indexed":$nSets,"streamed_pairs":$nStreamed,"missing_vs_bulk":$missing,"extra_vs_bulk":$extra}""")
       case other => sys.error(s"unknown phase: $other")
     }
     spark.stop()

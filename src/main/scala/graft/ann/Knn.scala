@@ -393,8 +393,16 @@ object Knn {
     // candidate stream is ≤ bands·n·maxBucket/2 rows of two longs —
     // linear in n at fixed cap.
     val n = base.count()
-    val bits = math.min(16, math.max(bitsPerBand,
-      math.ceil(math.log(n / 256.0) / math.log(2)).toInt))
+    // INTEGER log2-ceiling, not ceil(log/log): the d_neardup_lsh
+    // oracle replays this derivation in DuckDB, and two libm `log`s
+    // can disagree by 1 ulp exactly at power-of-two boundaries
+    // (n = 256·2^k), flipping ceil by one and diverging every bucket
+    // in every band. ceilLog2(ceilDiv(n,256)) is the same value
+    // computed exactly; the SQL mirror is the same integer argmin.
+    val cells = (n + 255) / 256
+    val ceilLog2 = if (cells <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
+    val bits = math.min(16, math.max(bitsPerBand, ceilLog2))
     val banded = base.select(col("id"), posexplode(array(
         (0 until bands).map(j =>
           lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
@@ -414,6 +422,14 @@ object Knn {
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("sim"))
       .filter(!isnan(col("sim")) && col("sim") >= threshold)
   }
+
+  /** Version id of [[hyperplanes]]' hash family, persisted by
+    * incremental stores (EmbeddingDedupIndex `_meta.json`) so a
+    * future family change turns into a loud reband-to-migrate error
+    * instead of silently probing new-family buckets against
+    * old-family rows. Bump this whenever the function below changes
+    * its mapping. */
+  val HyperplaneFamily = "md5p1"
 
   /** Deterministic ±1 hyperplanes for the sign-LSH bucketing (fixed
     * hash-derived pattern, no stored model). Derived from md5 over a

@@ -247,8 +247,16 @@ object DedupIndex {
       ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))
     val pairsBase = new Path(root, "pairs")
     val replayPending: Set[String] =
-      if (!all.exists(_.contains("-batch-")) || !fs.exists(pairsBase))
-        Set.empty
+      if (!all.exists(_.contains("-batch-"))) Set.empty
+      else if (!fs.exists(pairsBase))
+        // -batch- segments exist but NO pairs log does: the very
+        // first streaming batch crashed between its segment commit
+        // and its first pairs write. That is exactly the recovery
+        // window — every batch segment is replay-pending, none may
+        // be folded (the old `Set.empty` here would have compacted
+        // the torn segment away and the replay's left-anti would
+        // then drop the whole batch's verdicts forever)
+        all.filter(_.contains("-batch-")).toSet
       else {
         val (vis, shad) = ShadowLog.list(fs, pairsBase, "_COMMITTED", _ => true)
         val pairsCommitted = vis.toSet ++ shad

@@ -41,8 +41,20 @@ import graft.plans.Materialize._
   */
 object EmbeddingDedupIndex {
 
+  /** `family` versions the HYPERPLANE HASH FAMILY the persisted
+    * band/bucket rows were computed with (Knn.hyperplanes). The
+    * geometry fields alone cannot catch a code-level family change —
+    * r8 flipped XXH64→md5 hyperplanes for the DuckDB oracles, and an
+    * unversioned store built pre-flip would have silently probed
+    * md5 buckets against XXH64 rows (candidate overlap collapsing to
+    * noise, a recall hole with no error). Now a family mismatch is a
+    * loud error whose fix is [[reband]] (it recomputes bands from
+    * the persisted vecs with the CURRENT family). Stores written
+    * before the field existed parse as [[Knn.HyperplaneFamily]]
+    * because the field and the md5 family shipped together — no
+    * store written by any earlier family-less build persists. */
   case class Meta(threshold: Double, bands: Int, bits: Int,
-      maxBucket: Int)
+      maxBucket: Int, family: String = Knn.HyperplaneFamily)
 
   case class UpdateResult(segment: String, pairs: DataFrame)
 
@@ -58,22 +70,31 @@ object EmbeddingDedupIndex {
       bands: Int = 10, bits: Int = 6, maxBucket: Int = 500,
       segmentName: Option[String] = None): UpdateResult = {
     Registry.registerAll(spark)
-    // loud bounds: bits <= 0 degenerates every vector into one
-    // bucket, and the cap is 16 like the bulk path
+    // loud bounds, enforced at store CREATION (a bad geometry would
+    // be pinned in _meta.json forever): bits <= 0 degenerates every
+    // vector into one bucket, and the cap is 16 like the bulk path
     // (Knn.nearDupPairsLsh) — 2^16 buckets per band already
     // discriminates a billion-row store (expected 15k rows/bucket at
     // 1e9), while an unbounded bits lets the per-band bucket space
     // (and with it any bucket-census frame) outgrow executor memory.
-    // A bad geometry would be pinned in _meta.json forever
-    require(bits > 0 && bits <= 16, s"bits must be in [1, 16]: $bits")
-    require(bands > 0 && maxBucket > 0,
-      s"bands/maxBucket must be positive: $bands/$maxBucket")
+    // An EXISTING store is validated against its own pinned meta
+    // below instead — a store legally created under an older bound
+    // must not be bricked by a tightened one (r8 review); the
+    // migration path off an out-of-bound geometry is [[reband]]
+    val exists = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(root, "_meta.json"))
+    if (!exists) {
+      require(bits > 0 && bits <= 16, s"bits must be in [1, 16]: $bits")
+      require(bands > 0 && maxBucket > 0,
+        s"bands/maxBucket must be positive: $bands/$maxBucket")
+    }
     val meta = readOrInitMeta(spark, root,
       Meta(threshold, bands, bits, maxBucket))
     require(meta == Meta(threshold, bands, bits, maxBucket),
       s"index at $root was built with $meta; updates must match " +
         s"(got threshold=$threshold bands=$bands bits=$bits " +
-        s"maxBucket=$maxBucket)")
+        s"maxBucket=$maxBucket) — to change geometry, run reband")
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(root, Intent)),
@@ -272,15 +293,18 @@ object EmbeddingDedupIndex {
   private val Intent = "_reband"
 
   private def metaJson(m: Meta): String =
-    s"""{"threshold":${m.threshold},"bands":${m.bands},"bits":${m.bits},"maxBucket":${m.maxBucket}}"""
+    s"""{"threshold":${m.threshold},"bands":${m.bands},"bits":${m.bits},"maxBucket":${m.maxBucket},"family":"${m.family}"}"""
 
   private def parseMeta(txt: String, at: Path): Meta = {
-    val m = """\{"threshold":([0-9.eE+-]+),"bands":(\d+),"bits":(\d+),"maxBucket":(\d+)\}"""
+    val m = """\{"threshold":([0-9.eE+-]+),"bands":(\d+),"bits":(\d+),"maxBucket":(\d+)(?:,"family":"([A-Za-z0-9._-]+)")?\}"""
       .r.findFirstMatchIn(txt.trim)
       .getOrElse(throw new IllegalStateException(
         s"unreadable embedding-dedup-index meta at $at: $txt"))
     Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt,
-      m.group(4).toInt)
+      m.group(4).toInt,
+      // field absent = written by the build that introduced md5
+      // hyperplanes together with this field (see the Meta scaladoc)
+      Option(m.group(5)).getOrElse(Knn.HyperplaneFamily))
   }
 
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,

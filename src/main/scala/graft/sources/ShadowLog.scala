@@ -52,10 +52,25 @@ object ShadowLog {
     * that compaction never runs between a crash and its recovery;
     * pruning only widens that to "…nor between the crash and TWO
     * compaction+vacuum cycles", far outside any real checkpoint
-    * lag. */
+    * lag.
+    *
+    * `retain` exempts names from the pruning: a log whose shadowed
+    * names are load-bearing FACTS for another component must keep
+    * them even after their dirs are gone. The pairs log retains its
+    * `-batch-` names — `DedupIndex.compactSegments` classifies an
+    * index segment as replay-pending precisely when its verdicts are
+    * NOT committed under the pairs log, so pruning a folded batch's
+    * name there would strand that batch's index segment as
+    * "replay-pending" forever (a liveness leak, found in the r8
+    * review). Cost: one ~40-byte line per micro-batch in the single
+    * compaction target's `_sources`, read once per maintenance op —
+    * bounded by the store/checkpoint retirement the object doc
+    * already requires. */
   def sourcesClosure(fs: FileSystem, base: Path, srcs: Seq[String],
-      alreadyShadowed: Set[String]): Seq[String] =
-    (srcs ++ alreadyShadowed.filter(d => fs.exists(new Path(base, d))))
+      alreadyShadowed: Set[String],
+      retain: String => Boolean = _ => false): Seq[String] =
+    (srcs ++ alreadyShadowed.filter(d =>
+      retain(d) || fs.exists(new Path(base, d))))
       .distinct.sorted
 
   def readSources(fs: FileSystem, base: Path, dir: String): Seq[String] = {

@@ -76,9 +76,9 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // epoch resolved lazily INSIDE the callback: Spark writes
         // <checkpoint>/metadata during query construction, so it
-        // exists by the first batch — and resolving it per batch (one
-        // memoized tiny read) keeps this closure free of driver state
-        // that a restart would stale
+        // exists by the first batch — and re-reading it per batch
+        // (one tiny file read) keeps this closure free of ANY driver
+        // state a restart or same-path checkpoint reset would stale
         dedupBatch(batch, batchId, idCol, textCol, threshold, root,
           numHashes, bands,
           epoch = Some(checkpointEpoch(batch.sparkSession, checkpoint)))
@@ -93,24 +93,27 @@ object StreamingDedup {
     * checkpoint is reset. 8 hex chars is collision-safe for the
     * handful of incarnations a store ever sees. */
   private[graft] def checkpointEpoch(spark: SparkSession,
-      checkpoint: String): String =
-    epochCache.getOrElseUpdate(checkpoint, {
-      val p = new Path(checkpoint, "metadata")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.exists(p),
-        s"no streaming metadata at $p — epoch is only resolvable " +
-          "under a started query's checkpoint")
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(txt)
-        .getOrElse(throw new IllegalStateException(
-          s"unreadable query id in $p: $txt"))
-        .group(1).replace("-", "").take(8)
-    })
-
-  private val epochCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+      checkpoint: String): String = {
+    // deliberately NOT memoized by path: a long-lived driver can
+    // reset (delete + recreate) the same checkpoint path between
+    // query incarnations, and a cached epoch would revive the exact
+    // silent-swallow bug the epoch exists to prevent — the fresh
+    // incarnation's batch 0 would land on the OLD epoch's committed
+    // seg-<epoch>-batch-0 and be dropped as a replay. One tiny file
+    // read per micro-batch is noise next to the batch itself.
+    val p = new Path(checkpoint, "metadata")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no streaming metadata at $p — epoch is only resolvable " +
+        "under a started query's checkpoint")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    """"id"\s*:\s*"([0-9a-fA-F-]+)"""".r.findFirstMatchIn(txt)
+      .getOrElse(throw new IllegalStateException(
+        s"unreadable query id in $p: $txt"))
+      .group(1).replace("-", "").take(8)
+  }
 
   /** One micro-batch: detect against the store, append the segment,
     * publish the verdicts. Idempotent per (root, epoch, batchId) —
@@ -205,10 +208,14 @@ object StreamingDedup {
     spark.read.parquet(paths: _*).repartition(pl.nOut)
       .write.mode("error").parquet(new Path(p, seg).toString)
     // closure, not just srcs: see ShadowLog — and for this log the
-    // closure is doubly load-bearing, since dedupBatch's replay
-    // guard reads it to recognize compacted-away batches
+    // closure is doubly load-bearing: dedupBatch's replay guard AND
+    // DedupIndex.compactSegments' replay-pending exclusion both read
+    // it to recognize compacted-away batches, so batch names are
+    // RETAINED even after their dirs are deleted (pruning them would
+    // strand the corresponding index segments as pending forever)
     graft.sources.ShadowLog.writeSources(fs, p, seg,
-      graft.sources.ShadowLog.sourcesClosure(fs, p, srcs, shadowed))
+      graft.sources.ShadowLog.sourcesClosure(fs, p, srcs, shadowed,
+        retain = _.contains("-batch-")))
     fs.create(new Path(p, s"$seg/_COMMITTED"), true).close()
     srcs.foreach(d => fs.delete(new Path(p, d), true))
     Some(seg)

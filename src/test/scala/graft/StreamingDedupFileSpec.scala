@@ -120,6 +120,23 @@ class StreamingDedupFileSpec extends AnyFunSuite with SparkFixture {
     assert(pairSet(StreamingDedup.currentPairs(spark, root))
       .contains((rows.head._1, newId)),
       "the new doc's near-dup pair against the old store must surface")
+
+    // checkpoint reset at the SAME PATH, same JVM (r8 review): delete
+    // the checkpoint and restart at the identical location. Spark
+    // writes a fresh query id to <ckpt>/metadata, and the epoch must
+    // be re-read — a path-keyed epoch cache would revive the stale
+    // epoch, land the new incarnation's batch 0 on the OLD epoch's
+    // committed segment, and silently swallow the new document.
+    deleteDir(s"$base/ckpt3")
+    val newId2 = newId + 1
+    drop(in, "f5.json", Seq(json((newId2, rows.head._2))))
+    run(s"$base/ckpt3")
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length + 2,
+      "a new doc after a SAME-PATH checkpoint reset must be indexed " +
+        "(stale cached epoch would swallow it)")
+    assert(pairSet(StreamingDedup.currentPairs(spark, root))
+      .contains((rows.head._1, newId2)),
+      "the new doc's pair must surface after the same-path reset")
     deleteDir(base)
   }
 }

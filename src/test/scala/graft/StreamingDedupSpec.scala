@@ -185,4 +185,82 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     assert(DedupIndex.segments(spark, root).size == 1)
     assert(DedupIndex.currentSets(spark, root).count() == rows.length)
   }
+
+  test("the VERY FIRST streaming batch torn before any pairs write " +
+      "is replay-pending — no pairs log is not a free pass (r8 review)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val half = rows.length / 2
+    val base = "/tmp/graft-test-streamdedup-firsttorn"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"
+    // a bulk-loaded store (two committed NON-batch segments), no
+    // pairs log — StreamingDedup has never successfully finished a
+    // batch here
+    DedupIndex.update(spark, root, rows.take(half).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.8)
+    DedupIndex.update(spark, root,
+      rows.slice(half, half + half / 2).toSeq.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.8)
+    // first streaming batch crashes between its segment _SUCCESS and
+    // its first pairs write: root/pairs never came to exist
+    val tail = rows.drop(half + half / 2).toSeq
+    StreamingDedup.dedupBatch(tail.toDF("doc_id", "text"), 0,
+      "doc_id", "text", 0.8, root, 30, 6)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$root/pairs"))
+    // compaction in that window must fold ONLY the bulk segments —
+    // the pre-fix `!fs.exists(pairsBase) => Set.empty` folded the
+    // torn batch segment away, and its replay's left-anti then
+    // dropped the whole batch's verdicts forever
+    val torn = "seg-batch-0000000000"
+    assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+    val segs = DedupIndex.segments(spark, root)
+    assert(segs.contains(torn),
+      s"first-batch torn segment must survive compaction: $segs")
+    // recovery replays batch 0 and the verdicts land
+    StreamingDedup.dedupBatch(tail.toDF("doc_id", "text"), 0,
+      "doc_id", "text", 0.8, root, 30, 6)
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length)
+    assert(pairSet(StreamingDedup.currentPairs(spark, root)).nonEmpty,
+      "the replayed first batch's verdicts must exist")
+  }
+
+  test("index compaction stays live through DOUBLE pairs compaction: " +
+      "folded batch names are retained, not pruned (r8 review)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val fifth = rows.length / 5
+    val base = "/tmp/graft-test-streamdedup-doublecompact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"
+    def deliver(id: Long, rs: Seq[(Long, String)]): Unit =
+      StreamingDedup.dedupBatch(rs.toDF("doc_id", "text"), id,
+        "doc_id", "text", 0.8, root, 30, 6)
+    deliver(0, rows.take(fifth).toSeq)
+    deliver(1, rows.slice(fifth, 2 * fifth).toSeq)
+    deliver(2, rows.slice(2 * fifth, 3 * fifth).toSeq)
+    // pairs compaction #1 folds batches 0-2 and deletes their dirs
+    assert(StreamingDedup.compactPairs(spark, root).nonEmpty)
+    deliver(3, rows.slice(3 * fifth, 4 * fifth).toSeq)
+    deliver(4, rows.drop(4 * fifth).toSeq)
+    // pairs compaction #2 deletes compaction #1's target — the only
+    // dir whose _sources named batches 0-2. The retained closure must
+    // keep carrying those names even though their dirs are long gone;
+    // pre-fix pruning dropped them, and compactSegments then
+    // classified batches 0-2's index segments replay-pending forever
+    assert(StreamingDedup.compactPairs(spark, root).nonEmpty)
+    assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+    assert(DedupIndex.segments(spark, root).size == 1,
+      "ALL five committed batch segments must fold — none stuck pending")
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length)
+    val bulk = pairSet(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
+      "verdict log unchanged through double compaction")
+  }
 }

@@ -1,20 +1,5 @@
 #!/bin/bash
-# Run graft.Bench without sbt (frees the shared sbt target lock for
-# concurrent dev work). Replicates build.sbt's forked-run JVM flags;
-# requires a prior `sbt compile` (reads target/scala-2.13/classes).
-#
-# Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_ONLY=q1,q2 tools/benchjava.sh
-set -eo pipefail
-cd /root/repo
-OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
-         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
-  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-exec java $OPENS \
-  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx"${SPARK_DRIVER_MEM:-48g}" \
-  -cp "target/scala-2.13/classes:/opt/spark/jars/*" graft.Bench
+# Run graft.Bench without sbt — kept as the name every probe doc and
+# prior-round artifact references; the JVM flags live in runjava.sh
+# (one copy, no drift).
+exec "$(dirname "$0")/runjava.sh" graft.Bench "$@"
