@@ -53,6 +53,55 @@ object PerfProbe {
       }
       return
     }
+    // SPARK_GRAFT_PROBE=arrival: the O(batch)-reads experiment the
+    // r8 verdict asked for — a FIXED small batch timed against a
+    // small store, then against a ~30x larger one. With the pruned
+    // probe layout (IndexLayout) the per-batch cost must stay flat;
+    // with pruning disabled (SPARK_GRAFT_NOPRUNE=1 sets
+    // graft.dedup.probeKeyCap=0, the documented kill switch) the
+    // same batches pay the full-store scan and grow with it.
+    // Replica token spaces are disjoint, so probe batches (slices of
+    // the two highest replicas) have ~constant same-batch output and
+    // ~zero cross-store pairs — any cost growth is store overhead.
+    if (sys.env.get("SPARK_GRAFT_PROBE").contains("arrival")) {
+      if (sys.env.get("SPARK_GRAFT_NOPRUNE").contains("1"))
+        spark.conf.set("graft.dedup.probeKeyCap", "0")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").materialize()
+      val nRep = (docs.agg(max(col("doc_id"))).head().getLong(0) / off + 1).toInt
+      require(nRep >= 8, s"arrival probe needs a replica corpus, got $nRep")
+      val batchSz = 500
+      def replica(r: Int) = docs.filter(
+        col("doc_id") >= r.toLong * off && col("doc_id") < (r + 1).toLong * off)
+      def probeBatches(r: Int, tag: String): Unit = {
+        val store = sources.DedupIndex.currentSets(spark, root).count()
+        for (k <- 0 until 4) {
+          val batch = replica(r)
+            .filter(pmod(col("doc_id"), lit(off)) >= k * batchSz &&
+              pmod(col("doc_id"), lit(off)) < (k + 1) * batchSz)
+          val t0 = System.nanoTime()
+          val res = sources.DedupIndex.update(spark, root, batch,
+            "doc_id", "text", threshold = 0.8)
+          val nPairs = res.pairs.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"arrival $tag store=$store%7d batch $k: $dt%6.2f s  pairs=$nPairs%5d")
+        }
+      }
+      // small store: two replicas, bulk
+      for (r <- 0 until 2)
+        sources.DedupIndex.update(spark, root, replica(r),
+          "doc_id", "text", threshold = 0.8)
+      probeBatches(nRep - 2, "smallStore")
+      // grown store: every remaining replica except the probe donors
+      for (g <- (2 until nRep - 2).grouped(6)) {
+        val chunk = g.map(replica).reduce(_ unionByName _)
+        sources.DedupIndex.update(spark, root, chunk,
+          "doc_id", "text", threshold = 0.8)
+        println(s"arrival grow: ingested replicas ${g.head}..${g.last}")
+      }
+      probeBatches(nRep - 1, "grownStore")
+      return
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text").materialize()
     for (k <- 0 until nBatches) {

@@ -43,10 +43,18 @@ import graft.plans.Materialize._
   * new×store catches cross-batch pairs, new×new catches same-batch
   * pairs — and the union over updates equals the bulk
   * Dedup.minhashNearDups over the whole corpus (pinned in
-  * DedupIndexSpec). Per-update cost: one batch scan + a band-bucket
-  * equi-join whose output is driven by the BATCH's buckets, plus a
-  * candidate-id semi-join-shaped read of the sets table — the stored
-  * corpus text is never re-read.
+  * DedupIndexSpec).
+  *
+  * Per-update cost — O(batch) for state, writes AND reads: one
+  * batch scan, plus three store probes that each push the batch's
+  * keys into the segment scan ([[IndexLayout]] — segments are
+  * bucket-/id-sorted with small row groups, so the pushed IN-list
+  * prunes to ~one row group per key): the first-write-wins id check
+  * (batch ids → sets scan), the band-bucket candidate join (batch
+  * buckets → bands scan), and the candidate verification (candidate
+  * ids → sets scan). The stored corpus text is never re-read, and
+  * once the store exceeds the batch's key count in row groups, probe
+  * bytes stop growing with the store.
   */
 object DedupIndex {
 
@@ -82,6 +90,7 @@ object DedupIndex {
     require(meta == Meta(threshold, numHashes, bands),
       s"index at $root was built with $meta; updates must match " +
         s"(got threshold=$threshold numHashes=$numHashes bands=$bands)")
+    IndexLayout.withProbePushdown(spark) {
     // drop a replayed segment BEFORE the store is read, so the
     // recomputed candidates see exactly the pre-batch store
     segmentName.foreach { s =>
@@ -96,6 +105,7 @@ object DedupIndex {
     // marker; on object storage with thousands of streaming segments
     // that metadata walk must not run three times per micro-batch)
     val segs = segments(spark, root)
+    val cap = IndexLayout.probeKeyCap(spark)
 
     // dropDuplicates BEFORE the store check: an at-least-once source
     // can redeliver a document INSIDE one micro-batch, and the store
@@ -114,10 +124,16 @@ object DedupIndex {
     // self-pairs from the candidate join. First write wins — replays
     // and at-least-once sources converge; a CHANGED text under the
     // same id is an upsert, which is [[graft.sources.DocumentIngest]]
-    // territory, not an append-only dedup log's
+    // territory, not an append-only dedup log's.
+    // The store side of the anti-join is PRUNED to the batch's own
+    // ids (an id-only probe of the id-sorted sets layout) — reading
+    // every committed id per batch was the r8 O(store) finding
+    val batchIds = if (segs.isEmpty) None
+      else IndexLayout.collectKeys(
+        newDocs.select(col(idCol)).distinct(), cap, "batch ids")
     val sigs = (if (segs.isEmpty) rawSigs
-      else rawSigs.join(readSegments(spark, root, segs, "sets",
-          "id BIGINT, sh ARRAY<BIGINT>").select(col("id")),
+      else rawSigs.join(probeSets(spark, root, segs, batchIds)
+          .select(col("id")),
         Seq("id"), "left_anti")).materialize()
     val newBands = sigs.select(col("id"), col("sz"),
       posexplode(col("ba")).as(Seq("band", "bucket")))
@@ -126,12 +142,14 @@ object DedupIndex {
     // fresh store: empty frames derived from the BATCH's own schema,
     // so non-bigint id columns work on the first update too (the
     // public currentBands/currentSets readers default to the
-    // documents-table shape)
+    // documents-table shape). A non-empty store's bands scan is
+    // pruned to the batch's touched buckets — minhash band buckets
+    // are 64-bit hashes, so the bucket IN-list alone is exact
+    val batchBuckets = if (segs.isEmpty) None
+      else IndexLayout.collectKeys(
+        newBands.select(col("bucket")).distinct(), cap, "band buckets")
     val storeBands = if (segs.isEmpty) newBands.limit(0)
-      else readSegments(spark, root, segs, "bands",
-        "band INT, bucket BIGINT, id BIGINT, sz INT")
-    val storeSets = if (segs.isEmpty) newSets.limit(0)
-      else readSegments(spark, root, segs, "sets", "id BIGINT, sh ARRAY<BIGINT>")
+      else probeBands(spark, root, segs, batchBuckets)
 
     // size-ratio guard (J ≥ t ⇒ min/max set sizes ≥ t) kills
     // impossible pairs before verification, same as the bulk path
@@ -158,8 +176,19 @@ object DedupIndex {
     // that trick needs both band ARRAYS on the pair row, which would
     // mean carrying them in the band store; here the candidate stream
     // is batch-driven (not corpus-driven), so one distinct shuffle of
-    // it is the cheaper trade
-    val cands = candOld.unionByName(candNew).distinct()
+    // it is the cheaper trade. Materialized: the verification join
+    // AND the candidate-id collect below both read it
+    val cands = candOld.unionByName(candNew).distinct().materialize()
+    // verification reads the sets store pruned to the CANDIDATE ids
+    // (batch-driven by construction) — the corpus-token-scale
+    // ARRAY<BIGINT> payloads were the heaviest part of the r8
+    // full-store read
+    val candIds = if (segs.isEmpty) None
+      else IndexLayout.collectKeys(
+        cands.select(explode(array(col("a"), col("b"))).as("id"))
+          .distinct(), cap, "candidate ids")
+    val storeSets = if (segs.isEmpty) newSets.limit(0)
+      else probeSets(spark, root, segs, candIds)
     val allSets = storeSets.unionByName(newSets)
     val pairs = cands
       .join(allSets.select(col("id").as("a"), col("sh").as("sha")), "a")
@@ -171,16 +200,33 @@ object DedupIndex {
       .materialize()
 
     // commit LAST: bands + sets land, then the root-level marker —
-    // a crash before the marker leaves an ignored orphan directory
+    // a crash before the marker leaves an ignored orphan directory.
+    // Segments are written key-sorted with probe-sized row groups —
+    // the layout every future batch's pruned probes depend on
     val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d")
-    newBands.write.parquet(s"$root/$seg/bands")
-    newSets.write.parquet(s"$root/$seg/sets")
+    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands")
+    IndexLayout.writeSorted(newSets, "id", s"$root/$seg/sets")
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
     UpdateResult(seg, pairs)
+    }
   }
+
+  /** The per-batch store probes — the EXACT reads update() issues,
+    * exposed package-private so PlanAuditSpec can pin their shape
+    * (PushedFilters IN-list on the scan, row-group pruning against
+    * the sorted layout) without replicating the code under test. */
+  private[graft] def probeBands(spark: SparkSession, root: String,
+      segs: Seq[String], buckets: Option[Array[Any]]): DataFrame =
+    IndexLayout.pruned(readSegments(spark, root, segs, "bands",
+      "band INT, bucket BIGINT, id BIGINT, sz INT"), "bucket", buckets)
+
+  private[graft] def probeSets(spark: SparkSession, root: String,
+      segs: Seq[String], ids: Option[Array[Any]]): DataFrame =
+    IndexLayout.pruned(readSegments(spark, root, segs, "sets",
+      "id BIGINT, sh ARRAY<BIGINT>"), "id", ids)
 
   /** All committed band rows (band, bucket, id, sz); empty when the
     * store is new. */
@@ -245,32 +291,42 @@ object DedupIndex {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (all, shadowed) =
       ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))
+    // replay-pending detection keys on the EXACT StreamingDedup
+    // naming pattern, not any "-batch-" substring (r8 ADVICE): a
+    // direct update() caller who picks a custom name containing
+    // "-batch-" but never writes a pairs log would otherwise have
+    // segments that are never compactable (a liveness leak)
+    def isStreamSeg(s: String) = StreamingBatchSegment.matches(s)
     val pairsBase = new Path(root, "pairs")
     val replayPending: Set[String] =
-      if (!all.exists(_.contains("-batch-"))) Set.empty
+      if (!all.exists(isStreamSeg)) Set.empty
       else if (!fs.exists(pairsBase))
-        // -batch- segments exist but NO pairs log does: the very
-        // first streaming batch crashed between its segment commit
-        // and its first pairs write. That is exactly the recovery
-        // window — every batch segment is replay-pending, none may
-        // be folded (the old `Set.empty` here would have compacted
-        // the torn segment away and the replay's left-anti would
-        // then drop the whole batch's verdicts forever)
-        all.filter(_.contains("-batch-")).toSet
+        // streaming batch segments exist but NO pairs log does: the
+        // very first streaming batch crashed between its segment
+        // commit and its first pairs write. That is exactly the
+        // recovery window — every batch segment is replay-pending,
+        // none may be folded (the old `Set.empty` here would have
+        // compacted the torn segment away and the replay's left-anti
+        // would then drop the whole batch's verdicts forever)
+        all.filter(isStreamSeg).toSet
       else {
         val (vis, shad) = ShadowLog.list(fs, pairsBase, "_COMMITTED", _ => true)
         val pairsCommitted = vis.toSet ++ shad
-        all.filter(s => s.contains("-batch-") && !pairsCommitted(s)).toSet
+        all.filter(s => isStreamSeg(s) && !pairsCommitted(s)).toSet
       }
     val srcs = all.filterNot(replayPending)
     if (srcs.size < 2) return None
     val seg = f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d-compact"
-    for (table <- Seq("bands", "sets")) {
+    // merged tables are re-sorted by their probe key: compaction
+    // must PRESERVE the pruned-probe layout (IndexLayout) — a merged
+    // store that lost its sort would silently reintroduce the
+    // O(store) per-batch scan this layout exists to prevent
+    for ((table, key) <- Seq("bands" -> "bucket", "sets" -> "id")) {
       val paths = srcs.map(s => s"$root/$s/$table")
       val pl = Compaction.planAll(spark, paths, targetBytes)
-      spark.read.parquet(paths: _*).repartition(pl.nOut)
-        .write.mode("error").parquet(s"$root/$seg/$table")
+      IndexLayout.writeSorted(spark.read.parquet(paths: _*), key,
+        s"$root/$seg/$table", nOut = Some(pl.nOut))
     }
     // closure, not just srcs: see ShadowLog — dropping a prior
     // compaction target must not resurrect its crash relics
@@ -332,6 +388,16 @@ object DedupIndex {
       init
     }
   }
+
+  /** The segment names [[graft.streaming.StreamingDedup]] commits —
+    * `seg-<epoch>-batch-<id>` (epoch = 8 hex chars of the query id)
+    * or the legacy pre-epoch `seg-batch-<id>`. This regex IS the
+    * naming contract: compactSegments' replay-pending guard and
+    * compactPairs' retain predicate key on it, so only genuinely
+    * streaming-named segments are held back for crash recovery — a
+    * direct update() caller's custom name can't get stuck pending. */
+  private[graft] val StreamingBatchSegment =
+    """seg-(?:[0-9a-fA-F]{8}-)?batch-\d{10}""".r
 
   private val saveSeq = new java.util.concurrent.atomic.AtomicLong()
 }

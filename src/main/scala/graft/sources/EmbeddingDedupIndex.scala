@@ -18,6 +18,12 @@ import graft.plans.Materialize._
   * new×store catches cross-batch pairs, new×new catches same-batch
   * pairs, and the union over updates equals the bulk banded pipeline
   * over the whole corpus — pinned in EmbeddingDedupIndexSpec.
+  * Like [[DedupIndex]], every per-batch store READ is a pruned probe
+  * ([[IndexLayout]]): batch ids against the id-sorted vecs (first-
+  * write-wins check), batch buckets against the bucket-sorted bands,
+  * candidate ids against the vecs for cosine verification — O(batch)
+  * reads, not O(store), once the store exceeds the batch in row
+  * groups.
   *
   * Store layout (segment log, `_SUCCESS`-gated, [[ShadowLog]]
   * conventions):
@@ -81,9 +87,16 @@ object EmbeddingDedupIndex {
     // below instead — a store legally created under an older bound
     // must not be bricked by a tightened one (r8 review); the
     // migration path off an out-of-bound geometry is [[reband]]
-    val exists = new Path(root).getFileSystem(
+    val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-      .exists(new Path(root, "_meta.json"))
+    // the reband-intent check runs BEFORE the meta parse (r8 ADVICE):
+    // a crash during reband's _meta.json rewrite leaves a torn meta,
+    // and parsing it first would report "unreadable meta" instead of
+    // the actionable recovery instruction — rerun reband
+    require(!fs.exists(new Path(root, Intent)),
+      s"a reband of $root is in progress or crashed — rerun reband " +
+        "to converge the store before updating")
+    val exists = fs.exists(new Path(root, "_meta.json"))
     if (!exists) {
       require(bits > 0 && bits <= 16, s"bits must be in [1, 16]: $bits")
       require(bands > 0 && maxBucket > 0,
@@ -95,28 +108,30 @@ object EmbeddingDedupIndex {
       s"index at $root was built with $meta; updates must match " +
         s"(got threshold=$threshold bands=$bands bits=$bits " +
         s"maxBucket=$maxBucket) — to change geometry, run reband")
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new Path(root, Intent)),
-      s"a reband of $root is in progress or crashed — rerun reband " +
-        "to converge the store before updating")
     segmentName.foreach { s =>
       require(s.startsWith("seg-"), s"segment name must start with seg-: $s")
       val sp = new Path(root, s)
       if (fs.exists(sp)) fs.delete(sp, true)
     }
+    IndexLayout.withProbePushdown(spark) {
     val segs = segments(spark, root)
+    val cap = IndexLayout.probeKeyCap(spark)
 
     val rawBase = newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(Knn.dot(col(vecCol), col(vecCol))).as("nm"))
     // first write wins — replays and at-least-once sources converge
     // exactly one row per id even WITHIN a batch: an at-least-once
     // source can redeliver inside one micro-batch, and the append-only
-    // log could never retract the double row
+    // log could never retract the double row. The store side of the
+    // anti-join is PRUNED to the batch's ids (id-sorted vecs layout +
+    // pushed IN-list, IndexLayout) — reading every committed vector
+    // row per batch was the r8 O(store) finding
+    val batchIds = if (segs.isEmpty) None
+      else IndexLayout.collectKeys(
+        newVecs.select(col(idCol)).distinct(), cap, "batch ids")
     val base = (if (segs.isEmpty) rawBase.dropDuplicates("id")
       else rawBase.dropDuplicates("id")
-        .join(readSegs(spark, root, segs, "vecs",
-          "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE").select(col("id")),
+        .join(probeVecs(spark, root, segs, batchIds).select(col("id")),
         Seq("id"), "left_anti")).materialize()
 
     // banding materialized once: candOld, both candNew sides and the
@@ -126,12 +141,17 @@ object EmbeddingDedupIndex {
         (0 until bands).map(j =>
           Knn.lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
       .as(Seq("band", "bucket"))).materialize()
+    // bands scan pruned to the batch's touched buckets. Sign-LSH
+    // buckets live in [0, 2^bits) per band, so the bucket-only
+    // IN-list admits a row whose bucket matches in a DIFFERENT band
+    // — at most a bands× over-read of the exact (band, bucket) rows,
+    // still O(batch × bucket population), and the join below keys on
+    // both columns so correctness is untouched
+    val probeBucketKeys = if (segs.isEmpty) None
+      else IndexLayout.collectKeys(
+        newBands.select(col("bucket")).distinct(), cap, "band buckets")
     val storeBands = if (segs.isEmpty) newBands.limit(0)
-      else readSegs(spark, root, segs, "bands",
-        "band INT, bucket BIGINT, id BIGINT")
-    val storeVecs = if (segs.isEmpty) base.limit(0).select("id", "v", "nm")
-      else readSegs(spark, root, segs, "vecs",
-        "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE")
+      else probeBands(spark, root, segs, probeBucketKeys)
 
     // the bulk path's oversized-bucket guard, incremental form: a
     // bucket whose STORE+BATCH population exceeds maxBucket is
@@ -165,8 +185,18 @@ object EmbeddingDedupIndex {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
+    // cosine verification reads the vecs store pruned to the
+    // CANDIDATE ids (batch-driven by construction) — the raw vector
+    // payloads were the heaviest part of the r8 full-store read
+    val cands = candOld.unionByName(candNew).distinct().materialize()
+    val candIds = if (segs.isEmpty) None
+      else IndexLayout.collectKeys(
+        cands.select(explode(array(col("a"), col("b"))).as("id"))
+          .distinct(), cap, "candidate ids")
+    val storeVecs = if (segs.isEmpty) base.limit(0).select("id", "v", "nm")
+      else probeVecs(spark, root, segs, candIds)
     val allVecs = storeVecs.unionByName(base.select("id", "v", "nm"))
-    val pairs = candOld.unionByName(candNew).distinct()
+    val pairs = cands
       .join(allVecs.select(col("id").as("a"), col("v").as("va"),
         col("nm").as("na")), "a")
       .join(allVecs.select(col("id").as("b"), col("v").as("vb"),
@@ -179,13 +209,31 @@ object EmbeddingDedupIndex {
       .filter(!isnan(col("sim")) && col("sim") >= threshold)
       .materialize()
 
+    // segments are written key-sorted with probe-sized row groups
+    // (IndexLayout) — the layout every future batch's pruned probes
+    // depend on
     val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d")
-    newBands.write.parquet(s"$root/$seg/bands")
-    base.select("id", "v", "nm").write.parquet(s"$root/$seg/vecs")
+    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands")
+    IndexLayout.writeSorted(base.select("id", "v", "nm"), "id",
+      s"$root/$seg/vecs")
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
     UpdateResult(seg, pairs)
+    }
   }
+
+  /** The per-batch store probes — the EXACT reads update() issues,
+    * package-private so PlanAuditSpec can pin their pushdown/pruning
+    * shape without replicating the code under test. */
+  private[graft] def probeBands(spark: SparkSession, root: String,
+      segs: Seq[String], buckets: Option[Array[Any]]): DataFrame =
+    IndexLayout.pruned(readSegs(spark, root, segs, "bands",
+      "band INT, bucket BIGINT, id BIGINT"), "bucket", buckets)
+
+  private[graft] def probeVecs(spark: SparkSession, root: String,
+      segs: Seq[String], ids: Option[Array[Any]]): DataFrame =
+    IndexLayout.pruned(readSegs(spark, root, segs, "vecs",
+      "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE"), "id", ids)
 
   /** Migrate the store to a NEW LSH geometry without re-ingesting:
     * the vectors are the source of truth (`vecs/` persists them
@@ -249,15 +297,25 @@ object EmbeddingDedupIndex {
     // pre-reband store even while this pass rewrites it
     val vecs = readSegs(spark, root, segs, "vecs",
       "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE").materialize()
-    val dim = vecs.select(size(col("v"))).head().getInt(0)
+    // loud empty-store guard (r8 ADVICE): committed segments can
+    // legally hold zero vector rows (an all-duplicate batch), and a
+    // bare head() on them threw an unexplained NoSuchElementException
+    val dimRow = vecs.select(size(col("v"))).limit(1).collect()
+    require(dimRow.nonEmpty,
+      s"cannot reband $root: the committed segments hold zero vector " +
+        "rows, so the embedding dimension is underivable — the store " +
+        "has nothing to migrate")
+    val dim = dimRow.head.getInt(0)
     val newBands = vecs.select(col("id"), posexplode(array(
         (0 until bands).map(j =>
           Knn.lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
       .as(Seq("band", "bucket")))
     val seg = f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d-reband"
-    newBands.write.parquet(s"$root/$seg/bands")
-    vecs.write.parquet(s"$root/$seg/vecs")
+    // rewritten under the same sorted probe layout as update()'s
+    // segments — a reband must not cost the store its pruned probes
+    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands")
+    IndexLayout.writeSorted(vecs, "id", s"$root/$seg/vecs")
     ShadowLog.writeSources(fs, p, seg,
       ShadowLog.sourcesClosure(fs, p, segs, shadowed))
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()

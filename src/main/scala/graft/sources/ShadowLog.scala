@@ -56,16 +56,16 @@ object ShadowLog {
     *
     * `retain` exempts names from the pruning: a log whose shadowed
     * names are load-bearing FACTS for another component must keep
-    * them even after their dirs are gone. The pairs log retains its
-    * `-batch-` names — `DedupIndex.compactSegments` classifies an
-    * index segment as replay-pending precisely when its verdicts are
-    * NOT committed under the pairs log, so pruning a folded batch's
-    * name there would strand that batch's index segment as
-    * "replay-pending" forever (a liveness leak, found in the r8
-    * review). Cost: one ~40-byte line per micro-batch in the single
-    * compaction target's `_sources`, read once per maintenance op —
-    * bounded by the store/checkpoint retirement the object doc
-    * already requires. */
+    * them even after their dirs are gone. The pairs log retains a
+    * streaming batch's name WHILE its index segment is visible —
+    * `DedupIndex.compactSegments` classifies an index segment as
+    * replay-pending precisely when its verdicts are NOT committed
+    * under the pairs log, so pruning a still-live batch's name would
+    * strand that segment as "replay-pending" forever (a liveness
+    * leak, found in the r8 review); once the index segment is itself
+    * compacted away the name is prunable (a late replay re-runs and
+    * converges empty), which bounds the closure at O(live batch
+    * segments) rather than the stream's full batch history. */
   def sourcesClosure(fs: FileSystem, base: Path, srcs: Seq[String],
       alreadyShadowed: Set[String],
       retain: String => Boolean = _ => false): Seq[String] =

@@ -69,8 +69,23 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("w").asc)
-      .limit(vocabCap)
+      .limit(vocabCap + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+      match {
+        case full if full.length > vocabCap =>
+          // the cap is an OOM guard, not a modeling choice — when it
+          // actually truncates, say so (repo no-silent-caps
+          // convention, r8 ADVICE): pair counts from the dropped
+          // tail types are lost and the learned merge table can
+          // change, which an operator must be able to see
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"BPE vocabCap=$vocabCap truncated the collected " +
+              "vocabulary (corpus has more word types); merges are " +
+              "learned from the head only — raise vocabCap if the " +
+              "tail matters")
+          full.take(vocabCap)
+        case full => full
+      }
     // tier 2: the merge loop on the vocabulary-sized model
     var words: Array[(Array[String], Long)] = wf.map { case (w, n) =>
       ((w.map(_.toString) :+ Eow).toArray, n)

@@ -327,6 +327,133 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"label equi-join missing at 8x:\n$p2")
   }
 
+  test("dedup index probes: batch keys pushed into the store scan, " +
+      "sorted layout prunes row groups/pages to ~O(batch) rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // the r9 O(batch)-reads contract (DedupIndex scaladoc): the
+    // per-batch store probes are the EXACT reads update() issues
+    // (probeBands/probeSets are what update calls), so pinning their
+    // plan pins the micro-batch's store cost. Small row groups make
+    // the pruning measurable at spec scale — the same conf an
+    // operator would NOT need at 100 TB (1 MiB default)
+    spark.conf.set("graft.dedup.blockBytes", (64 * 1024).toString)
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("dedup-prune").toString
+      // synthetic corpus: 40k docs, disjoint 8-word texts — big
+      // enough for ~100 row groups per store table
+      val docs = spark.range(40000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(j =>
+          concat(lit(s"w$j-"), col("id"))): _*).as("text"))
+      graft.sources.DedupIndex.update(spark, root, docs,
+        "doc_id", "text", threshold = 0.8)
+      val segs = graft.sources.DedupIndex.segments(spark, root)
+
+      def scanOf(df: => org.apache.spark.sql.DataFrame): FileSourceScanExec =
+        // plan + execute under the probe's raised In->eq-chain
+        // threshold, exactly as update() does
+        graft.sources.IndexLayout.withProbePushdown(spark) {
+          val d = df
+          d.collect()
+          d.queryExecution.executedPlan
+            .collect { case s: FileSourceScanExec => s }.head
+        }
+      // a 2-doc batch touches ≤12 (band, bucket) keys; the probe
+      // must push them and decode a small fraction of the store
+      val bkeys = graft.sources.DedupIndex
+        .probeBands(spark, root, segs, None)
+        .filter(col("id") < 1).select("bucket").distinct()
+        .collect().map(_.get(0))
+      val bands = scanOf(graft.sources.DedupIndex.probeBands(
+        spark, root, segs, Some(bkeys)))
+      val bandsPlan = bands.toString
+      assert(bandsPlan.contains("PushedFilters: [In(bucket"),
+        s"bucket IN-list not pushed:\n$bandsPlan")
+      val bandsTotal = 40000L * 6
+      val bandsRead = bands.metrics("numOutputRows").value
+      assert(bandsRead < bandsTotal / 10,
+        s"bands probe decoded $bandsRead of $bandsTotal rows — " +
+          "sorted-layout pruning is not happening")
+
+      val ids: Array[Any] = Array(3L, 77L, 1024L, 9999L, 31337L)
+      val sets = scanOf(graft.sources.DedupIndex.probeSets(
+        spark, root, segs, Some(ids)))
+      val setsPlan = sets.toString
+      assert(setsPlan.contains("PushedFilters: [In(id"),
+        s"id IN-list not pushed:\n$setsPlan")
+      val setsRead = sets.metrics("numOutputRows").value
+      assert(setsRead < 40000 / 10,
+        s"sets probe decoded $setsRead of 40000 rows — " +
+          "sorted-layout pruning is not happening")
+
+      // compaction preserves the layout: same probe, same pruning
+      assert(graft.sources.DedupIndex.update(spark, root,
+        spark.range(40000, 41000).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 8).map(j =>
+            concat(lit(s"w$j-"), col("id"))): _*).as("text")),
+        "doc_id", "text", threshold = 0.8).segment.nonEmpty)
+      assert(graft.sources.DedupIndex.compactSegments(spark, root).nonEmpty)
+      val segs2 = graft.sources.DedupIndex.segments(spark, root)
+      val bands2 = scanOf(graft.sources.DedupIndex.probeBands(
+        spark, root, segs2, Some(bkeys)))
+      assert(bands2.toString.contains("PushedFilters: [In(bucket"))
+      assert(bands2.metrics("numOutputRows").value < bandsTotal / 10,
+        "compaction lost the sorted probe layout")
+    } finally spark.conf.unset("graft.dedup.blockBytes")
+  }
+
+  test("embedding index probes: bucket/id IN-lists pushed, vecs read " +
+      "prunes to the candidate ids") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("graft.dedup.blockBytes", (64 * 1024).toString)
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("embed-prune").toString
+      // 40k vecs, dim 8; bits sized for the store (log2(40k/256)≈7)
+      val vecs = spark.range(40000).select(col("id").as("vec_id"),
+        array((0 until 8).map(j =>
+          (pmod(hash(col("id"), lit(j)).cast("bigint"), lit(1000))
+            .cast("float") / 500.0f - 1.0f)): _*).as("emb"))
+      graft.sources.EmbeddingDedupIndex.update(spark, root, vecs,
+        "vec_id", "emb", dim = 8, threshold = 0.95, bits = 7)
+      val segs = graft.sources.EmbeddingDedupIndex.segments(spark, root)
+
+      def scanOf(df: => org.apache.spark.sql.DataFrame): FileSourceScanExec =
+        // plan + execute under the probe's raised In->eq-chain
+        // threshold, exactly as update() does
+        graft.sources.IndexLayout.withProbePushdown(spark) {
+          val d = df
+          d.collect()
+          d.queryExecution.executedPlan
+            .collect { case s: FileSourceScanExec => s }.head
+        }
+      val bkeys = graft.sources.EmbeddingDedupIndex
+        .probeBands(spark, root, segs, None)
+        .filter(col("id") < 1).select("bucket").distinct()
+        .collect().map(_.get(0))
+      val bands = scanOf(graft.sources.EmbeddingDedupIndex.probeBands(
+        spark, root, segs, Some(bkeys)))
+      assert(bands.toString.contains("PushedFilters: [In(bucket"),
+        s"bucket IN-list not pushed:\n${bands.toString}")
+      // sign-LSH buckets are narrow ([0, 2^bits)), so the bucket-only
+      // IN-list over-reads by ≤ bands× — still far under a full scan
+      val bandsTotal = 40000L * 10
+      val bandsRead = bands.metrics("numOutputRows").value
+      assert(bandsRead < bandsTotal / 5,
+        s"bands probe decoded $bandsRead of $bandsTotal rows")
+
+      val ids: Array[Any] = Array(5L, 123L, 4567L, 20000L)
+      val vs = scanOf(graft.sources.EmbeddingDedupIndex.probeVecs(
+        spark, root, segs, Some(ids)))
+      assert(vs.toString.contains("PushedFilters: [In(id"),
+        s"id IN-list not pushed:\n${vs.toString}")
+      val vecsRead = vs.metrics("numOutputRows").value
+      assert(vecsRead < 40000 / 4,
+        s"vecs probe decoded $vecsRead of 40000 rows")
+    } finally spark.conf.unset("graft.dedup.blockBytes")
+  }
+
   test("no declarative query degenerates into an unplanned product") {
     // the brute-force ANN paths are deliberate products: a tiny
     // broadcast query/pair side over one scan (the documented n²

@@ -228,6 +228,103 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
       "the replayed first batch's verdicts must exist")
   }
 
+  test("auto-compaction: a long stream keeps segment and pairs-dir " +
+      "counts bounded on its own, detection unchanged (r9)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val base = "/tmp/graft-test-streamdedup-autocompact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"; val ckpt = s"$base/ckpt"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("doc_id", "text")
+    spark.conf.set("graft.dedup.autoCompactSegments", "3")
+    try {
+      // eight separate drains => eight micro-batches, each committing
+      // a segment + a pairs dir; the trigger must keep both logs at
+      // <= threshold+1 dirs without any manual janitorial call
+      val n = rows.length / 8
+      for (k <- 0 until 8) {
+        val slice = if (k == 7) rows.drop(7 * n) else rows.slice(k * n, (k + 1) * n)
+        mem.addData(slice.toSeq)
+        val q = StreamingDedup.start(stream, "doc_id", "text",
+          threshold = 0.8, root, ckpt, availableNow = true)
+        q.awaitTermination()
+      }
+      val segs = DedupIndex.segments(spark, root)
+      assert(segs.size <= 4,
+        s"auto-compaction should bound the index log, got $segs")
+      val pairsP = new org.apache.hadoop.fs.Path(root, "pairs")
+      val fsP = pairsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pairDirs = fsP.listStatus(pairsP).filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(d => fsP.exists(new org.apache.hadoop.fs.Path(pairsP,
+          s"$d/_COMMITTED")))
+      assert(pairDirs.length <= 4,
+        s"auto-compaction should bound the pairs log, got ${pairDirs.toSeq}")
+      // and the maintenance never cost a verdict or a document
+      assert(DedupIndex.currentSets(spark, root).count() == rows.length)
+      val bulk = pairSet(
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+      assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
+        "auto-compacted stream must still equal the bulk verdicts")
+    } finally spark.conf.unset("graft.dedup.autoCompactSegments")
+  }
+
+  test("pairs closure prunes a batch name once its index segment is " +
+      "compacted away — bounded _sources, replay still converges (r9)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val fifth = rows.length / 5
+    val base = "/tmp/graft-test-streamdedup-closureprune"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"
+    def deliver(id: Long, rs: Seq[(Long, String)]): Unit =
+      StreamingDedup.dedupBatch(rs.toDF("doc_id", "text"), id,
+        "doc_id", "text", 0.8, root, 30, 6)
+    deliver(0, rows.take(fifth).toSeq)
+    deliver(1, rows.slice(fifth, 2 * fifth).toSeq)
+    deliver(2, rows.slice(2 * fifth, 3 * fifth).toSeq)
+    assert(StreamingDedup.compactPairs(spark, root).nonEmpty)
+    // index compaction folds batches 0-2 (their pairs are committed
+    // via the compact target's shadow) — their index dirs are gone
+    assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+    deliver(3, rows.slice(3 * fifth, 4 * fifth).toSeq)
+    deliver(4, rows.drop(4 * fifth).toSeq)
+    // pairs compaction #2: batches 0-2's names are prunable (no live
+    // index segment needs them), batches 3-4's dirs are direct srcs
+    assert(StreamingDedup.compactPairs(spark, root).nonEmpty)
+    val pairsP = new org.apache.hadoop.fs.Path(root, "pairs")
+    val fsP = pairsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = fsP.listStatus(pairsP).map(_.getPath.getName)
+      .filter(_.startsWith("compact-"))
+      .filter(d => fsP.exists(new org.apache.hadoop.fs.Path(pairsP,
+        s"$d/_COMMITTED"))).max // the newest target
+    val sources = graft.sources.ShadowLog.readSources(fsP, pairsP, target)
+    for (old <- Seq("seg-batch-0000000000", "seg-batch-0000000001",
+        "seg-batch-0000000002"))
+      assert(!sources.contains(old),
+        s"closure must prune $old after its index segment folded: $sources")
+    // liveness: batches 3-4's index segments must still fold
+    assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+    assert(DedupIndex.segments(spark, root).size == 1,
+      "live batch segments must not be stranded pending")
+    // a (hypothetical) replay of a pruned batch converges: nothing
+    // lost, nothing doubled — the compacted copies already hold it
+    val bulk = pairSet(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    deliver(1, rows.slice(fifth, 2 * fifth).toSeq)
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length,
+      "pruned-name replay must not double-index")
+    assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
+      "pruned-name replay must not change the verdicts")
+  }
+
   test("index compaction stays live through DOUBLE pairs compaction: " +
       "folded batch names are retained, not pruned (r8 review)") {
     import spark.implicits._
