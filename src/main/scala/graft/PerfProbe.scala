@@ -73,33 +73,54 @@ object PerfProbe {
       val batchSz = 500
       def replica(r: Int) = docs.filter(
         col("doc_id") >= r.toLong * off && col("doc_id") < (r + 1).toLong * off)
-      def probeBatches(r: Int, tag: String): Unit = {
-        val store = sources.DedupIndex.currentSets(spark, root).count()
+      def probeBatches(storeRoot: String, r: Int, tag: String): Unit = {
+        val store = sources.DedupIndex.currentSets(spark, storeRoot).count()
         for (k <- 0 until 4) {
           val batch = replica(r)
             .filter(pmod(col("doc_id"), lit(off)) >= k * batchSz &&
               pmod(col("doc_id"), lit(off)) < (k + 1) * batchSz)
           val t0 = System.nanoTime()
-          val res = sources.DedupIndex.update(spark, root, batch,
+          val res = sources.DedupIndex.update(spark, storeRoot, batch,
             "doc_id", "text", threshold = 0.8)
           val nPairs = res.pairs.count()
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"arrival $tag store=$store%7d batch $k: $dt%6.2f s  pairs=$nPairs%5d")
         }
       }
-      // small store: two replicas, bulk
-      for (r <- 0 until 2)
-        sources.DedupIndex.update(spark, root, replica(r),
-          "doc_id", "text", threshold = 0.8)
-      probeBatches(nRep - 2, "smallStore")
-      // grown store: every remaining replica except the probe donors
-      for (g <- (2 until nRep - 2).grouped(6)) {
-        val chunk = g.map(replica).reduce(_ unionByName _)
-        sources.DedupIndex.update(spark, root, chunk,
-          "doc_id", "text", threshold = 0.8)
-        println(s"arrival grow: ingested replicas ${g.head}..${g.last}")
+      // SPARK_GRAFT_STORE: persistent store root, bulk-loaded ONCE
+      // (DedupIndex.bulkLoad — the bootstrap path, no pair
+      // detection) and reused across pruned / NOPRUNE runs so both
+      // probe the byte-identical store. SPARK_GRAFT_DONOR picks the
+      // held-out replica whose slices form the timed batches — use a
+      // DIFFERENT donor per run (first-write-wins would otherwise
+      // dedup the second run's batches against the first's).
+      sys.env.get("SPARK_GRAFT_STORE") match {
+        case Some(storeRoot) =>
+          val donor = sys.env.get("SPARK_GRAFT_DONOR").map(_.toInt)
+            .getOrElse(nRep - 2)
+          if (sources.DedupIndex.segments(spark, storeRoot).isEmpty) {
+            for (g <- (0 until nRep - 4).grouped(64)) {
+              val chunk = g.map(replica).reduce(_ unionByName _)
+              sources.DedupIndex.bulkLoad(spark, storeRoot, chunk,
+                "doc_id", "text", threshold = 0.8)
+              println(s"arrival bulkLoad: replicas ${g.head}..${g.last}")
+            }
+          }
+          probeBatches(storeRoot, donor, s"donor$donor")
+        case None =>
+          // self-contained small/grown ladder in a temp store
+          for (r <- 0 until 2)
+            sources.DedupIndex.update(spark, root, replica(r),
+              "doc_id", "text", threshold = 0.8)
+          probeBatches(root, nRep - 2, "smallStore")
+          for (g <- (2 until nRep - 2).grouped(6)) {
+            val chunk = g.map(replica).reduce(_ unionByName _)
+            sources.DedupIndex.update(spark, root, chunk,
+              "doc_id", "text", threshold = 0.8)
+            println(s"arrival grow: ingested replicas ${g.head}..${g.last}")
+          }
+          probeBatches(root, nRep - 1, "grownStore")
       }
-      probeBatches(nRep - 1, "grownStore")
       return
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")

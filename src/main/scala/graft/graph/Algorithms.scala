@@ -365,7 +365,18 @@ object Algorithms {
           .flatMap(v => scala.util.Try(v.toLong).toOption)
           .getOrElse(ballBroadcastNodes)
         val bcast = nNodes <= ceiling
-        val lgk = if (bcast) 10 else 8
+        // graft.ball.lgk overrides the shuffle-regime register count:
+        // every edge row hauls one serialized sketch per round there,
+        // so register bytes ARE the round exchange (lgk=8 ≈ 296 B/row
+        // measured; lgk=6 ≈ 2.6× smaller at ±13 % theoretical
+        // per-node error — the SUMMED neighborhood curve averages
+        // most of the wobble out; see SURVEY §13 for the measured
+        // drift). The broadcast regime ignores the override — spec-
+        // scale exactness (sparse-mode HLL) rides the lgk=10 path.
+        val lgk = if (bcast) 10
+          else spark.conf.getOption("graft.ball.lgk")
+            .flatMap(v => scala.util.Try(v.toInt).toOption)
+            .filter(v => v >= 4 && v <= 12).getOrElse(8)
         // per-round lineage truncation (see ballSizesBuild): default
         // follows the regime — off while the state broadcasts (the
         // lazy chain's measured fast path), on in the shuffle regime

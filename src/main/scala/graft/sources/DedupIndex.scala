@@ -62,7 +62,8 @@ object DedupIndex {
     * property of the STORE (signatures written with one geometry are
     * not comparable to signatures of another), so a mismatched
     * update must fail loudly, not silently degrade recall. */
-  case class Meta(threshold: Double, numHashes: Int, bands: Int)
+  case class Meta(threshold: Double, numHashes: Int, bands: Int,
+      probeBuckets: Int = 0)
 
   case class UpdateResult(segment: String, pairs: DataFrame)
 
@@ -86,10 +87,16 @@ object DedupIndex {
       numHashes: Int = 30, bands: Int = 6,
       segmentName: Option[String] = None): UpdateResult = {
     val meta = readOrInitMeta(spark, root,
-      Meta(threshold, numHashes, bands))
-    require(meta == Meta(threshold, numHashes, bands),
+      Meta(threshold, numHashes, bands,
+        IndexLayout.defaultProbeBuckets(spark)))
+    require((meta.threshold, meta.numHashes, meta.bands) ==
+      ((threshold, numHashes, bands)),
       s"index at $root was built with $meta; updates must match " +
         s"(got threshold=$threshold numHashes=$numHashes bands=$bands)")
+    // probe layout is store geometry too — pinned at creation
+    // (IndexLayout.defaultProbeBuckets), 0 on stores created before
+    // the bucketed layout existed (flat segments, unpruned probes)
+    val p = meta.probeBuckets
     IndexLayout.withProbePushdown(spark) {
     // drop a replayed segment BEFORE the store is read, so the
     // recomputed candidates see exactly the pre-batch store
@@ -130,9 +137,9 @@ object DedupIndex {
     // every committed id per batch was the r8 O(store) finding
     val batchIds = if (segs.isEmpty) None
       else IndexLayout.collectKeys(
-        newDocs.select(col(idCol)).distinct(), cap, "batch ids")
+        newDocs.select(col(idCol)).distinct(), p, cap, "batch ids")
     val sigs = (if (segs.isEmpty) rawSigs
-      else rawSigs.join(probeSets(spark, root, segs, batchIds)
+      else rawSigs.join(probeSets(spark, root, segs, p, batchIds)
           .select(col("id")),
         Seq("id"), "left_anti")).materialize()
     val newBands = sigs.select(col("id"), col("sz"),
@@ -147,9 +154,9 @@ object DedupIndex {
     // are 64-bit hashes, so the bucket IN-list alone is exact
     val batchBuckets = if (segs.isEmpty) None
       else IndexLayout.collectKeys(
-        newBands.select(col("bucket")).distinct(), cap, "band buckets")
+        newBands.select(col("bucket")).distinct(), p, cap, "band buckets")
     val storeBands = if (segs.isEmpty) newBands.limit(0)
-      else probeBands(spark, root, segs, batchBuckets)
+      else probeBands(spark, root, segs, p, batchBuckets)
 
     // size-ratio guard (J ≥ t ⇒ min/max set sizes ≥ t) kills
     // impossible pairs before verification, same as the bulk path
@@ -186,9 +193,9 @@ object DedupIndex {
     val candIds = if (segs.isEmpty) None
       else IndexLayout.collectKeys(
         cands.select(explode(array(col("a"), col("b"))).as("id"))
-          .distinct(), cap, "candidate ids")
+          .distinct(), p, cap, "candidate ids")
     val storeSets = if (segs.isEmpty) newSets.limit(0)
-      else probeSets(spark, root, segs, candIds)
+      else probeSets(spark, root, segs, p, candIds)
     val allSets = storeSets.unionByName(newSets)
     val pairs = cands
       .join(allSets.select(col("id").as("a"), col("sh").as("sha")), "a")
@@ -205,8 +212,8 @@ object DedupIndex {
     // the layout every future batch's pruned probes depend on
     val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d")
-    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands")
-    IndexLayout.writeSorted(newSets, "id", s"$root/$seg/sets")
+    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", p)
+    IndexLayout.writeSorted(newSets, "id", s"$root/$seg/sets", p)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
@@ -214,19 +221,73 @@ object DedupIndex {
     }
   }
 
+  /** Bulk-load documents into the index WITHOUT near-dup detection —
+    * the bootstrap path: seeding dedup-on-arrival over an
+    * already-curated corpus needs the corpus INDEXED (so future
+    * arrivals check against it) but not re-verified against itself
+    * (at 100 TB the historical pair set is either already known or
+    * not wanted). One signature pass + one sorted segment write,
+    * O(batch) like update() but with no candidate join, no
+    * verification read and no pairs; ids already in the store are
+    * dropped (same first-write-wins contract), geometry is pinned by
+    * the same `_meta.json` check, and the committed segment is
+    * indistinguishable from an update()'s — a subsequent update()
+    * detects against it identically (pinned in DedupIndexSpec). */
+  def bulkLoad(spark: SparkSession, root: String, docs: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      numHashes: Int = 30, bands: Int = 6): String = {
+    val meta = readOrInitMeta(spark, root,
+      Meta(threshold, numHashes, bands,
+        IndexLayout.defaultProbeBuckets(spark)))
+    require((meta.threshold, meta.numHashes, meta.bands) ==
+      ((threshold, numHashes, bands)),
+      s"index at $root was built with $meta; loads must match " +
+        s"(got threshold=$threshold numHashes=$numHashes bands=$bands)")
+    val p = meta.probeBuckets
+    IndexLayout.withProbePushdown(spark) {
+      val segs = segments(spark, root)
+      val cap = IndexLayout.probeKeyCap(spark)
+      val rawSigs = Dedup
+        .signatures(docs, idCol, textCol, numHashes, bands)
+        .dropDuplicates("id")
+      val batchIds = if (segs.isEmpty) None
+        else IndexLayout.collectKeys(
+          docs.select(col(idCol)).distinct(), p, cap, "batch ids")
+      val sigs = (if (segs.isEmpty) rawSigs
+        else rawSigs.join(probeSets(spark, root, segs, p, batchIds)
+            .select(col("id")),
+          Seq("id"), "left_anti")).materialize()
+      val newBands = sigs.select(col("id"), col("sz"),
+        posexplode(col("ba")).as(Seq("band", "bucket")))
+      val seg = f"seg-${System.currentTimeMillis()}%013d-${
+        saveSeq.incrementAndGet()}%04d"
+      IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", p)
+      IndexLayout.writeSorted(sigs.select(col("id"), col("sh")), "id",
+        s"$root/$seg/sets", p)
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+      seg
+    }
+  }
+
   /** The per-batch store probes — the EXACT reads update() issues,
     * exposed package-private so PlanAuditSpec can pin their shape
-    * (PushedFilters IN-list on the scan, row-group pruning against
-    * the sorted layout) without replicating the code under test. */
+    * (per-bucket scans, PushedFilters eq-chains, page-level pruning)
+    * without replicating the code under test. */
   private[graft] def probeBands(spark: SparkSession, root: String,
-      segs: Seq[String], buckets: Option[Array[Any]]): DataFrame =
-    IndexLayout.pruned(readSegments(spark, root, segs, "bands",
-      "band INT, bucket BIGINT, id BIGINT, sz INT"), "bucket", buckets)
+      segs: Seq[String], p: Int,
+      buckets: Option[Array[(Any, Int)]]): DataFrame =
+    IndexLayout.pruned(spark, p, "bucket", buckets,
+      sub => readSegments(spark, root, segs, "bands",
+        "band INT, bucket BIGINT, id BIGINT, sz INT", sub))
 
   private[graft] def probeSets(spark: SparkSession, root: String,
-      segs: Seq[String], ids: Option[Array[Any]]): DataFrame =
-    IndexLayout.pruned(readSegments(spark, root, segs, "sets",
-      "id BIGINT, sh ARRAY<BIGINT>"), "id", ids)
+      segs: Seq[String], p: Int,
+      ids: Option[Array[(Any, Int)]]): DataFrame =
+    IndexLayout.pruned(spark, p, "id", ids,
+      sub => readSegments(spark, root, segs, "sets",
+        "id BIGINT, sh ARRAY<BIGINT>", sub))
 
   /** All committed band rows (band, bucket, id, sz); empty when the
     * store is new. */
@@ -318,15 +379,20 @@ object DedupIndex {
     if (srcs.size < 2) return None
     val seg = f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d-compact"
-    // merged tables are re-sorted by their probe key: compaction
-    // must PRESERVE the pruned-probe layout (IndexLayout) — a merged
-    // store that lost its sort would silently reintroduce the
-    // O(store) per-batch scan this layout exists to prevent
-    for ((table, key) <- Seq("bands" -> "bucket", "sets" -> "id")) {
+    // merged tables are re-sorted and re-bucketed by their probe
+    // key: compaction must PRESERVE the pruned-probe layout
+    // (IndexLayout, P from the store's pinned meta) — a merged store
+    // that lost it would silently reintroduce the O(store) per-batch
+    // scan this layout exists to prevent
+    val pBuckets = metaProbeBuckets(spark, root)
+    for ((table, key, ddl) <- Seq(
+        ("bands", "bucket", "band INT, bucket BIGINT, id BIGINT, sz INT"),
+        ("sets", "id", "id BIGINT, sh ARRAY<BIGINT>"))) {
       val paths = srcs.map(s => s"$root/$s/$table")
       val pl = Compaction.planAll(spark, paths, targetBytes)
-      IndexLayout.writeSorted(spark.read.parquet(paths: _*), key,
-        s"$root/$seg/$table", nOut = Some(pl.nOut))
+      IndexLayout.writeSorted(
+        readSegments(spark, root, srcs, table, ddl), key,
+        s"$root/$seg/$table", pBuckets, nOut = Some(pl.nOut))
     }
     // closure, not just srcs: see ShadowLog — dropping a prior
     // compaction target must not resurrect its crash relics
@@ -349,15 +415,58 @@ object DedupIndex {
     ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
   }
 
+  /** Union read of the committed segments' `table` dirs. `sub`
+    * narrows to one bucket subdirectory (e.g. "bp=7") — a segment
+    * without that subdir (no rows routed there) is skipped via one
+    * existence check; bucketed segments read WITHOUT `sub` surface
+    * their `bp` partition column, dropped so every reader sees the
+    * flat schema. */
   private def readSegments(spark: SparkSession, root: String,
-      segs: Seq[String], table: String, emptyDdl: String): DataFrame =
+      segs: Seq[String], table: String, emptyDdl: String,
+      sub: Option[String] = None): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
     segs match {
-      case Nil => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
-      case ss => spark.read.parquet(
-        ss.map(s => s"$root/$s/$table"): _*)
+      case Nil => empty
+      case ss =>
+        val fs = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // bucketed segments are read by their LEAF dirs, never via
+        // partition discovery: multiple segment roots each holding
+        // bp=* dirs trip CONFLICTING_DIRECTORY_STRUCTURES, and the
+        // bp value is write-time routing metadata no reader needs
+        val paths = sub match {
+          case Some(d) =>
+            ss.map(s => s"$root/$s/$table/$d")
+              .filter(p => fs.exists(new Path(p)))
+          case None => ss.flatMap { s =>
+            val t = new Path(s"$root/$s/$table")
+            val bps = fs.listStatus(t).filter(_.isDirectory)
+              .map(_.getPath).filter(_.getName.startsWith("bp="))
+            if (bps.isEmpty) Seq(t.toString) else bps.map(_.toString).toSeq
+          }
+        }
+        if (paths.isEmpty) empty
+        else spark.read.parquet(paths: _*)
     }
+  }
+
+  /** The store's pinned probe-bucket count; 0 when the meta file is
+    * absent or predates the field (legacy flat layout). */
+  private def metaProbeBuckets(spark: SparkSession, root: String): Int = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val mp = new Path(root, "_meta.json")
+    if (!fs.exists(mp)) 0
+    else {
+      val in = fs.open(mp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"probeBuckets":(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt).getOrElse(0)
+    }
+  }
 
   private def readOrInitMeta(spark: SparkSession, root: String,
       init: Meta): Meta = {
@@ -373,16 +482,19 @@ object DedupIndex {
       // The threshold charset admits scientific notation: Scala
       // renders e.g. 1.0E-4 in exponent form, and a store created
       // with such a threshold must stay readable
-      val m = """\{"threshold":([0-9.eE+-]+),"numHashes":(\d+),"bands":(\d+)\}"""
+      // probeBuckets optional: absent = a store created before the
+      // bucketed probe layout existed = flat segments (0)
+      val m = """\{"threshold":([0-9.eE+-]+),"numHashes":(\d+),"bands":(\d+)(?:,"probeBuckets":(\d+))?\}"""
         .r.findFirstMatchIn(txt.trim)
         .getOrElse(throw new IllegalStateException(
           s"unreadable dedup-index meta at $mp: $txt"))
-      Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt)
+      Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt,
+        Option(m.group(4)).map(_.toInt).getOrElse(0))
     } else {
       fs.mkdirs(new Path(root))
       val out = fs.create(mp, false) // fail on concurrent create
       try out.write(
-        s"""{"threshold":${init.threshold},"numHashes":${init.numHashes},"bands":${init.bands}}"""
+        s"""{"threshold":${init.threshold},"numHashes":${init.numHashes},"bands":${init.bands},"probeBuckets":${init.probeBuckets}}"""
           .getBytes("UTF-8"))
       finally out.close()
       init

@@ -60,7 +60,8 @@ object EmbeddingDedupIndex {
     * because the field and the md5 family shipped together — no
     * store written by any earlier family-less build persists. */
   case class Meta(threshold: Double, bands: Int, bits: Int,
-      maxBucket: Int, family: String = Knn.HyperplaneFamily)
+      maxBucket: Int, family: String = Knn.HyperplaneFamily,
+      probeBuckets: Int = 0)
 
   case class UpdateResult(segment: String, pairs: DataFrame)
 
@@ -103,11 +104,16 @@ object EmbeddingDedupIndex {
         s"bands/maxBucket must be positive: $bands/$maxBucket")
     }
     val meta = readOrInitMeta(spark, root,
-      Meta(threshold, bands, bits, maxBucket))
-    require(meta == Meta(threshold, bands, bits, maxBucket),
+      Meta(threshold, bands, bits, maxBucket,
+        probeBuckets = IndexLayout.defaultProbeBuckets(spark)))
+    require(meta.copy(probeBuckets = 0) ==
+      Meta(threshold, bands, bits, maxBucket),
       s"index at $root was built with $meta; updates must match " +
         s"(got threshold=$threshold bands=$bands bits=$bits " +
         s"maxBucket=$maxBucket) — to change geometry, run reband")
+    // probe layout is store geometry too — pinned at creation, 0 on
+    // stores created before the bucketed layout existed
+    val p = meta.probeBuckets
     segmentName.foreach { s =>
       require(s.startsWith("seg-"), s"segment name must start with seg-: $s")
       val sp = new Path(root, s)
@@ -128,10 +134,10 @@ object EmbeddingDedupIndex {
     // row per batch was the r8 O(store) finding
     val batchIds = if (segs.isEmpty) None
       else IndexLayout.collectKeys(
-        newVecs.select(col(idCol)).distinct(), cap, "batch ids")
+        newVecs.select(col(idCol)).distinct(), p, cap, "batch ids")
     val base = (if (segs.isEmpty) rawBase.dropDuplicates("id")
       else rawBase.dropDuplicates("id")
-        .join(probeVecs(spark, root, segs, batchIds).select(col("id")),
+        .join(probeVecs(spark, root, segs, p, batchIds).select(col("id")),
         Seq("id"), "left_anti")).materialize()
 
     // banding materialized once: candOld, both candNew sides and the
@@ -149,9 +155,9 @@ object EmbeddingDedupIndex {
     // both columns so correctness is untouched
     val probeBucketKeys = if (segs.isEmpty) None
       else IndexLayout.collectKeys(
-        newBands.select(col("bucket")).distinct(), cap, "band buckets")
+        newBands.select(col("bucket")).distinct(), p, cap, "band buckets")
     val storeBands = if (segs.isEmpty) newBands.limit(0)
-      else probeBands(spark, root, segs, probeBucketKeys)
+      else probeBands(spark, root, segs, p, probeBucketKeys)
 
     // the bulk path's oversized-bucket guard, incremental form: a
     // bucket whose STORE+BATCH population exceeds maxBucket is
@@ -192,9 +198,9 @@ object EmbeddingDedupIndex {
     val candIds = if (segs.isEmpty) None
       else IndexLayout.collectKeys(
         cands.select(explode(array(col("a"), col("b"))).as("id"))
-          .distinct(), cap, "candidate ids")
+          .distinct(), p, cap, "candidate ids")
     val storeVecs = if (segs.isEmpty) base.limit(0).select("id", "v", "nm")
-      else probeVecs(spark, root, segs, candIds)
+      else probeVecs(spark, root, segs, p, candIds)
     val allVecs = storeVecs.unionByName(base.select("id", "v", "nm"))
     val pairs = cands
       .join(allVecs.select(col("id").as("a"), col("v").as("va"),
@@ -214,9 +220,9 @@ object EmbeddingDedupIndex {
     // depend on
     val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d")
-    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands")
+    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", p)
     IndexLayout.writeSorted(base.select("id", "v", "nm"), "id",
-      s"$root/$seg/vecs")
+      s"$root/$seg/vecs", p)
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
     UpdateResult(seg, pairs)
     }
@@ -226,14 +232,18 @@ object EmbeddingDedupIndex {
     * package-private so PlanAuditSpec can pin their pushdown/pruning
     * shape without replicating the code under test. */
   private[graft] def probeBands(spark: SparkSession, root: String,
-      segs: Seq[String], buckets: Option[Array[Any]]): DataFrame =
-    IndexLayout.pruned(readSegs(spark, root, segs, "bands",
-      "band INT, bucket BIGINT, id BIGINT"), "bucket", buckets)
+      segs: Seq[String], p: Int,
+      buckets: Option[Array[(Any, Int)]]): DataFrame =
+    IndexLayout.pruned(spark, p, "bucket", buckets,
+      sub => readSegs(spark, root, segs, "bands",
+        "band INT, bucket BIGINT, id BIGINT", sub))
 
   private[graft] def probeVecs(spark: SparkSession, root: String,
-      segs: Seq[String], ids: Option[Array[Any]]): DataFrame =
-    IndexLayout.pruned(readSegs(spark, root, segs, "vecs",
-      "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE"), "id", ids)
+      segs: Seq[String], p: Int,
+      ids: Option[Array[(Any, Int)]]): DataFrame =
+    IndexLayout.pruned(spark, p, "id", ids,
+      sub => readSegs(spark, root, segs, "vecs",
+        "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE", sub))
 
   /** Migrate the store to a NEW LSH geometry without re-ingesting:
     * the vectors are the source of truth (`vecs/` persists them
@@ -285,7 +295,8 @@ object EmbeddingDedupIndex {
         val mp = new Path(root, "_meta.json")
         require(fs.exists(mp), s"no index at $root")
         val old = parseMeta(readSmall(fs, mp), mp)
-        val t = Meta(old.threshold, bands, bits, maxBucket)
+        val t = Meta(old.threshold, bands, bits, maxBucket,
+          probeBuckets = old.probeBuckets)
         val out = fs.create(intentP, false)
         try out.write(metaJson(t).getBytes("UTF-8")) finally out.close()
         t
@@ -314,8 +325,10 @@ object EmbeddingDedupIndex {
       saveSeq.incrementAndGet()}%04d-reband"
     // rewritten under the same sorted probe layout as update()'s
     // segments — a reband must not cost the store its pruned probes
-    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands")
-    IndexLayout.writeSorted(vecs, "id", s"$root/$seg/vecs")
+    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands",
+      target.probeBuckets)
+    IndexLayout.writeSorted(vecs, "id", s"$root/$seg/vecs",
+      target.probeBuckets)
     ShadowLog.writeSources(fs, p, seg,
       ShadowLog.sourcesClosure(fs, p, segs, shadowed))
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
@@ -336,14 +349,36 @@ object EmbeddingDedupIndex {
     ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))._1
   }
 
+  /** Union read of committed segments' `table` dirs — same bp-aware
+    * contract as DedupIndex.readSegments. */
   private def readSegs(spark: SparkSession, root: String,
-      segs: Seq[String], table: String, emptyDdl: String): DataFrame =
+      segs: Seq[String], table: String, emptyDdl: String,
+      sub: Option[String] = None): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
     segs match {
-      case Nil => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
-      case ss => spark.read.parquet(ss.map(s => s"$root/$s/$table"): _*)
+      case Nil => empty
+      case ss =>
+        val fs = new Path(root).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // leaf-dir reads, never partition discovery — see
+        // DedupIndex.readSegments
+        val paths = sub match {
+          case Some(d) =>
+            ss.map(s => s"$root/$s/$table/$d")
+              .filter(pp => fs.exists(new Path(pp)))
+          case None => ss.flatMap { s =>
+            val t = new Path(s"$root/$s/$table")
+            val bps = fs.listStatus(t).filter(_.isDirectory)
+              .map(_.getPath).filter(_.getName.startsWith("bp="))
+            if (bps.isEmpty) Seq(t.toString) else bps.map(_.toString).toSeq
+          }
+        }
+        if (paths.isEmpty) empty
+        else spark.read.parquet(paths: _*)
     }
+  }
 
   /** Reband intent marker: present from the moment a reband starts
     * until its meta flip completes — updates refuse while it exists,
@@ -351,18 +386,20 @@ object EmbeddingDedupIndex {
   private val Intent = "_reband"
 
   private def metaJson(m: Meta): String =
-    s"""{"threshold":${m.threshold},"bands":${m.bands},"bits":${m.bits},"maxBucket":${m.maxBucket},"family":"${m.family}"}"""
+    s"""{"threshold":${m.threshold},"bands":${m.bands},"bits":${m.bits},"maxBucket":${m.maxBucket},"family":"${m.family}","probeBuckets":${m.probeBuckets}}"""
 
   private def parseMeta(txt: String, at: Path): Meta = {
-    val m = """\{"threshold":([0-9.eE+-]+),"bands":(\d+),"bits":(\d+),"maxBucket":(\d+)(?:,"family":"([A-Za-z0-9._-]+)")?\}"""
+    val m = """\{"threshold":([0-9.eE+-]+),"bands":(\d+),"bits":(\d+),"maxBucket":(\d+)(?:,"family":"([A-Za-z0-9._-]+)")?(?:,"probeBuckets":(\d+))?\}"""
       .r.findFirstMatchIn(txt.trim)
       .getOrElse(throw new IllegalStateException(
         s"unreadable embedding-dedup-index meta at $at: $txt"))
     Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt,
       m.group(4).toInt,
-      // field absent = written by the build that introduced md5
-      // hyperplanes together with this field (see the Meta scaladoc)
-      Option(m.group(5)).getOrElse(Knn.HyperplaneFamily))
+      // family absent = written by the build that introduced md5
+      // hyperplanes together with this field (see the Meta scaladoc);
+      // probeBuckets absent = pre-bucketed-layout store (flat, 0)
+      Option(m.group(5)).getOrElse(Knn.HyperplaneFamily),
+      Option(m.group(6)).map(_.toInt).getOrElse(0))
   }
 
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,

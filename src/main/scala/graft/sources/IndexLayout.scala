@@ -35,26 +35,34 @@ import org.slf4j.LoggerFactory
   *     (240k-row sorted store, 600 spread keys: 240k rows decoded).
   *     An OR-of-EqualTo chain is evaluated per key against
   *     row-group stats AND the page-level column index, and prunes
-  *     exactly (same store: ~1.5k rows decoded per key, constant as
-  *     the store grows — 893k of 2.4M rows for 600 keys, the same
-  *     ~893k at any larger store). So [[pruned]] pushes the keys as
-  *     a BALANCED OR-tree of ≤[[probeChainLen]]-value `isin` chunks
-  *     — each chunk converts to an eq-chain under the (temporarily
-  *     raised, [[withProbePushdown]]) conversion threshold, and the
-  *     balanced tree keeps expression/visitor recursion at
-  *     O(chainLen + log chunks) instead of a stack-breaking
-  *     O(total keys) left-deep chain.
+  *     exactly — BUT that evaluation costs ~5 µs per (key ×
+  *     row group) (measured: a 3,000-key chain over a 400-row-group
+  *     store spent ~6 s in filter evaluation vs 0.33 s for the full
+  *     decode it was saving), i.e. O(batch × store) hiding in the
+  *     scan setup. So chains must stay SHORT per scan, which is what
+  *     the bucketed layout buys:
+  *  3. '''P-way key bucketing''' ([[probeBuckets]], pinned in the
+  *     store's `_meta.json` at creation): every segment table is
+  *     additionally hash-partitioned into `bp = pmod(xxhash64(key),
+  *     P)` directories (partitionBy, so the dirs self-describe), and
+  *     a probe becomes a UNION of per-bp scans, each reading only
+  *     the dirs whose bp its keys route to and pushing only ITS OWN
+  *     keys/P-length chain. Chain-eval work drops P-fold to
+  *     O(batch × store / P); a small (streaming) batch additionally
+  *     prunes whole directories for free. Keys are routed by Spark
+  *     itself during the collect ([[collectKeys]] returns
+  *     (key, bp) pairs), so no driver-side reimplementation of
+  *     xxhash64 exists to drift.
   *
-  * Cost model at 100 TB: a probe of `v` distinct keys decodes ~2-3
-  * pages per key — O(batch × pageBytes), INDEPENDENT of store size
-  * once the store exceeds the batch's key count in pages; the
-  * per-row-group predicate evaluation is `v` comparisons against
-  * footer stats, distributed across the scan's tasks. Old stores
-  * (written unsorted by earlier builds) stay fully correct — the
-  * pushed filter is semantically the join's own key predicate, sort
-  * order only decides whether statistics can prune — they just keep
-  * paying the full scan until segments are rewritten by compaction
-  * (which preserves this layout).
+  * Cost model at 100 TB: a probe of `v` distinct keys decodes ~2
+  * pages per key — O(batch × pageBytes), independent of store size
+  * once the store exceeds the batch's key count in pages — and
+  * spends O(v × rowGroups / P) in predicate evaluation, spread
+  * across the scan's tasks. Stores written by earlier builds (no
+  * `probeBuckets` in their meta, or flat unsorted segments) stay
+  * fully correct — the pushed filter is semantically the join's own
+  * key predicate — they just keep paying the full scan until
+  * re-created under this layout.
   *
   * The key collect is driver-side, so it is capped
   * (`graft.dedup.probeKeyCap`, default 1,000,000 keys ≈ 8 MB of
@@ -82,21 +90,47 @@ object IndexLayout {
     spark.conf.getOption("graft.dedup.probeKeyCap").map(_.toInt)
       .getOrElse(1000000)
 
-  /** Write `df` range-partitioned + sorted by `sortCol` with
-    * probe-sized row groups — the layout [[pruned]] reads. `nOut`
-    * pins the output file count (compaction); updates leave it to
-    * AQE (a micro-batch coalesces to few files). */
-  def writeSorted(df: DataFrame, sortCol: String, path: String,
+  /** Default bucket count for NEW stores (pinned in their meta; the
+    * conf is read only at store creation). P trades per-segment file
+    * count (each micro-batch segment writes ≤P files per table)
+    * against probe chain-eval work (divided by P) and small-batch
+    * directory pruning. */
+  def defaultProbeBuckets(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.dedup.probeBuckets").map(_.toInt)
+      .getOrElse(64)
+
+  /** The routing expression — write path and key collect MUST agree,
+    * so both call this. xxhash64 handles any key type (string ids
+    * included) deterministically across JVMs. */
+  private def route(c: Column, p: Int): Column =
+    pmod(xxhash64(c), lit(p.toLong)).cast("int")
+
+  /** Write `df` bucketed by `bp = pmod(xxhash64(sortCol), P)` (when
+    * `p > 0`; flat legacy layout when 0), range-partitioned + sorted
+    * by `sortCol` within each bucket, with probe-sized row groups —
+    * the layout [[pruned]] reads. `nOut` pins the shuffle width
+    * (compaction); updates leave it to AQE. */
+  def writeSorted(df: DataFrame, sortCol: String, path: String, p: Int,
       nOut: Option[Int] = None): Unit = {
     val bb = blockBytes(df.sparkSession)
+    // page size is the probe's pruning granularity: the scan decodes
+    // ~2 pages per probed key (page-level column-index filtering), so
+    // a key costs ~2 × pageBytes of decode. Row groups stay at `bb`
+    // (1 MiB default) so a 100 TB store's footer metadata stays in
+    // the low GBs — the column index carries the fine granularity,
+    // not the row-group count.
+    val src = if (p > 0) df.withColumn("bp", route(col(sortCol), p)) else df
+    val cols = if (p > 0) Seq(col("bp"), col(sortCol)) else Seq(col(sortCol))
     val ranged = nOut match {
-      case Some(n) => df.repartitionByRange(n, col(sortCol))
-      case None => df.repartitionByRange(col(sortCol))
+      case Some(n) => src.repartitionByRange(n, cols: _*)
+      case None => src.repartitionByRange(cols: _*)
     }
-    ranged.sortWithinPartitions(sortCol)
-      .write.option("parquet.block.size", bb)
-      .option("parquet.page.size", math.max(16L * 1024, bb / 8))
-      .parquet(path)
+    val sorted = if (p > 0)
+      ranged.sortWithinPartitions("bp", sortCol)
+    else ranged.sortWithinPartitions(sortCol)
+    val w = sorted.write.option("parquet.block.size", bb)
+      .option("parquet.page.size", math.max(8L * 1024, bb / 64))
+    (if (p > 0) w.partitionBy("bp") else w).parquet(path)
   }
 
   /** Per-`isin`-chunk key count — each chunk is pushed as an
@@ -107,34 +141,60 @@ object IndexLayout {
     spark.conf.getOption("graft.dedup.probeChainLen").map(_.toInt)
       .getOrElse(1000)
 
-  /** The batch's touched keys, collected for pushdown — None when
-    * the batch exceeds the cap (caller reads unpruned; warned). */
-  def collectKeys(keys: DataFrame, cap: Int, what: String): Option[Array[Any]] = {
-    val rows = keys.limit(cap + 1).collect()
+  /** The batch's touched keys, collected WITH their bucket routes —
+    * None when the batch exceeds the cap (caller reads unpruned;
+    * warned). Routes come from the same Spark expression the write
+    * path uses, so no driver-side hash reimplementation can drift;
+    * `p = 0` (legacy flat store) routes everything to bucket 0. */
+  def collectKeys(keys: DataFrame, p: Int, cap: Int,
+      what: String): Option[Array[(Any, Int)]] = {
+    val c = col(keys.columns.head)
+    val withRoute =
+      if (p > 0) keys.select(c, route(c, p)) else keys.select(c, lit(0))
+    val rows = withRoute.limit(cap + 1).collect()
     if (rows.length > cap) {
       log.warn(s"dedup-index probe: batch touches > $cap $what — " +
         "falling back to an unpruned store scan for this update " +
         "(raise graft.dedup.probeKeyCap if this batch size is routine)")
       None
-    } else Some(rows.map(_.get(0)))
+    } else Some(rows.map(r => (r.get(0), r.getInt(1))))
   }
 
-  /** Store scan restricted to the batch's keys: semantically the
-    * `isin` the join would apply anyway, shaped as a balanced
-    * OR-tree of ≤[[probeChainLen]]-key chunks so the parquet scan
-    * prunes per key (see the object doc's predicate-form note). */
-  def pruned(store: DataFrame, keyCol: String,
-      keys: Option[Array[Any]]): DataFrame = keys match {
-    case Some(ks) if ks.isEmpty => store.limit(0)
+  /** Balanced OR-tree of ≤[[probeChainLen]]-key `isin` chunks —
+    * semantically the `isin` the join would apply anyway, shaped so
+    * expression/visitor recursion stays O(chainLen + log chunks). */
+  private def chainOf(keyCol: String, ks: Array[Any], chunk: Int): Column = {
+    val parts = ks.grouped(chunk)
+      .map(g => col(keyCol).isin(g.toIndexedSeq: _*)).toIndexedSeq
+    def bal(lo: Int, hi: Int): Column =
+      if (lo == hi) parts(lo)
+      else { val m = (lo + hi) / 2; bal(lo, m) || bal(m + 1, hi) }
+    bal(0, parts.length - 1)
+  }
+
+  /** The pruned store probe. `read(dirs)` materializes a scan:
+    * passed None it must read every segment table dir in full (the
+    * legacy / over-cap path); passed Some(sub) it must read only
+    * that per-segment subdirectory (e.g. "bp=7"). With routed keys
+    * over a bucketed store (p > 0) the probe unions one scan per
+    * TOUCHED bucket, each pushing only its own short chain —
+    * chain-eval work drops P-fold and untouched directories are
+    * never listed or read; a flat store (p = 0) gets one scan with
+    * the full chain. */
+  def pruned(spark: org.apache.spark.sql.SparkSession, p: Int,
+      keyCol: String, keys: Option[Array[(Any, Int)]],
+      read: Option[String] => DataFrame): DataFrame = keys match {
+    case None => read(None)
+    case Some(ks) if ks.isEmpty => read(None).limit(0)
     case Some(ks) =>
-      val chunk = probeChainLen(store.sparkSession)
-      val parts = ks.grouped(chunk)
-        .map(g => col(keyCol).isin(g.toIndexedSeq: _*)).toIndexedSeq
-      def bal(lo: Int, hi: Int): Column =
-        if (lo == hi) parts(lo)
-        else { val m = (lo + hi) / 2; bal(lo, m) || bal(m + 1, hi) }
-      store.where(bal(0, parts.length - 1))
-    case None => store
+      val chunk = probeChainLen(spark)
+      if (p <= 0)
+        read(None).where(chainOf(keyCol, ks.map(_._1), chunk))
+      else
+        ks.groupBy(_._2).toSeq.sortBy(_._1).map { case (bp, pairs) =>
+          read(Some(s"bp=$bp"))
+            .where(chainOf(keyCol, pairs.map(_._1), chunk))
+        }.reduce(_ unionByName _)
   }
 
   /** Run `f` with the In→eq-chain parquet conversion threshold

@@ -200,6 +200,37 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
     assert(firstPairs.union(pairSet(res.pairs)) == bulk)
   }
 
+  test("bulkLoad bootstraps the index without pair detection; a " +
+      "subsequent update detects against it exactly (r9)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val root = Files.createTempDirectory("dedup-index-bulk").toString
+    val first = docs.filter(col("doc_id") < 110)
+    val second = docs.filter(col("doc_id") >= 110)
+    DedupIndex.bulkLoad(spark, root, first, "doc_id", "text",
+      threshold = 0.8)
+    assert(DedupIndex.currentSets(spark, root).count() == first.count(),
+      "bulkLoad must index every doc")
+    // an overlapping re-load is first-write-wins like update()
+    DedupIndex.bulkLoad(spark, root,
+      docs.filter(col("doc_id") < 30), "doc_id", "text", threshold = 0.8)
+    assert(DedupIndex.currentSets(spark, root).count() == first.count(),
+      "re-loaded ids must not duplicate store rows")
+    // detection over the bootstrapped store: the update's verdicts
+    // are exactly the bulk pipeline's pairs touching the second half
+    val res = DedupIndex.update(spark, root, second, "doc_id", "text",
+      threshold = 0.8)
+    val secondIds = second.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = pairSet(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+      .filter(p => secondIds(p._1) || secondIds(p._2))
+    assert(expected.nonEmpty, "corpus must contain cross-half pairs")
+    assert(pairSet(res.pairs) == expected,
+      "update over a bulkLoaded store must equal the bulk pipeline's " +
+        "pairs that involve the new batch")
+  }
+
   test("geometry mismatch fails loudly instead of degrading recall") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").filter(col("doc_id") < 30)

@@ -327,9 +327,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"label equi-join missing at 8x:\n$p2")
   }
 
-  test("dedup index probes: batch keys pushed into the store scan, " +
-      "sorted layout prunes row groups/pages to ~O(batch) rows") {
-    import spark.implicits._
+  test("dedup index probes: per-bucket scans, batch keys pushed as " +
+      "eq-chains, decode bounded at ~O(batch) rows") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     // the r9 O(batch)-reads contract (DedupIndex scaladoc): the
     // per-batch store probes are the EXACT reads update() issues
@@ -338,9 +337,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // the pruning measurable at spec scale — the same conf an
     // operator would NOT need at 100 TB (1 MiB default)
     spark.conf.set("graft.dedup.blockBytes", (64 * 1024).toString)
+    spark.conf.set("graft.dedup.probeBuckets", "16")
     try {
       val root = java.nio.file.Files
         .createTempDirectory("dedup-prune").toString
+      val pB = 16
       // synthetic corpus: 40k docs, disjoint 8-word texts — big
       // enough for ~100 row groups per store table
       val docs = spark.range(40000).select(col("id").as("doc_id"),
@@ -350,42 +351,58 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         "doc_id", "text", threshold = 0.8)
       val segs = graft.sources.DedupIndex.segments(spark, root)
 
-      def scanOf(df: => org.apache.spark.sql.DataFrame): FileSourceScanExec =
+      def scansOf(df: => org.apache.spark.sql.DataFrame)
+          : Seq[FileSourceScanExec] =
         // plan + execute under the probe's raised In->eq-chain
         // threshold, exactly as update() does
         graft.sources.IndexLayout.withProbePushdown(spark) {
-          val d = df
-          d.collect()
-          d.queryExecution.executedPlan
-            .collect { case s: FileSourceScanExec => s }.head
+          // default 100-char scan metadata truncation cuts the
+          // Location path (the bp= dir) out of the plan string
+          spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+          try {
+            val d = df
+            d.collect()
+            d.queryExecution.executedPlan
+              .collect { case s: FileSourceScanExec => s }
+          } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
         }
-      // a 2-doc batch touches ≤12 (band, bucket) keys; the probe
-      // must push them and decode a small fraction of the store
-      val bkeys = graft.sources.DedupIndex
-        .probeBands(spark, root, segs, None)
-        .filter(col("id") < 1).select("bucket").distinct()
-        .collect().map(_.get(0))
-      val bands = scanOf(graft.sources.DedupIndex.probeBands(
-        spark, root, segs, Some(bkeys)))
-      val bandsPlan = bands.toString
-      assert(bandsPlan.contains("PushedFilters: [In(bucket"),
-        s"bucket IN-list not pushed:\n$bandsPlan")
+      def decoded(ss: Seq[FileSourceScanExec]): Long =
+        ss.map(_.metrics("numOutputRows").value).sum
+
+      // a 1-doc batch touches ≤6 (band, bucket) keys; the probe must
+      // route them to their bucket dirs and push short eq-chains
+      val bkeys = graft.sources.IndexLayout.collectKeys(
+        graft.sources.DedupIndex.probeBands(spark, root, segs, pB, None)
+          .filter(col("id") < 1).select("bucket").distinct(),
+        pB, 1000, "spec keys")
+      val bands = scansOf(graft.sources.DedupIndex.probeBands(
+        spark, root, segs, pB, bkeys))
+      val bandsPlan = bands.map(_.toString).mkString("\n")
+      assert(bandsPlan.contains("In(bucket") ||
+        bandsPlan.contains("EqualTo(bucket,"),
+        s"bucket keys not pushed:\n$bandsPlan")
+      assert(bandsPlan.contains("bp="),
+        s"probe not routed to bucket dirs:\n$bandsPlan")
+      assert(bands.size <= bkeys.get.length,
+        "one scan per TOUCHED bucket, not per store bucket")
       val bandsTotal = 40000L * 6
-      val bandsRead = bands.metrics("numOutputRows").value
+      val bandsRead = decoded(bands)
       assert(bandsRead < bandsTotal / 10,
         s"bands probe decoded $bandsRead of $bandsTotal rows — " +
-          "sorted-layout pruning is not happening")
+          "bucketed-layout pruning is not happening")
 
-      val ids: Array[Any] = Array(3L, 77L, 1024L, 9999L, 31337L)
-      val sets = scanOf(graft.sources.DedupIndex.probeSets(
-        spark, root, segs, Some(ids)))
-      val setsPlan = sets.toString
-      assert(setsPlan.contains("PushedFilters: [In(id"),
-        s"id IN-list not pushed:\n$setsPlan")
-      val setsRead = sets.metrics("numOutputRows").value
-      assert(setsRead < 40000 / 10,
+      val ids = graft.sources.IndexLayout.collectKeys(
+        docs.filter(col("doc_id").isin(3L, 77L, 1024L, 9999L, 31337L))
+          .select("doc_id"), pB, 1000, "spec ids")
+      val sets = scansOf(graft.sources.DedupIndex.probeSets(
+        spark, root, segs, pB, ids))
+      val setsPlan = sets.map(_.toString).mkString("\n")
+      assert(setsPlan.contains("In(id") || setsPlan.contains("EqualTo(id,"),
+        s"id keys not pushed:\n$setsPlan")
+      val setsRead = decoded(sets)
+      assert(setsRead < 40000 / 5,
         s"sets probe decoded $setsRead of 40000 rows — " +
-          "sorted-layout pruning is not happening")
+          "bucketed-layout pruning is not happening")
 
       // compaction preserves the layout: same probe, same pruning
       assert(graft.sources.DedupIndex.update(spark, root,
@@ -395,21 +412,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         "doc_id", "text", threshold = 0.8).segment.nonEmpty)
       assert(graft.sources.DedupIndex.compactSegments(spark, root).nonEmpty)
       val segs2 = graft.sources.DedupIndex.segments(spark, root)
-      val bands2 = scanOf(graft.sources.DedupIndex.probeBands(
-        spark, root, segs2, Some(bkeys)))
-      assert(bands2.toString.contains("PushedFilters: [In(bucket"))
-      assert(bands2.metrics("numOutputRows").value < bandsTotal / 10,
-        "compaction lost the sorted probe layout")
-    } finally spark.conf.unset("graft.dedup.blockBytes")
+      val bands2 = scansOf(graft.sources.DedupIndex.probeBands(
+        spark, root, segs2, pB, bkeys))
+      val p2 = bands2.map(_.toString).mkString
+      assert(p2.contains("In(bucket") || p2.contains("EqualTo(bucket,"))
+      assert(decoded(bands2) < bandsTotal / 10,
+        "compaction lost the bucketed probe layout")
+    } finally {
+      spark.conf.unset("graft.dedup.blockBytes")
+      spark.conf.unset("graft.dedup.probeBuckets")
+    }
   }
 
-  test("embedding index probes: bucket/id IN-lists pushed, vecs read " +
-      "prunes to the candidate ids") {
+  test("embedding index probes: per-bucket scans, bucket/id eq-chains " +
+      "pushed, vecs read prunes to the candidate ids") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     spark.conf.set("graft.dedup.blockBytes", (64 * 1024).toString)
+    spark.conf.set("graft.dedup.probeBuckets", "16")
     try {
       val root = java.nio.file.Files
         .createTempDirectory("embed-prune").toString
+      val pB = 16
       // 40k vecs, dim 8; bits sized for the store (log2(40k/256)≈7)
       val vecs = spark.range(40000).select(col("id").as("vec_id"),
         array((0 until 8).map(j =>
@@ -419,39 +442,57 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         "vec_id", "emb", dim = 8, threshold = 0.95, bits = 7)
       val segs = graft.sources.EmbeddingDedupIndex.segments(spark, root)
 
-      def scanOf(df: => org.apache.spark.sql.DataFrame): FileSourceScanExec =
-        // plan + execute under the probe's raised In->eq-chain
-        // threshold, exactly as update() does
+      def scansOf(df: => org.apache.spark.sql.DataFrame)
+          : Seq[FileSourceScanExec] =
         graft.sources.IndexLayout.withProbePushdown(spark) {
-          val d = df
-          d.collect()
-          d.queryExecution.executedPlan
-            .collect { case s: FileSourceScanExec => s }.head
+          // default 100-char scan metadata truncation cuts the
+          // Location path (the bp= dir) out of the plan string
+          spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+          try {
+            val d = df
+            d.collect()
+            d.queryExecution.executedPlan
+              .collect { case s: FileSourceScanExec => s }
+          } finally spark.conf.unset("spark.sql.maxMetadataStringLength")
         }
-      val bkeys = graft.sources.EmbeddingDedupIndex
-        .probeBands(spark, root, segs, None)
-        .filter(col("id") < 1).select("bucket").distinct()
-        .collect().map(_.get(0))
-      val bands = scanOf(graft.sources.EmbeddingDedupIndex.probeBands(
-        spark, root, segs, Some(bkeys)))
-      assert(bands.toString.contains("PushedFilters: [In(bucket"),
-        s"bucket IN-list not pushed:\n${bands.toString}")
+      def decoded(ss: Seq[FileSourceScanExec]): Long =
+        ss.map(_.metrics("numOutputRows").value).sum
+
+      val bkeys = graft.sources.IndexLayout.collectKeys(
+        graft.sources.EmbeddingDedupIndex
+          .probeBands(spark, root, segs, pB, None)
+          .filter(col("id") < 1).select("bucket").distinct(),
+        pB, 1000, "spec keys")
+      val bands = scansOf(graft.sources.EmbeddingDedupIndex.probeBands(
+        spark, root, segs, pB, bkeys))
+      val bandsPlan = bands.map(_.toString).mkString("\n")
+      assert(bandsPlan.contains("In(bucket") ||
+        bandsPlan.contains("EqualTo(bucket,"),
+        s"bucket keys not pushed:\n$bandsPlan")
+      assert(bandsPlan.contains("bp="),
+        s"probe not routed to bucket dirs:\n$bandsPlan")
       // sign-LSH buckets are narrow ([0, 2^bits)), so the bucket-only
       // IN-list over-reads by ≤ bands× — still far under a full scan
       val bandsTotal = 40000L * 10
-      val bandsRead = bands.metrics("numOutputRows").value
+      val bandsRead = decoded(bands)
       assert(bandsRead < bandsTotal / 5,
         s"bands probe decoded $bandsRead of $bandsTotal rows")
 
-      val ids: Array[Any] = Array(5L, 123L, 4567L, 20000L)
-      val vs = scanOf(graft.sources.EmbeddingDedupIndex.probeVecs(
-        spark, root, segs, Some(ids)))
-      assert(vs.toString.contains("PushedFilters: [In(id"),
-        s"id IN-list not pushed:\n${vs.toString}")
-      val vecsRead = vs.metrics("numOutputRows").value
+      val ids = graft.sources.IndexLayout.collectKeys(
+        vecs.filter(col("vec_id").isin(5L, 123L, 4567L, 20000L))
+          .select("vec_id"), pB, 1000, "spec ids")
+      val vs = scansOf(graft.sources.EmbeddingDedupIndex.probeVecs(
+        spark, root, segs, pB, ids))
+      val vsPlan = vs.map(_.toString).mkString
+      assert(vsPlan.contains("In(id") || vsPlan.contains("EqualTo(id,"),
+        s"id keys not pushed:\n$vsPlan")
+      val vecsRead = decoded(vs)
       assert(vecsRead < 40000 / 4,
         s"vecs probe decoded $vecsRead of 40000 rows")
-    } finally spark.conf.unset("graft.dedup.blockBytes")
+    } finally {
+      spark.conf.unset("graft.dedup.blockBytes")
+      spark.conf.unset("graft.dedup.probeBuckets")
+    }
   }
 
   test("no declarative query degenerates into an unplanned product") {
