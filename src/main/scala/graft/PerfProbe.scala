@@ -105,6 +105,10 @@ object PerfProbe {
                 "doc_id", "text", threshold = 0.8)
               println(s"arrival bulkLoad: replicas ${g.head}..${g.last}")
             }
+            // the bootstrap recipe's second half: compaction rewrites
+            // the flat loads into the P-way bucketed probe layout
+            sources.DedupIndex.compactSegments(spark, storeRoot)
+            println("arrival bulkLoad: compacted to bucketed layout")
           }
           probeBatches(storeRoot, donor, s"donor$donor")
         case None =>

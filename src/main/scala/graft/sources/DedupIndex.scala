@@ -212,8 +212,10 @@ object DedupIndex {
     // the layout every future batch's pruned probes depend on
     val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d")
-    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", p)
-    IndexLayout.writeSorted(newSets, "id", s"$root/$seg/sets", p)
+    // batch segments are the flat-sorted L0 tail — only compaction
+    // writes the P-way bucketed form (see IndexLayout)
+    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", 0)
+    IndexLayout.writeSorted(newSets, "id", s"$root/$seg/sets", 0)
     val fs = new Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
@@ -261,9 +263,11 @@ object DedupIndex {
         posexplode(col("ba")).as(Seq("band", "bucket")))
       val seg = f"seg-${System.currentTimeMillis()}%013d-${
         saveSeq.incrementAndGet()}%04d"
-      IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", p)
+      // bulk loads write the flat-sorted form too: a bootstrap is a
+      // few large loads + one compactSegments (which buckets)
+      IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", 0)
       IndexLayout.writeSorted(sigs.select(col("id"), col("sh")), "id",
-        s"$root/$seg/sets", p)
+        s"$root/$seg/sets", 0)
       val fs = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
@@ -278,16 +282,48 @@ object DedupIndex {
   private[graft] def probeBands(spark: SparkSession, root: String,
       segs: Seq[String], p: Int,
       buckets: Option[Array[(Any, Int)]]): DataFrame =
-    IndexLayout.pruned(spark, p, "bucket", buckets,
-      sub => readSegments(spark, root, segs, "bands",
-        "band INT, bucket BIGINT, id BIGINT, sz INT", sub))
+    probeTable(spark, root, segs, "bands",
+      "band INT, bucket BIGINT, id BIGINT, sz INT", "bucket", p, buckets)
 
   private[graft] def probeSets(spark: SparkSession, root: String,
       segs: Seq[String], p: Int,
       ids: Option[Array[(Any, Int)]]): DataFrame =
-    IndexLayout.pruned(spark, p, "id", ids,
-      sub => readSegments(spark, root, segs, "sets",
-        "id BIGINT, sh ARRAY<BIGINT>", sub))
+    probeTable(spark, root, segs, "sets",
+      "id BIGINT, sh ARRAY<BIGINT>", "id", p, ids)
+
+  /** The probe plan (see IndexLayout): flat L0 segments get ONE scan
+    * with the full key chain; bucketed (compacted) segments get
+    * grouped per-bucket scans, each pushing its own short chain. */
+  private def probeTable(spark: SparkSession, root: String,
+      segs: Seq[String], table: String, ddl: String, keyCol: String,
+      p: Int, keys: Option[Array[(Any, Int)]]): DataFrame = keys match {
+    case None => readSegments(spark, root, segs, table, ddl)
+    case Some(ks) if ks.isEmpty =>
+      readSegments(spark, root, Nil, table, ddl)
+    case Some(ks) =>
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val (bucketed, flat) = segs.partition { s =>
+        fs.listStatus(new Path(s"$root/$s/$table")).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("bp="))
+      }
+      val allKeys = ks.map(_._1)
+      val tail = if (flat.isEmpty) Nil
+        else Seq(readSegments(spark, root, flat, table, ddl)
+          .where(IndexLayout.chain(spark, keyCol, allKeys)))
+      val bulk = if (bucketed.isEmpty) Nil
+        else if (p <= 0)
+          Seq(readSegments(spark, root, bucketed, table, ddl)
+            .where(IndexLayout.chain(spark, keyCol, allKeys)))
+        else IndexLayout.scanGroups(spark, ks).map { case (dirs, gks) =>
+          readSegments(spark, root, bucketed, table, ddl, subs = dirs)
+            .where(IndexLayout.chain(spark, keyCol, gks))
+        }
+      (tail ++ bulk) match {
+        case Nil => readSegments(spark, root, Nil, table, ddl)
+        case parts => parts.reduce(_ unionByName _)
+      }
+  }
 
   /** All committed band rows (band, bucket, id, sz); empty when the
     * store is new. */
@@ -390,9 +426,18 @@ object DedupIndex {
         ("sets", "id", "id BIGINT, sh ARRAY<BIGINT>"))) {
       val paths = srcs.map(s => s"$root/$s/$table")
       val pl = Compaction.planAll(spark, paths, targetBytes)
+      // bucket only when the merged table can fill the buckets
+      // (≥ ~one probe-sized row group per dir): a small store split
+      // P ways would EXPLODE its file count — the many-small-files
+      // disease compaction exists to cure. Below the bar the merged
+      // segment stays flat-sorted; probes treat it as L0 tail, which
+      // at that size is the right plan anyway.
+      val p = if (pl.nBytes >=
+          pBuckets.toLong * IndexLayout.blockBytes(spark)) pBuckets
+        else 0
       IndexLayout.writeSorted(
         readSegments(spark, root, srcs, table, ddl), key,
-        s"$root/$seg/$table", pBuckets, nOut = Some(pl.nOut))
+        s"$root/$seg/$table", p, nOut = Some(pl.nOut))
     }
     // closure, not just srcs: see ShadowLog — dropping a prior
     // compaction target must not resurrect its crash relics
@@ -423,7 +468,7 @@ object DedupIndex {
     * flat schema. */
   private def readSegments(spark: SparkSession, root: String,
       segs: Seq[String], table: String, emptyDdl: String,
-      sub: Option[String] = None): DataFrame = {
+      subs: Seq[String] = Nil): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
@@ -436,17 +481,16 @@ object DedupIndex {
         // partition discovery: multiple segment roots each holding
         // bp=* dirs trip CONFLICTING_DIRECTORY_STRUCTURES, and the
         // bp value is write-time routing metadata no reader needs
-        val paths = sub match {
-          case Some(d) =>
-            ss.map(s => s"$root/$s/$table/$d")
+        val paths =
+          if (subs.nonEmpty)
+            ss.flatMap(s => subs.map(d => s"$root/$s/$table/$d"))
               .filter(p => fs.exists(new Path(p)))
-          case None => ss.flatMap { s =>
+          else ss.flatMap { s =>
             val t = new Path(s"$root/$s/$table")
             val bps = fs.listStatus(t).filter(_.isDirectory)
               .map(_.getPath).filter(_.getName.startsWith("bp="))
             if (bps.isEmpty) Seq(t.toString) else bps.map(_.toString).toSeq
           }
-        }
         if (paths.isEmpty) empty
         else spark.read.parquet(paths: _*)
     }

@@ -220,9 +220,11 @@ object EmbeddingDedupIndex {
     // depend on
     val seg = segmentName.getOrElse(f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d")
-    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", p)
+    // batch segments are the flat-sorted L0 tail — reband writes the
+    // P-way bucketed form (it rewrites the whole store anyway)
+    IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", 0)
     IndexLayout.writeSorted(base.select("id", "v", "nm"), "id",
-      s"$root/$seg/vecs", p)
+      s"$root/$seg/vecs", 0)
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
     UpdateResult(seg, pairs)
     }
@@ -234,16 +236,46 @@ object EmbeddingDedupIndex {
   private[graft] def probeBands(spark: SparkSession, root: String,
       segs: Seq[String], p: Int,
       buckets: Option[Array[(Any, Int)]]): DataFrame =
-    IndexLayout.pruned(spark, p, "bucket", buckets,
-      sub => readSegs(spark, root, segs, "bands",
-        "band INT, bucket BIGINT, id BIGINT", sub))
+    probeTable(spark, root, segs, "bands",
+      "band INT, bucket BIGINT, id BIGINT", "bucket", p, buckets)
 
   private[graft] def probeVecs(spark: SparkSession, root: String,
       segs: Seq[String], p: Int,
       ids: Option[Array[(Any, Int)]]): DataFrame =
-    IndexLayout.pruned(spark, p, "id", ids,
-      sub => readSegs(spark, root, segs, "vecs",
-        "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE", sub))
+    probeTable(spark, root, segs, "vecs",
+      "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE", "id", p, ids)
+
+  /** Flat-L0 + grouped-bucketed probe plan — see
+    * DedupIndex.probeTable / IndexLayout. */
+  private def probeTable(spark: SparkSession, root: String,
+      segs: Seq[String], table: String, ddl: String, keyCol: String,
+      p: Int, keys: Option[Array[(Any, Int)]]): DataFrame = keys match {
+    case None => readSegs(spark, root, segs, table, ddl)
+    case Some(ks) if ks.isEmpty => readSegs(spark, root, Nil, table, ddl)
+    case Some(ks) =>
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val (bucketed, flat) = segs.partition { s =>
+        fs.listStatus(new Path(s"$root/$s/$table")).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("bp="))
+      }
+      val allKeys = ks.map(_._1)
+      val tail = if (flat.isEmpty) Nil
+        else Seq(readSegs(spark, root, flat, table, ddl)
+          .where(IndexLayout.chain(spark, keyCol, allKeys)))
+      val bulk = if (bucketed.isEmpty) Nil
+        else if (p <= 0)
+          Seq(readSegs(spark, root, bucketed, table, ddl)
+            .where(IndexLayout.chain(spark, keyCol, allKeys)))
+        else IndexLayout.scanGroups(spark, ks).map { case (dirs, gks) =>
+          readSegs(spark, root, bucketed, table, ddl, subs = dirs)
+            .where(IndexLayout.chain(spark, keyCol, gks))
+        }
+      (tail ++ bulk) match {
+        case Nil => readSegs(spark, root, Nil, table, ddl)
+        case parts => parts.reduce(_ unionByName _)
+      }
+  }
 
   /** Migrate the store to a NEW LSH geometry without re-ingesting:
     * the vectors are the source of truth (`vecs/` persists them
@@ -353,7 +385,7 @@ object EmbeddingDedupIndex {
     * contract as DedupIndex.readSegments. */
   private def readSegs(spark: SparkSession, root: String,
       segs: Seq[String], table: String, emptyDdl: String,
-      sub: Option[String] = None): DataFrame = {
+      subs: Seq[String] = Nil): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
@@ -364,17 +396,16 @@ object EmbeddingDedupIndex {
           spark.sparkContext.hadoopConfiguration)
         // leaf-dir reads, never partition discovery — see
         // DedupIndex.readSegments
-        val paths = sub match {
-          case Some(d) =>
-            ss.map(s => s"$root/$s/$table/$d")
+        val paths =
+          if (subs.nonEmpty)
+            ss.flatMap(s => subs.map(d => s"$root/$s/$table/$d"))
               .filter(pp => fs.exists(new Path(pp)))
-          case None => ss.flatMap { s =>
+          else ss.flatMap { s =>
             val t = new Path(s"$root/$s/$table")
             val bps = fs.listStatus(t).filter(_.isDirectory)
               .map(_.getPath).filter(_.getName.startsWith("bp="))
             if (bps.isEmpty) Seq(t.toString) else bps.map(_.toString).toSeq
           }
-        }
         if (paths.isEmpty) empty
         else spark.read.parquet(paths: _*)
     }

@@ -41,28 +41,34 @@ import org.slf4j.LoggerFactory
   *     decode it was saving), i.e. O(batch × store) hiding in the
   *     scan setup. So chains must stay SHORT per scan, which is what
   *     the bucketed layout buys:
-  *  3. '''P-way key bucketing''' ([[probeBuckets]], pinned in the
-  *     store's `_meta.json` at creation): every segment table is
+  *  3. '''P-way key bucketing, LSM-shaped''': COMPACTED segments are
   *     additionally hash-partitioned into `bp = pmod(xxhash64(key),
-  *     P)` directories (partitionBy, so the dirs self-describe), and
-  *     a probe becomes a UNION of per-bp scans, each reading only
-  *     the dirs whose bp its keys route to and pushing only ITS OWN
-  *     keys/P-length chain. Chain-eval work drops P-fold to
-  *     O(batch × store / P); a small (streaming) batch additionally
-  *     prunes whole directories for free. Keys are routed by Spark
-  *     itself during the collect ([[collectKeys]] returns
+  *     P)` directories (P pinned in the store's `_meta.json` at
+  *     creation — `probeBuckets`, default 64). Per-batch UPDATE
+  *     segments stay flat-sorted (an L0 tail): bucketing a
+  *     3,000-row micro-batch into 64 dirs costs more in files and
+  *     write shuffles than it saves, and auto-compaction keeps the
+  *     tail short anyway. A probe is then: one scan over the flat
+  *     tail pushing the full chain (tail row groups are few, so the
+  *     eval term is tiny) UNIONED with ≤[[probeScanGroups]] scans
+  *     over the bucketed segments, each reading only the leaf dirs
+  *     its key group routes to and pushing only that group's chain.
+  *     Chain-eval work over the store's bulk drops to
+  *     O(batch × store × groups / P); a small (streaming) batch
+  *     additionally prunes whole directories. Keys are routed by
+  *     Spark itself during the collect ([[collectKeys]] returns
   *     (key, bp) pairs), so no driver-side reimplementation of
   *     xxhash64 exists to drift.
   *
   * Cost model at 100 TB: a probe of `v` distinct keys decodes ~2
   * pages per key — O(batch × pageBytes), independent of store size
   * once the store exceeds the batch's key count in pages — and
-  * spends O(v × rowGroups / P) in predicate evaluation, spread
-  * across the scan's tasks. Stores written by earlier builds (no
-  * `probeBuckets` in their meta, or flat unsorted segments) stay
-  * fully correct — the pushed filter is semantically the join's own
-  * key predicate — they just keep paying the full scan until
-  * re-created under this layout.
+  * spends O(v × (tailRowGroups + bulkRowGroups × groups / P)) in
+  * predicate evaluation, spread across the scan's tasks. Stores
+  * written by earlier builds (no `probeBuckets` in their meta, flat
+  * unsorted segments) stay fully correct — the pushed filter is
+  * semantically the join's own key predicate — they just keep
+  * paying the full scan until compacted under this layout.
   *
   * The key collect is driver-side, so it is capped
   * (`graft.dedup.probeKeyCap`, default 1,000,000 keys ≈ 8 MB of
@@ -160,10 +166,22 @@ object IndexLayout {
     } else Some(rows.map(r => (r.get(0), r.getInt(1))))
   }
 
+  /** Max union arms a bucketed probe plans: touched buckets are
+    * packed into at most this many scans (each scan reads its
+    * buckets' dirs and pushes their combined chain). More arms =
+    * shorter chains but more driver planning/scheduling — 16 is the
+    * measured local sweet spot; chain-eval stays O(batch × store ×
+    * groups / P). */
+  def probeScanGroups(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption("graft.dedup.probeScanGroups").map(_.toInt)
+      .getOrElse(16)
+
   /** Balanced OR-tree of ≤[[probeChainLen]]-key `isin` chunks —
     * semantically the `isin` the join would apply anyway, shaped so
     * expression/visitor recursion stays O(chainLen + log chunks). */
-  private def chainOf(keyCol: String, ks: Array[Any], chunk: Int): Column = {
+  def chain(spark: org.apache.spark.sql.SparkSession, keyCol: String,
+      ks: Array[Any]): Column = {
+    val chunk = probeChainLen(spark)
     val parts = ks.grouped(chunk)
       .map(g => col(keyCol).isin(g.toIndexedSeq: _*)).toIndexedSeq
     def bal(lo: Int, hi: Int): Column =
@@ -172,29 +190,16 @@ object IndexLayout {
     bal(0, parts.length - 1)
   }
 
-  /** The pruned store probe. `read(dirs)` materializes a scan:
-    * passed None it must read every segment table dir in full (the
-    * legacy / over-cap path); passed Some(sub) it must read only
-    * that per-segment subdirectory (e.g. "bp=7"). With routed keys
-    * over a bucketed store (p > 0) the probe unions one scan per
-    * TOUCHED bucket, each pushing only its own short chain —
-    * chain-eval work drops P-fold and untouched directories are
-    * never listed or read; a flat store (p = 0) gets one scan with
-    * the full chain. */
-  def pruned(spark: org.apache.spark.sql.SparkSession, p: Int,
-      keyCol: String, keys: Option[Array[(Any, Int)]],
-      read: Option[String] => DataFrame): DataFrame = keys match {
-    case None => read(None)
-    case Some(ks) if ks.isEmpty => read(None).limit(0)
-    case Some(ks) =>
-      val chunk = probeChainLen(spark)
-      if (p <= 0)
-        read(None).where(chainOf(keyCol, ks.map(_._1), chunk))
-      else
-        ks.groupBy(_._2).toSeq.sortBy(_._1).map { case (bp, pairs) =>
-          read(Some(s"bp=$bp"))
-            .where(chainOf(keyCol, pairs.map(_._1), chunk))
-        }.reduce(_ unionByName _)
+  /** Routed keys packed into ≤[[probeScanGroups]] scan groups:
+    * (bp dir names, that group's keys). */
+  def scanGroups(spark: org.apache.spark.sql.SparkSession,
+      ks: Array[(Any, Int)]): Seq[(Seq[String], Array[Any])] = {
+    val byBp = ks.groupBy(_._2).toSeq.sortBy(_._1)
+    val per = math.max(1, math.ceil(
+      byBp.size.toDouble / probeScanGroups(spark)).toInt)
+    byBp.grouped(per).map { grp =>
+      (grp.map(g => s"bp=${g._1}"), grp.flatMap(_._2.map(_._1)).toArray)
+    }.toSeq
   }
 
   /** Run `f` with the In→eq-chain parquet conversion threshold

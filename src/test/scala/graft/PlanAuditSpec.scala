@@ -347,8 +347,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       val docs = spark.range(40000).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 8).map(j =>
           concat(lit(s"w$j-"), col("id"))): _*).as("text"))
-      graft.sources.DedupIndex.update(spark, root, docs,
+      graft.sources.DedupIndex.update(spark, root, docs.limit(39000),
         "doc_id", "text", threshold = 0.8)
+      graft.sources.DedupIndex.update(spark, root,
+        docs.filter(col("doc_id") >= 39000), "doc_id", "text",
+        threshold = 0.8)
+      // updates write the flat L0 tail; compaction produces the
+      // P-way bucketed bulk the grouped probes read
+      assert(graft.sources.DedupIndex.compactSegments(spark, root).nonEmpty)
       val segs = graft.sources.DedupIndex.segments(spark, root)
 
       def scansOf(df: => org.apache.spark.sql.DataFrame)
@@ -440,6 +446,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
             .cast("float") / 500.0f - 1.0f)): _*).as("emb"))
       graft.sources.EmbeddingDedupIndex.update(spark, root, vecs,
         "vec_id", "emb", dim = 8, threshold = 0.95, bits = 7)
+      // updates write the flat L0 tail; reband (here at unchanged
+      // geometry) rewrites the store in the P-way bucketed form
+      graft.sources.EmbeddingDedupIndex.reband(spark, root,
+        bands = 10, bits = 7, maxBucket = 500)
       val segs = graft.sources.EmbeddingDedupIndex.segments(spark, root)
 
       def scansOf(df: => org.apache.spark.sql.DataFrame)
