@@ -371,6 +371,65 @@ object EmbeddingDedupIndex {
     seg
   }
 
+  /** Merge every committed segment into ONE compacted segment — the
+    * janitorial pass for a long-lived embedding store (an update per
+    * micro-batch accumulates KB-scale segments exactly like
+    * [[DedupIndex]]'s log; until r9 the only rewrite here was
+    * [[reband]], which re-derives every band from the vectors — a
+    * full hash pass a mere file-count cure does not need). Semantics
+    * preserved by construction: a vector's band/vecs rows depend only
+    * on itself. Same crash-safe `_sources`-shadow swap as
+    * [[DedupIndex.compactSegments]], and the same LSM effect: the
+    * merged segment is written in the P-way bucketed probe layout
+    * (from the store's pinned meta; declined for tables smaller than
+    * P × blockBytes). Refuses while a reband intent is pending — the
+    * reband owns the store until it converges. No replay-pending
+    * guard is needed: no streaming writer commits embedding segments
+    * ahead of a verdict log. */
+  def compactSegments(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(root, Intent)),
+      s"a reband of $root is in progress or crashed — rerun reband " +
+        "to converge the store before compacting")
+    val (srcs, shadowed) =
+      ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))
+    if (srcs.size < 2) return None
+    val pBuckets = {
+      val mp = new Path(root, "_meta.json")
+      if (!fs.exists(mp)) 0
+      else parseMeta(readSmall(fs, mp), mp).probeBuckets
+    }
+    val seg = f"seg-${System.currentTimeMillis()}%013d-${
+      saveSeq.incrementAndGet()}%04d-compact"
+    for ((table, key, ddl) <- Seq(
+        ("bands", "bucket", "band INT, bucket BIGINT, id BIGINT"),
+        ("vecs", "id", "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE"))) {
+      val paths = srcs.map(s => s"$root/$s/$table")
+      val pl = Compaction.planAll(spark, paths, targetBytes)
+      val pw = if (pl.nBytes >=
+          pBuckets.toLong * IndexLayout.blockBytes(spark)) pBuckets
+        else 0
+      IndexLayout.writeSorted(
+        readSegs(spark, root, srcs, table, ddl), key,
+        s"$root/$seg/$table", pw, nOut = Some(pl.nOut))
+    }
+    ShadowLog.writeSources(fs, p, seg,
+      ShadowLog.sourcesClosure(fs, p, srcs, shadowed))
+    fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    srcs.foreach(s => fs.delete(new Path(root, s), true))
+    Some(seg)
+  }
+
+  /** Delete segment directories no reader can see — same contract as
+    * [[DedupIndex.vacuumShadowed]]. */
+  def vacuumShadowed(spark: SparkSession, root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
+  }
+
   def currentVecs(spark: SparkSession, root: String): DataFrame =
     readSegs(spark, root, segments(spark, root), "vecs",
       "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE")

@@ -81,6 +81,52 @@ class EmbeddingDedupIndexSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("must match"))
   }
 
+  test("segment compaction: content identical, fewer segments, " +
+      "detection unchanged; refused while a reband is pending (r9)") {
+    val root = Files.createTempDirectory("emb-dedup-compact").toString
+    val th = 0.9
+    // a streaming-shaped store: several small update segments
+    for (k <- 0 until 4)
+      EmbeddingDedupIndex.update(spark, root,
+        corpus.filter(pmod(col("vec_id"), lit(4)) === k),
+        "vec_id", "embedding", dim, th, bits = 5)
+    val vecsBefore = EmbeddingDedupIndex.currentVecs(spark, root)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(EmbeddingDedupIndex.segments(spark, root).size == 4)
+    val seg = EmbeddingDedupIndex.compactSegments(spark, root)
+    assert(seg.nonEmpty)
+    assert(EmbeddingDedupIndex.segments(spark, root) == Seq(seg.get))
+    assert(EmbeddingDedupIndex.currentVecs(spark, root)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+      == vecsBefore, "compaction must not change the vecs content")
+    // detection over the compacted store == over an uncompacted twin
+    val twin = Files.createTempDirectory("emb-dedup-twin").toString
+    for (k <- 0 until 4)
+      EmbeddingDedupIndex.update(spark, twin,
+        corpus.filter(pmod(col("vec_id"), lit(4)) === k),
+        "vec_id", "embedding", dim, th, bits = 5)
+    val probe = corpus.limit(30)
+      .withColumn("vec_id", col("vec_id") + 5000L)
+    val pc = pairSet(EmbeddingDedupIndex.update(spark, root, probe,
+      "vec_id", "embedding", dim, th, bits = 5).pairs)
+    val pu = pairSet(EmbeddingDedupIndex.update(spark, twin, probe,
+      "vec_id", "embedding", dim, th, bits = 5).pairs)
+    assert(pc.nonEmpty && pc == pu,
+      "probe batch must find identical pairs on compacted vs raw store")
+    // a second compaction folds the probe's segment too
+    assert(EmbeddingDedupIndex.compactSegments(spark, root).nonEmpty)
+    assert(EmbeddingDedupIndex.segments(spark, root).size == 1)
+    // a pending reband intent refuses compaction (the reband owns
+    // the store until it converges)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_reband"), true).close()
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingDedupIndex.compactSegments(spark, root)
+    }
+    assert(e.getMessage.contains("reband"))
+  }
+
   test("reband migrates to a new geometry in place: probe equals a " +
       "fresh index, crash mid-reband refuses updates then converges") {
     val root = Files.createTempDirectory("emb-dedup-reband").toString
