@@ -212,9 +212,20 @@ object Knn {
       dim: Int, threshold: Double, targetClusterSize: Int = 1024,
       iters: Int = 2): DataFrame = {
     Registry.registerAll(corpus.sparkSession)
+    // stage wall-clock telemetry for scale ladders (the r10 512×
+    // diagnosis ran on these): graft.semdedup.stageTimes=true
+    val verbose = corpus.sparkSession.conf
+      .getOption("graft.semdedup.stageTimes").exists(_.toBoolean)
+    var tMark = System.nanoTime()
+    def stamp(label: String): Unit = if (verbose) {
+      val now = System.nanoTime()
+      println(f"semdedup-stage $label%-12s ${(now - tMark) / 1e9}%8.1f s")
+      tMark = now
+    }
     val base = withNorm(corpus, "id", "v", "nm", idCol, vecCol)
       .materialize()
     val n = base.count()
+    stamp("base")
     val k = math.max(1, math.min((n / targetClusterSize).toInt, 1 << 16))
     def normalize(a: Array[Double]): Array[Double] = {
       val nm = math.sqrt(a.map(x => x * x).sum)
@@ -235,6 +246,7 @@ object Knn {
         maxTrain.toDouble / n, seed = 42L)).persist()
     var cents = train.orderBy("id").limit(k).select(col("v")).collect()
       .map(r => normalize(r.getSeq[Number](0).map(_.doubleValue).toArray))
+    stamp("train-init")
     // Flat argmax is n·k·dim work — QUADRATIC in n once k ∝ n (the
     // first 64× probe of this operator measured exactly that: the
     // assignment pass, not the pair join, was the 45×-per-octave
@@ -340,18 +352,77 @@ object Knn {
         }.toMap
       cents = cents.indices.map(j => means.getOrElse(j, cents(j))).toArray
     }
-    // the pair join's INPUT is small (n co-partitioned rows) but its
-    // OUTPUT expands ~targetClusterSize× — AQE coalesces on input
-    // bytes and ran the 64× expansion on ~1 core. An explicit
-    // partition count (which AQE respects, unlike a bare
-    // repartition(col)) keeps the expansion spread over the cluster.
+    stamp("lloyd")
     train.unpersist()
     val parts = base.sparkSession.sparkContext.defaultParallelism * 4
     val withCell = base.withColumn("cell",
         argmaxUdf(cents)(col("v").cast("array<double>")))
       .repartition(parts, col("cell"))
       .materialize()
-    clusterLocalKeepers(withCell, "cell", idCol, threshold)
+    stamp("assign")
+    // NOT clusterLocalKeepers (the label form keeps it): the all-pairs
+    // cluster-local join evaluates S²/2 dots per S-member cell, and on
+    // a dup-DENSE cell — the exact cell SemDeDup exists to find — that
+    // is quadratic in the duplicate multiplicity. Measured: the r10
+    // 512× ladder cell came in at 3.85×/doubling (2164 s stacked)
+    // because the probe corpus's duplicate families double with the
+    // corpus, so the surviving-pair volume quadruples per octave
+    // while everything else stays linear. The semantics only need,
+    // PER ROW, the smallest-id same-cell member above threshold — an
+    // argfirst, not an all-pairs set — so the scan below sorts each
+    // cell by id once and early-exits each row at its first
+    // qualifying partner: O(S) per dup-dense cell (first probe hits),
+    // degrading toward the join's O(S²) only on all-stranger cells,
+    // where the join produced nothing for the cost either. Cells are
+    // k∝n-bounded (~targetClusterSize × dup multiplicity), so the
+    // per-task group fits comfortably in memory. (The scan itself
+    // executes at the caller's action — its wall is the run's
+    // remainder after the `assign` stamp.)
+    cellKeepersScan(withCell, "cell", idCol, threshold)
+  }
+
+  /** Per-cell early-exit argfirst (see semDedupScaled): for each
+    * member `a`, the smallest-id same-cell member `b < a` with
+    * cosine ≥ threshold, emitted as (id, cluster, dup_of, sim) — the
+    * exact rows clusterLocalKeepers' join+min_by aggregation
+    * produces, without materializing the quadratic pair stream. The
+    * dot accumulates ascending float→double exactly like the codegen
+    * kernel (functions.VectorExpressions.DotProductExpr), so the
+    * emitted sims are bit-identical to the join form's. */
+  private def cellKeepersScan(withCell: DataFrame, cellCol: String,
+      idCol: String, threshold: Double): DataFrame = {
+    val spark = withCell.sparkSession
+    import spark.implicits._
+    withCell
+      .select(col(cellCol).cast("int"), col("id"),
+        col("v").cast("array<float>"), col("nm"))
+      .as[(Int, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val ms = it.toArray.sortBy(_._2)
+        val out = Array.newBuilder[(Long, Int, Long, Double)]
+        var i = 1
+        while (i < ms.length) {
+          val (_, ida, va, na) = ms(i)
+          var j = 0
+          var found = false
+          while (j < i && !found) {
+            val (_, idb, vb, nb) = ms(j)
+            var s = 0.0
+            var d = 0
+            val lim = math.min(va.length, vb.length)
+            while (d < lim) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+            val sim = s / (na * nb)
+            if (!sim.isNaN && sim >= threshold) {
+              out += ((ida, cell, idb, sim)); found = true
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF(idCol, "cluster", "dup_of", "sim")
   }
 
   /** Scale path for embedding near-dup: banded sign-LSH candidate

@@ -67,6 +67,37 @@ object Compaction {
     CompactionPlan(n, bytes, nOut.toInt)
   }
 
+  /** Size-ratio merge selection — the TIERED (LSM) policy that keeps
+    * hot-path compaction O(recent), never O(store). Input is
+    * (name, bytes) per candidate segment; output the subset to merge
+    * (empty when fewer than 2 qualify). Sorted-runs rule: merge the
+    * smallest k+1 runs for the largest k whose run is ≤ `ratio` × the
+    * total bytes below it — a fresh micro-batch tail always folds
+    * together, a previous fold of similar size cascades in, and a
+    * store-sized base is absorbed only once everything beneath it
+    * reaches ~1/ratio of its size. Every absorbed run lands in a
+    * result ≥ (1 + 1/ratio) × its own size, so a row is rewritten
+    * O(log(store/batch)) times over its life instead of once per
+    * trigger (the r9 ADVICE defect: full compaction on the
+    * foreachBatch path re-rewrote the whole store every ~32 batches,
+    * amortized O(store/n) per batch and unbounded). */
+  def tieredPick(sized: Seq[(String, Long)],
+      ratio: Double = 4.0): Seq[String] = {
+    require(ratio >= 1.0, s"ratio must be >= 1: $ratio")
+    val asc = sized.sortBy(s => (s._2, s._1))
+    // merge the smallest k+1 runs for the LARGEST k whose run is
+    // ≤ ratio × the bytes below it — not "stop at first violation",
+    // which strands a tiny straggler below a big run forever (the
+    // straggler never grows, so [tiny, big, big, …] would never fold)
+    var sum = 0L
+    var k = -1
+    for (((_, b), i) <- asc.zipWithIndex) {
+      if (i > 0 && b <= ratio * sum) k = i
+      sum += b
+    }
+    if (k < 1) Nil else asc.take(k + 1).map(_._1)
+  }
+
   /** Rewrite `dir` into `outDir` as ~targetBytes files. Returns the
     * plan it executed. No-op guard: when the source already has ≤
     * the planned file count, the rewrite still runs (the caller

@@ -98,20 +98,29 @@ object DedupIndex {
     // the bucketed layout existed (flat segments, unpruned probes)
     val p = meta.probeBuckets
     IndexLayout.withProbePushdown(spark) {
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // drop a replayed segment BEFORE the store is read, so the
     // recomputed candidates see exactly the pre-batch store
     segmentName.foreach { s =>
       require(s.startsWith("seg-"), s"segment name must start with seg-: $s")
-      val fs = new Path(root).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
       val sp = new Path(root, s)
       if (fs.exists(sp)) fs.delete(sp, true)
     }
 
-    // ONE listing per update (segments() re-reads every _sources
-    // marker; on object storage with thousands of streaming segments
-    // that metadata walk must not run three times per micro-batch)
-    val segs = segments(spark, root)
+    // ONE listing per update (segments()/tombSegments() would each
+    // re-read every _sources marker; on object storage with thousands
+    // of streaming segments that metadata walk must not run several
+    // times per micro-batch)
+    val allSegs = ShadowLog.list(fs, rootP, "_SUCCESS",
+      _.startsWith("seg-"))._1
+    val segs = allSegs.filterNot(_.endsWith("-tomb"))
+    val tombs = allSegs.filter(_.endsWith("-tomb"))
+    // heal manifest holes ONCE, on the writer path: a pre-manifest
+    // store (or a crash between a segment commit and its manifest
+    // rewrite) pays its listStatus walk here exactly once, and every
+    // probe after this line resolves layout from the manifest
+    IndexLayout.ensureLayouts(fs, rootP, segs, Seq("bands", "sets"))
     val cap = IndexLayout.probeKeyCap(spark)
 
     // dropDuplicates BEFORE the store check: an at-least-once source
@@ -120,10 +129,12 @@ object DedupIndex {
     // this a within-batch duplicate is written twice into the
     // append-only segment (unretractable) and fans out duplicate
     // (a,b,j) rows in this and every future update. Same guard as
-    // EmbeddingDedupIndex.update
-    val rawSigs = Dedup
+    // EmbeddingDedupIndex.update. A LIVE-tombstoned id is dropped
+    // from the arrival too (see tombstone): its stored rows are being
+    // retracted, so re-indexing it would resurrect the data
+    val rawSigs = notTombstoned(spark, root, tombs, Dedup
       .signatures(newDocs, idCol, textCol, numHashes, bands)
-      .dropDuplicates("id")
+      .dropDuplicates("id"), "id")
     // an id already in the store is dropped, not re-indexed: the
     // segment log cannot retract the old rows, so re-ingesting would
     // permanently double the id's bands/sets (every future batch
@@ -155,8 +166,12 @@ object DedupIndex {
     val batchBuckets = if (segs.isEmpty) None
       else IndexLayout.collectKeys(
         newBands.select(col("bucket")).distinct(), p, cap, "band buckets")
+    // tombstoned store rows are filtered out of candidate generation
+    // (a retracted id must never appear in new pairs); the sets reads
+    // need no filter — candidates can no longer name a tombstoned id
     val storeBands = if (segs.isEmpty) newBands.limit(0)
-      else probeBands(spark, root, segs, p, batchBuckets)
+      else notTombstoned(spark, root, tombs,
+        probeBands(spark, root, segs, p, batchBuckets), "id")
 
     // size-ratio guard (J ≥ t ⇒ min/max set sizes ≥ t) kills
     // impossible pairs before verification, same as the bulk path
@@ -216,9 +231,11 @@ object DedupIndex {
     // writes the P-way bucketed form (see IndexLayout)
     IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", 0)
     IndexLayout.writeSorted(newSets, "id", s"$root/$seg/sets", 0)
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    // manifest AFTER the marker: a crash in between leaves a hole the
+    // next update heals, never a manifest entry for an invisible dir
+    IndexLayout.recordLayouts(fs, new Path(root),
+      Map(seg -> Map("bands" -> Nil, "sets" -> Nil)), segs :+ seg)
     UpdateResult(seg, pairs)
     }
   }
@@ -248,10 +265,11 @@ object DedupIndex {
     val p = meta.probeBuckets
     IndexLayout.withProbePushdown(spark) {
       val segs = segments(spark, root)
+      val tombs = tombSegments(spark, root)
       val cap = IndexLayout.probeKeyCap(spark)
-      val rawSigs = Dedup
+      val rawSigs = notTombstoned(spark, root, tombs, Dedup
         .signatures(docs, idCol, textCol, numHashes, bands)
-        .dropDuplicates("id")
+        .dropDuplicates("id"), "id")
       val batchIds = if (segs.isEmpty) None
         else IndexLayout.collectKeys(
           docs.select(col(idCol)).distinct(), p, cap, "batch ids")
@@ -271,6 +289,8 @@ object DedupIndex {
       val fs = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+      IndexLayout.recordLayouts(fs, new Path(root),
+        Map(seg -> Map("bands" -> Nil, "sets" -> Nil)), segs :+ seg)
       seg
     }
   }
@@ -303,20 +323,29 @@ object DedupIndex {
     case Some(ks) =>
       val fs = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val (bucketed, flat) = segs.partition { s =>
-        fs.listStatus(new Path(s"$root/$s/$table")).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("bp="))
-      }
+      // layout resolution is ONE manifest read (see IndexLayout) —
+      // a segment missing from it (pre-manifest store, torn manifest
+      // write) costs one listStatus here, resolved once per probe
+      val rootP = new Path(root)
+      val cached = IndexLayout.readLayouts(fs, rootP)
+      val dirsBySeg = segs.map(s => s ->
+        IndexLayout.layoutFor(fs, rootP, cached, s, table)).toMap
+      val lay: IndexLayout.SegLayouts =
+        dirsBySeg.map { case (s, ds) => s -> Map(table -> ds) }
+      val (bucketed, flat) = segs.partition(s => dirsBySeg(s).nonEmpty)
       val allKeys = ks.map(_._1)
       val tail = if (flat.isEmpty) Nil
-        else Seq(readSegments(spark, root, flat, table, ddl)
+        else Seq(readSegments(spark, root, flat, table, ddl,
+            layouts = Some(lay))
           .where(IndexLayout.chain(spark, keyCol, allKeys)))
       val bulk = if (bucketed.isEmpty) Nil
         else if (p <= 0)
-          Seq(readSegments(spark, root, bucketed, table, ddl)
+          Seq(readSegments(spark, root, bucketed, table, ddl,
+              layouts = Some(lay))
             .where(IndexLayout.chain(spark, keyCol, allKeys)))
         else IndexLayout.scanGroups(spark, ks).map { case (dirs, gks) =>
-          readSegments(spark, root, bucketed, table, ddl, subs = dirs)
+          readSegments(spark, root, bucketed, table, ddl, subs = dirs,
+              layouts = Some(lay))
             .where(IndexLayout.chain(spark, keyCol, gks))
         }
       (tail ++ bulk) match {
@@ -325,18 +354,22 @@ object DedupIndex {
       }
   }
 
-  /** All committed band rows (band, bucket, id, sz); empty when the
-    * store is new. */
+  /** All committed, non-retracted band rows (band, bucket, id, sz);
+    * empty when the store is new. */
   def currentBands(spark: SparkSession, root: String): DataFrame =
-    readSegments(spark, root, segments(spark, root), "bands",
-      "band INT, bucket BIGINT, id BIGINT, sz INT")
+    notTombstoned(spark, root, tombSegments(spark, root),
+      readSegments(spark, root, segments(spark, root), "bands",
+        "band INT, bucket BIGINT, id BIGINT, sz INT"), "id")
 
-  /** All committed shingle sets (id, sh); empty when the store is new. */
+  /** All committed, non-retracted shingle sets (id, sh); empty when
+    * the store is new. */
   def currentSets(spark: SparkSession, root: String): DataFrame =
-    readSegments(spark, root, segments(spark, root), "sets",
-      "id BIGINT, sh ARRAY<BIGINT>")
+    notTombstoned(spark, root, tombSegments(spark, root),
+      readSegments(spark, root, segments(spark, root), "sets",
+        "id BIGINT, sh ARRAY<BIGINT>"), "id")
 
-  /** Committed, unshadowed segments. A compacted segment's `_sources`
+  /** Committed, unshadowed DATA segments (tombstone segments are
+    * listed by [[tombSegments]]). A compacted segment's `_sources`
     * file names the segments it replaced; those stay EXCLUDED even if
     * their directories still exist (a crash between the compaction
     * commit and the source cleanup leaves them behind — shadowing
@@ -346,7 +379,78 @@ object DedupIndex {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))._1
+      .filterNot(_.endsWith("-tomb"))
   }
+
+  /** Committed, unshadowed TOMBSTONE segments — see [[tombstone]]. */
+  private[graft] def tombSegments(spark: SparkSession,
+      root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))._1
+      .filter(_.endsWith("-tomb"))
+  }
+
+  /** RETRACT documents from the index — the one lifecycle operation
+    * an append-only segment log cannot express in place, and a hard
+    * requirement of real corpora (opt-out and licensing deletions).
+    * Writes the ids as a small committed `seg-…-tomb` segment (one
+    * id-sorted `ids` table, same marker/shadow conventions); readers
+    * and probes anti-join it, and compaction APPLIES it:
+    *
+    *  - while a tombstone is LIVE, the id's stored rows are invisible
+    *    to every reader and probe (it can never appear in new pairs),
+    *    and a re-arrival of the id is dropped like a duplicate;
+    *  - a compaction that covers EVERY data segment rewrites the
+    *    store without the id's rows and drops the tombstone with the
+    *    sources it shadowed (partial/tiered folds apply the filter to
+    *    what they merge but keep the tombstone — rows may survive in
+    *    unmerged segments);
+    *  - cost stays O(batch) per update: the live tombstone set is
+    *    deletion-request-sized (it drains at every full compaction),
+    *    read whole and anti-joined — no probe shape changes.
+    *
+    * A tombstone retracts PAST data and blocks the id while live; it
+    * is not a permanent ban — once applied and dropped, a future
+    * re-ingestion of the same id is a fresh document (re-consent).
+    * Returns the segment name, or None for an empty id set. */
+  def tombstone(spark: SparkSession, root: String,
+      ids: DataFrame): Option[String] = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, "_meta.json")),
+      s"no index at $root")
+    val idDf = ids.select(col(ids.columns.head).as("id")).distinct()
+    if (idDf.isEmpty) return None
+    val seg = f"seg-${System.currentTimeMillis()}%013d-${
+      saveSeq.incrementAndGet()}%04d-tomb"
+    IndexLayout.writeSorted(idDf, "id", s"$root/$seg/ids", 0)
+    fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    Some(seg)
+  }
+
+  /** The live (unapplied) tombstoned ids — empty when none. */
+  def tombstonedIds(spark: SparkSession, root: String): DataFrame =
+    tombIdsOf(spark, root, tombSegments(spark, root))
+
+  private def tombIdsOf(spark: SparkSession, root: String,
+      tombs: Seq[String]): DataFrame =
+    if (tombs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
+    else spark.read.parquet(tombs.map(s => s"$root/$s/ids"): _*)
+      .select("id").distinct()
+
+  /** `df` minus rows whose `idColName` is live-tombstoned; skips the
+    * join entirely when no tombstone segment exists (the common
+    * case — this is the forward path). */
+  private def notTombstoned(spark: SparkSession, root: String,
+      tombs: Seq[String], df: DataFrame, idColName: String): DataFrame =
+    if (tombs.isEmpty) df
+    else df.join(
+      tombIdsOf(spark, root, tombs).select(col("id").as(idColName)),
+      Seq(idColName), "left_anti")
 
   /** Merge every committed segment into ONE compacted segment — the
     * janitorial pass the segment-log form requires at scale: a
@@ -384,10 +488,53 @@ object DedupIndex {
     * segment alone until its batch commits. */
   def compactSegments(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
+    if (srcs.size < 2) return None
+    mergeSources(spark, root, all, shadowed, srcs, tombs, targetBytes)
+  }
+
+  /** Tiered (size-ratio) compaction — the HOT-PATH form
+    * [[graft.streaming.StreamingDedup]]'s auto-compaction runs: folds
+    * only segments the [[Compaction.tieredPick]] policy selects, so a
+    * trigger costs O(recent tail), never a full-store rewrite (the
+    * r9 ADVICE defect — full compaction every ~32 micro-batches is
+    * amortized O(store/n) per batch, unbounded as the store grows;
+    * under the ratio policy each row is rewritten
+    * O(log_ratio(store/batch)) times total). Same commit protocol,
+    * shadow closure, replay-pending guard and layout preservation as
+    * [[compactSegments]], which remains the explicit full-merge
+    * maintenance call. `ratio` defaults from
+    * `graft.dedup.compactRatio` (4.0). */
+  def compactTiered(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      ratio: Option[Double] = None): Option[String] = {
+    val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
+    if (srcs.size < 2) return None
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (all, shadowed) =
+    // one size listing per TRIGGER (not per batch — triggers fire
+    // every ~autoCompactSegments batches, so this stays amortized)
+    val sized = srcs.map(s =>
+      s -> fs.getContentSummary(new Path(p, s)).getLength)
+    val r = ratio.getOrElse(
+      spark.conf.getOption("graft.dedup.compactRatio")
+        .map(_.toDouble).getOrElse(4.0))
+    val pick = Compaction.tieredPick(sized, r)
+    if (pick.size < 2) None
+    else mergeSources(spark, root, all, shadowed, pick, tombs, targetBytes)
+  }
+
+  /** (visible committed data segments, shadowed set, compactable
+    * subset, live tombstone segments): the replay-pending guard
+    * shared by both compaction forms. */
+  private def eligibleSources(spark: SparkSession, root: String)
+      : (Seq[String], Set[String], Seq[String], Seq[String]) = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (allWithTombs, shadowed) =
       ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))
+    val tombs = allWithTombs.filter(_.endsWith("-tomb"))
+    val all = allWithTombs.filterNot(_.endsWith("-tomb"))
     // replay-pending detection keys on the EXACT StreamingDedup
     // naming pattern, not any "-batch-" substring (r8 ADVICE): a
     // direct update() caller who picks a custom name containing
@@ -411,8 +558,24 @@ object DedupIndex {
         val pairsCommitted = vis.toSet ++ shad
         all.filter(s => isStreamSeg(s) && !pairsCommitted(s)).toSet
       }
-    val srcs = all.filterNot(replayPending)
-    if (srcs.size < 2) return None
+    (all, shadowed, all.filterNot(replayPending), tombs)
+  }
+
+  /** Merge `srcs` into one fresh segment under the crash-safe shadow
+    * protocol (see [[compactSegments]]'s scaladoc for the full
+    * contract). `srcs` may be any eligible subset — tiered folds pass
+    * the policy's pick, the full form passes everything. Live
+    * tombstones are APPLIED to the merged rows; when the merge covers
+    * EVERY data segment the tombstones are drained too (shadowed with
+    * the sources and deleted — nothing is left for them to retract),
+    * while a partial fold keeps them (rows may survive in unmerged
+    * segments). */
+  private def mergeSources(spark: SparkSession, root: String,
+      all: Seq[String], shadowed: Set[String], srcs: Seq[String],
+      tombs: Seq[String], targetBytes: Long): Option[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val coversAll = all.toSet == srcs.toSet
     val seg = f"seg-${System.currentTimeMillis()}%013d-${
       saveSeq.incrementAndGet()}%04d-compact"
     // merged tables are re-sorted and re-bucketed by their probe
@@ -435,16 +598,32 @@ object DedupIndex {
       val p = if (pl.nBytes >=
           pBuckets.toLong * IndexLayout.blockBytes(spark)) pBuckets
         else 0
+      // compaction APPLIES live tombstones: the merged copy is the
+      // first chance to physically drop a retracted id's rows
       IndexLayout.writeSorted(
-        readSegments(spark, root, srcs, table, ddl), key,
+        notTombstoned(spark, root, tombs,
+          readSegments(spark, root, srcs, table, ddl), "id"), key,
         s"$root/$seg/$table", p, nOut = Some(pl.nOut))
     }
+    // a covering merge drains the tombstones with its sources: every
+    // row they could retract is gone from the merged copy, so they
+    // are shadowed and deleted like any replaced segment. A partial
+    // fold keeps them — unmerged segments may still hold the rows.
+    val drained = if (coversAll) tombs else Nil
     // closure, not just srcs: see ShadowLog — dropping a prior
     // compaction target must not resurrect its crash relics
     ShadowLog.writeSources(fs, p, seg,
-      ShadowLog.sourcesClosure(fs, p, srcs, shadowed))
+      ShadowLog.sourcesClosure(fs, p, srcs ++ drained, shadowed))
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
-    srcs.foreach(s => fs.delete(new Path(root, s), true))
+    // manifest: which bp dirs the bucketed write actually created
+    // (partitionBy materializes only non-empty buckets) — discovered
+    // with one listStatus per table HERE, at write time, so no probe
+    // ever pays it
+    IndexLayout.recordLayouts(fs, p,
+      Map(seg -> Seq("bands", "sets").map(t =>
+        t -> IndexLayout.listBp(fs, new Path(root, s"$seg/$t"))).toMap),
+      all.filterNot(srcs.toSet) :+ seg)
+    (srcs ++ drained).foreach(s => fs.delete(new Path(root, s), true))
     Some(seg)
   }
 
@@ -460,15 +639,19 @@ object DedupIndex {
     ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
   }
 
-  /** Union read of the committed segments' `table` dirs. `sub`
-    * narrows to one bucket subdirectory (e.g. "bp=7") — a segment
-    * without that subdir (no rows routed there) is skipped via one
-    * existence check; bucketed segments read WITHOUT `sub` surface
-    * their `bp` partition column, dropped so every reader sees the
-    * flat schema. */
+  /** Union read of the committed segments' `table` dirs. `subs`
+    * narrows to bucket subdirectories (e.g. "bp=7") — a segment
+    * without that subdir (no rows routed there) is skipped; bucketed
+    * segments read WITHOUT `subs` surface their `bp` partition
+    * column, dropped so every reader sees the flat schema. Layout
+    * (bucketed vs flat, which bp dirs exist) comes from the store's
+    * `_layouts` manifest — one small read, or the caller's
+    * already-resolved map — with a per-segment listStatus fallback
+    * for manifest misses; no per-(segment × dir) exists calls. */
   private def readSegments(spark: SparkSession, root: String,
       segs: Seq[String], table: String, emptyDdl: String,
-      subs: Seq[String] = Nil): DataFrame = {
+      subs: Seq[String] = Nil,
+      layouts: Option[IndexLayout.SegLayouts] = None): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
@@ -477,19 +660,24 @@ object DedupIndex {
       case ss =>
         val fs = new Path(root).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        val rootP = new Path(root)
+        val lay = layouts.getOrElse(IndexLayout.readLayouts(fs, rootP))
+        def bps(s: String): Seq[String] =
+          IndexLayout.layoutFor(fs, rootP, lay, s, table)
         // bucketed segments are read by their LEAF dirs, never via
         // partition discovery: multiple segment roots each holding
         // bp=* dirs trip CONFLICTING_DIRECTORY_STRUCTURES, and the
         // bp value is write-time routing metadata no reader needs
         val paths =
           if (subs.nonEmpty)
-            ss.flatMap(s => subs.map(d => s"$root/$s/$table/$d"))
-              .filter(p => fs.exists(new Path(p)))
+            ss.flatMap { s =>
+              val have = bps(s).toSet
+              subs.filter(have).map(d => s"$root/$s/$table/$d")
+            }
           else ss.flatMap { s =>
-            val t = new Path(s"$root/$s/$table")
-            val bps = fs.listStatus(t).filter(_.isDirectory)
-              .map(_.getPath).filter(_.getName.startsWith("bp="))
-            if (bps.isEmpty) Seq(t.toString) else bps.map(_.toString).toSeq
+            val ds = bps(s)
+            if (ds.isEmpty) Seq(s"$root/$s/$table")
+            else ds.map(d => s"$root/$s/$table/$d")
           }
         if (paths.isEmpty) empty
         else spark.read.parquet(paths: _*)

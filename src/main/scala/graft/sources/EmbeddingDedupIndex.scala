@@ -120,11 +120,23 @@ object EmbeddingDedupIndex {
       if (fs.exists(sp)) fs.delete(sp, true)
     }
     IndexLayout.withProbePushdown(spark) {
-    val segs = segments(spark, root)
+    // one listing per update (see DedupIndex) — data and tombstone
+    // segments split from the same ShadowLog pass
+    val allSegs = ShadowLog.list(fs, new Path(root), "_SUCCESS",
+      _.startsWith("seg-"))._1
+    val segs = allSegs.filterNot(_.endsWith("-tomb"))
+    val tombs = allSegs.filter(_.endsWith("-tomb"))
+    // heal manifest holes once on the writer path (pre-manifest
+    // stores / torn manifest writes) — see DedupIndex.update
+    IndexLayout.ensureLayouts(fs, new Path(root), segs,
+      Seq("bands", "vecs"))
     val cap = IndexLayout.probeKeyCap(spark)
 
-    val rawBase = newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(Knn.dot(col(vecCol), col(vecCol))).as("nm"))
+    // a LIVE-tombstoned id is dropped from the arrival (retraction in
+    // progress — re-indexing would resurrect it; see tombstone)
+    val rawBase = notTombstoned(spark, root, tombs,
+      newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(Knn.dot(col(vecCol), col(vecCol))).as("nm")), "id")
     // first write wins — replays and at-least-once sources converge
     // exactly one row per id even WITHIN a batch: an at-least-once
     // source can redeliver inside one micro-batch, and the append-only
@@ -156,8 +168,11 @@ object EmbeddingDedupIndex {
     val probeBucketKeys = if (segs.isEmpty) None
       else IndexLayout.collectKeys(
         newBands.select(col("bucket")).distinct(), p, cap, "band buckets")
+    // tombstoned store rows never enter candidate generation — a
+    // retracted id must not appear in new pairs
     val storeBands = if (segs.isEmpty) newBands.limit(0)
-      else probeBands(spark, root, segs, p, probeBucketKeys)
+      else notTombstoned(spark, root, tombs,
+        probeBands(spark, root, segs, p, probeBucketKeys), "id")
 
     // the bulk path's oversized-bucket guard, incremental form: a
     // bucket whose STORE+BATCH population exceeds maxBucket is
@@ -226,6 +241,8 @@ object EmbeddingDedupIndex {
     IndexLayout.writeSorted(base.select("id", "v", "nm"), "id",
       s"$root/$seg/vecs", 0)
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    IndexLayout.recordLayouts(fs, new Path(root),
+      Map(seg -> Map("bands" -> Nil, "vecs" -> Nil)), segs :+ seg)
     UpdateResult(seg, pairs)
     }
   }
@@ -255,20 +272,28 @@ object EmbeddingDedupIndex {
     case Some(ks) =>
       val fs = new Path(root).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val (bucketed, flat) = segs.partition { s =>
-        fs.listStatus(new Path(s"$root/$s/$table")).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("bp="))
-      }
+      // one manifest read resolves every segment's layout; a miss
+      // costs one listStatus for that segment only (see IndexLayout)
+      val rootP = new Path(root)
+      val cached = IndexLayout.readLayouts(fs, rootP)
+      val dirsBySeg = segs.map(s => s ->
+        IndexLayout.layoutFor(fs, rootP, cached, s, table)).toMap
+      val lay: IndexLayout.SegLayouts =
+        dirsBySeg.map { case (s, ds) => s -> Map(table -> ds) }
+      val (bucketed, flat) = segs.partition(s => dirsBySeg(s).nonEmpty)
       val allKeys = ks.map(_._1)
       val tail = if (flat.isEmpty) Nil
-        else Seq(readSegs(spark, root, flat, table, ddl)
+        else Seq(readSegs(spark, root, flat, table, ddl,
+            layouts = Some(lay))
           .where(IndexLayout.chain(spark, keyCol, allKeys)))
       val bulk = if (bucketed.isEmpty) Nil
         else if (p <= 0)
-          Seq(readSegs(spark, root, bucketed, table, ddl)
+          Seq(readSegs(spark, root, bucketed, table, ddl,
+              layouts = Some(lay))
             .where(IndexLayout.chain(spark, keyCol, allKeys)))
         else IndexLayout.scanGroups(spark, ks).map { case (dirs, gks) =>
-          readSegs(spark, root, bucketed, table, ddl, subs = dirs)
+          readSegs(spark, root, bucketed, table, ddl, subs = dirs,
+              layouts = Some(lay))
             .where(IndexLayout.chain(spark, keyCol, gks))
         }
       (tail ++ bulk) match {
@@ -333,13 +358,18 @@ object EmbeddingDedupIndex {
         try out.write(metaJson(t).getBytes("UTF-8")) finally out.close()
         t
       }
-    val (segs, shadowed) = ShadowLog.list(fs, p, "_SUCCESS",
+    val (allSegs, shadowed) = ShadowLog.list(fs, p, "_SUCCESS",
       _.startsWith("seg-"))
+    val segs = allSegs.filterNot(_.endsWith("-tomb"))
+    val tombs = allSegs.filter(_.endsWith("-tomb"))
     require(segs.nonEmpty, s"nothing to reband at $root")
     // materialize BEFORE any write: the vecs read must see the
-    // pre-reband store even while this pass rewrites it
-    val vecs = readSegs(spark, root, segs, "vecs",
-      "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE").materialize()
+    // pre-reband store even while this pass rewrites it. Reband is a
+    // covering rewrite, so live tombstones are applied AND drained
+    // here (their rows never reach the new generation)
+    val vecs = notTombstoned(spark, root, tombs,
+      readSegs(spark, root, segs, "vecs",
+        "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE"), "id").materialize()
     // loud empty-store guard (r8 ADVICE): committed segments can
     // legally hold zero vector rows (an all-duplicate batch), and a
     // bare head() on them threw an unexplained NoSuchElementException
@@ -362,12 +392,16 @@ object EmbeddingDedupIndex {
     IndexLayout.writeSorted(vecs, "id", s"$root/$seg/vecs",
       target.probeBuckets)
     ShadowLog.writeSources(fs, p, seg,
-      ShadowLog.sourcesClosure(fs, p, segs, shadowed))
+      ShadowLog.sourcesClosure(fs, p, segs ++ tombs, shadowed))
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    IndexLayout.recordLayouts(fs, p,
+      Map(seg -> Seq("bands", "vecs").map(t =>
+        t -> IndexLayout.listBp(fs, new Path(root, s"$seg/$t"))).toMap),
+      Seq(seg))
     val out = fs.create(new Path(root, "_meta.json"), true)
     try out.write(metaJson(target).getBytes("UTF-8")) finally out.close()
     fs.delete(intentP, false)
-    segs.foreach(s => fs.delete(new Path(root, s), true))
+    (segs ++ tombs).foreach(s => fs.delete(new Path(root, s), true))
     seg
   }
 
@@ -383,19 +417,74 @@ object EmbeddingDedupIndex {
     * merged segment is written in the P-way bucketed probe layout
     * (from the store's pinned meta; declined for tables smaller than
     * P × blockBytes). Refuses while a reband intent is pending — the
-    * reband owns the store until it converges. No replay-pending
-    * guard is needed: no streaming writer commits embedding segments
-    * ahead of a verdict log. */
+    * reband owns the store until it converges. Replay-pending guard
+    * (since [[graft.streaming.StreamingEmbeddingDedup]] exists): a
+    * streaming-named segment whose verdicts are not committed under
+    * `root/pairs` is excluded, exactly the [[DedupIndex]] contract —
+    * folding it would let the crash-recovery rewrite double the
+    * batch. */
   def compactSegments(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
+    if (srcs.size < 2) return None
+    mergeSources(spark, root, all, shadowed, srcs, tombs, targetBytes)
+  }
+
+  /** Tiered (size-ratio) compaction — the hot-path form the streaming
+    * twin's auto-compaction runs; see [[DedupIndex.compactTiered]]
+    * (same policy, [[Compaction.tieredPick]]) and [[compactSegments]]
+    * (same protocol and guards). */
+  def compactTiered(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      ratio: Option[Double] = None): Option[String] = {
+    val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
+    if (srcs.size < 2) return None
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sized = srcs.map(s =>
+      s -> fs.getContentSummary(new Path(p, s)).getLength)
+    val r = ratio.getOrElse(
+      spark.conf.getOption("graft.dedup.compactRatio")
+        .map(_.toDouble).getOrElse(4.0))
+    val pick = Compaction.tieredPick(sized, r)
+    if (pick.size < 2) None
+    else mergeSources(spark, root, all, shadowed, pick, tombs, targetBytes)
+  }
+
+  /** Same eligibility contract as DedupIndex.eligibleSources: visible
+    * committed data segments minus the streaming replay-pending set,
+    * plus the live tombstones. */
+  private def eligibleSources(spark: SparkSession, root: String)
+      : (Seq[String], Set[String], Seq[String], Seq[String]) = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(root, Intent)),
       s"a reband of $root is in progress or crashed — rerun reband " +
         "to converge the store before compacting")
-    val (srcs, shadowed) =
+    val (allWithTombs, shadowed) =
       ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))
-    if (srcs.size < 2) return None
+    val tombs = allWithTombs.filter(_.endsWith("-tomb"))
+    val all = allWithTombs.filterNot(_.endsWith("-tomb"))
+    def isStreamSeg(s: String) =
+      DedupIndex.StreamingBatchSegment.matches(s)
+    val pairsBase = new Path(root, "pairs")
+    val replayPending: Set[String] =
+      if (!all.exists(isStreamSeg)) Set.empty
+      else if (!fs.exists(pairsBase)) all.filter(isStreamSeg).toSet
+      else {
+        val (vis, shad) = ShadowLog.list(fs, pairsBase, "_COMMITTED", _ => true)
+        val pairsCommitted = vis.toSet ++ shad
+        all.filter(s => isStreamSeg(s) && !pairsCommitted(s)).toSet
+      }
+    (all, shadowed, all.filterNot(replayPending), tombs)
+  }
+
+  private def mergeSources(spark: SparkSession, root: String,
+      all: Seq[String], shadowed: Set[String], srcs: Seq[String],
+      tombs: Seq[String], targetBytes: Long): Option[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val coversAll = all.toSet == srcs.toSet
     val pBuckets = {
       val mp = new Path(root, "_meta.json")
       if (!fs.exists(mp)) 0
@@ -411,14 +500,25 @@ object EmbeddingDedupIndex {
       val pw = if (pl.nBytes >=
           pBuckets.toLong * IndexLayout.blockBytes(spark)) pBuckets
         else 0
+      // compaction APPLIES live tombstones — see DedupIndex
       IndexLayout.writeSorted(
-        readSegs(spark, root, srcs, table, ddl), key,
+        notTombstoned(spark, root, tombs,
+          readSegs(spark, root, srcs, table, ddl), "id"), key,
         s"$root/$seg/$table", pw, nOut = Some(pl.nOut))
     }
+    // a covering merge drains the tombstones with its sources
+    val drained = if (coversAll) tombs else Nil
     ShadowLog.writeSources(fs, p, seg,
-      ShadowLog.sourcesClosure(fs, p, srcs, shadowed))
+      ShadowLog.sourcesClosure(fs, p, srcs ++ drained, shadowed))
     fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
-    srcs.foreach(s => fs.delete(new Path(root, s), true))
+    // live set re-listed AFTER the marker: the new target is visible
+    // and its sources are already shadowed, so the manifest prunes to
+    // exactly what readers can see
+    IndexLayout.recordLayouts(fs, p,
+      Map(seg -> Seq("bands", "vecs").map(t =>
+        t -> IndexLayout.listBp(fs, new Path(root, s"$seg/$t"))).toMap),
+      segments(spark, root))
+    (srcs ++ drained).foreach(s => fs.delete(new Path(root, s), true))
     Some(seg)
   }
 
@@ -430,21 +530,73 @@ object EmbeddingDedupIndex {
     ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
   }
 
+  /** All committed, non-retracted vectors. */
   def currentVecs(spark: SparkSession, root: String): DataFrame =
-    readSegs(spark, root, segments(spark, root), "vecs",
-      "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE")
+    notTombstoned(spark, root, tombSegments(spark, root),
+      readSegs(spark, root, segments(spark, root), "vecs",
+        "id BIGINT, v ARRAY<FLOAT>, nm DOUBLE"), "id")
 
+  /** Committed, unshadowed DATA segments (tombstones separate). */
   def segments(spark: SparkSession, root: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))._1
+      .filterNot(_.endsWith("-tomb"))
   }
+
+  private[graft] def tombSegments(spark: SparkSession,
+      root: String): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ShadowLog.list(fs, p, "_SUCCESS", _.startsWith("seg-"))._1
+      .filter(_.endsWith("-tomb"))
+  }
+
+  /** RETRACT vectors from the index — same contract, protocol and
+    * cost model as [[DedupIndex.tombstone]]: a live tombstone hides
+    * the id from every reader/probe and drops its re-arrivals; a
+    * covering compaction (or [[reband]], which rewrites everything)
+    * applies it physically and drains it. */
+  def tombstone(spark: SparkSession, root: String,
+      ids: DataFrame): Option[String] = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(root, "_meta.json")), s"no index at $root")
+    val idDf = ids.select(col(ids.columns.head).as("id")).distinct()
+    if (idDf.isEmpty) return None
+    val seg = f"seg-${System.currentTimeMillis()}%013d-${
+      saveSeq.incrementAndGet()}%04d-tomb"
+    IndexLayout.writeSorted(idDf, "id", s"$root/$seg/ids", 0)
+    fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+    Some(seg)
+  }
+
+  /** The live (unapplied) tombstoned ids — empty when none. */
+  def tombstonedIds(spark: SparkSession, root: String): DataFrame =
+    tombIdsOf(spark, root, tombSegments(spark, root))
+
+  private def tombIdsOf(spark: SparkSession, root: String,
+      tombs: Seq[String]): DataFrame =
+    if (tombs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"))
+    else spark.read.parquet(tombs.map(s => s"$root/$s/ids"): _*)
+      .select("id").distinct()
+
+  private def notTombstoned(spark: SparkSession, root: String,
+      tombs: Seq[String], df: DataFrame, idColName: String): DataFrame =
+    if (tombs.isEmpty) df
+    else df.join(
+      tombIdsOf(spark, root, tombs).select(col("id").as(idColName)),
+      Seq(idColName), "left_anti")
 
   /** Union read of committed segments' `table` dirs — same bp-aware
     * contract as DedupIndex.readSegments. */
   private def readSegs(spark: SparkSession, root: String,
       segs: Seq[String], table: String, emptyDdl: String,
-      subs: Seq[String] = Nil): DataFrame = {
+      subs: Seq[String] = Nil,
+      layouts: Option[IndexLayout.SegLayouts] = None): DataFrame = {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(emptyDdl))
@@ -453,17 +605,23 @@ object EmbeddingDedupIndex {
       case ss =>
         val fs = new Path(root).getFileSystem(
           spark.sparkContext.hadoopConfiguration)
+        val rootP = new Path(root)
+        val lay = layouts.getOrElse(IndexLayout.readLayouts(fs, rootP))
+        def bps(s: String): Seq[String] =
+          IndexLayout.layoutFor(fs, rootP, lay, s, table)
         // leaf-dir reads, never partition discovery — see
-        // DedupIndex.readSegments
+        // DedupIndex.readSegments; layout from the manifest, no
+        // per-(segment × dir) exists calls
         val paths =
           if (subs.nonEmpty)
-            ss.flatMap(s => subs.map(d => s"$root/$s/$table/$d"))
-              .filter(pp => fs.exists(new Path(pp)))
+            ss.flatMap { s =>
+              val have = bps(s).toSet
+              subs.filter(have).map(d => s"$root/$s/$table/$d")
+            }
           else ss.flatMap { s =>
-            val t = new Path(s"$root/$s/$table")
-            val bps = fs.listStatus(t).filter(_.isDirectory)
-              .map(_.getPath).filter(_.getName.startsWith("bp="))
-            if (bps.isEmpty) Seq(t.toString) else bps.map(_.toString).toSeq
+            val ds = bps(s)
+            if (ds.isEmpty) Seq(s"$root/$s/$table")
+            else ds.map(d => s"$root/$s/$table/$d")
           }
         if (paths.isEmpty) empty
         else spark.read.parquet(paths: _*)

@@ -133,14 +133,18 @@ object StreamingDedup {
     *
     * Pre-epoch upgrade note: a store written by a pre-epoch build
     * holds legacy `seg-batch-<id>` segments; while such a segment
-    * exists for a batch id, the batch keys on the LEGACY name (see
-    * inline doc). Corollary — before RESETTING a checkpoint over a
-    * kept pre-epoch store, drain the legacy names first
-    * ([[graft.sources.DedupIndex.compactSegments]] folds them away):
-    * a fresh incarnation restarts batch ids at 0, and an undrained
-    * legacy `seg-batch-0000000000` would swallow the new batch 0 as
-    * a replay. Post-epoch stores need no such discipline — that is
-    * what the epoch key is for. */
+    * exists for a batch id, the batch keys on the LEGACY name —
+    * but ONLY under `graft.dedup.acceptLegacySegments=true`, the
+    * operator's assertion that this is a KEPT pre-epoch checkpoint
+    * being upgraded (r9 ADVICE: the adoption is indistinguishable
+    * from a RESET checkpoint's new batch colliding with an undrained
+    * legacy name, which it would silently swallow — so an epoched
+    * batch that meets legacy state without the conf FAILS loudly
+    * with the drain instruction instead). Before resetting a
+    * checkpoint over a kept pre-epoch store, drain the legacy names
+    * ([[graft.sources.DedupIndex.compactSegments]] +
+    * [[compactPairs]] fold them away). Post-epoch stores need no
+    * such discipline — that is what the epoch key is for. */
   private[graft] def dedupBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, threshold: Double, root: String,
       numHashes: Int, bands: Int, epoch: Option[String] = None): Unit = {
@@ -161,10 +165,36 @@ object StreamingDedup {
     // replay by the new epoch name instead would leave the legacy
     // segment holding the batch's ids, the first-write-wins guard
     // would drop the whole batch, and its verdicts would be lost
+    val legacyIndexSegExists = fs.exists(new Path(root, legacySeg))
+    // the adoption is LOUD (r9 ADVICE): it is correct for a KEPT
+    // pre-epoch checkpoint (a replayed old batch id must key on the
+    // name it committed under), but after a checkpoint RESET over a
+    // kept pre-epoch store it is the silent-swallow bug itself — the
+    // fresh incarnation's batch 0 collides with legacy
+    // seg-batch-0000000000 and its documents would never be indexed,
+    // its verdicts never produced. The two cases are indistinguishable
+    // from here (both look like "epoch defined, legacy name in play"),
+    // so the operator must assert which one this is:
+    // graft.dedup.acceptLegacySegments=true means "kept pre-epoch
+    // checkpoint, adopt legacy names"; unset/false fails the stream
+    // with the drain instruction instead of silently dropping data.
+    def requireLegacyAccepted(why: String): Unit = require(
+      spark.conf.getOption("graft.dedup.acceptLegacySegments")
+        .exists(_.toBoolean),
+      s"batch $batchId collides with pre-epoch legacy state at $root " +
+        s"($why). If this stream resumes a KEPT pre-epoch checkpoint, " +
+        "set graft.dedup.acceptLegacySegments=true to adopt legacy " +
+        "names; if the checkpoint was RESET, drain the legacy " +
+        "segments first (DedupIndex.compactSegments + " +
+        "StreamingDedup.compactPairs fold them away) — adopting them " +
+        "would silently swallow this batch as an already-committed " +
+        "replay")
     val seg = epoch match {
-      case Some(e) if !fs.exists(new Path(root, legacySeg)) =>
-        f"seg-$e%s-batch-$batchId%010d"
-      case _ => legacySeg
+      case Some(_) if legacyIndexSegExists =>
+        requireLegacyAccepted(s"index segment $legacySeg exists")
+        legacySeg
+      case Some(e) => f"seg-$e%s-batch-$batchId%010d"
+      case None => legacySeg
     }
     val pairsDir = new Path(root, s"pairs/$seg")
     // committed = own marker present, OR folded into a compaction
@@ -177,15 +207,7 @@ object StreamingDedup {
     // of small reads), not a marker probe per pairs dir — this runs
     // on every micro-batch's forward path and must stay O(compactions),
     // not O(log length)
-    def shadowedBatches: Set[String] = {
-      val base = new Path(root, "pairs")
-      if (!fs.exists(base)) Set.empty
-      else fs.listStatus(base).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("compact-"))
-        .filter(d => fs.exists(new Path(base, s"$d/_COMMITTED")))
-        .flatMap(d => graft.sources.ShadowLog.readSources(fs, base, d))
-        .toSet
-    }
+    def shadowedBatches: Set[String] = PairsLog.shadowedBatches(fs, root)
     // the legacy name also counts as committed when only its INDEX
     // dir was compacted away (the name-adoption trigger above is
     // gone, but the legacy verdicts live on — as their own committed
@@ -194,7 +216,14 @@ object StreamingDedup {
       fs.exists(new Path(root, s"pairs/$legacySeg/_COMMITTED")) ||
         shadowedBatches.contains(legacySeg))
     if (fs.exists(new Path(pairsDir, "_COMMITTED")) ||
-        shadowedBatches.contains(seg) || legacyCommitted) return
+        shadowedBatches.contains(seg)) return
+    if (legacyCommitted) {
+      // same ambiguity as the name adoption above, same loud gate: a
+      // legacy batch id whose verdicts are committed is a no-op replay
+      // on a kept checkpoint, but a swallowed NEW batch on a reset one
+      requireLegacyAccepted(s"pairs for $legacySeg are committed")
+      return
+    }
     val res = DedupIndex.update(spark, root, batch, idCol, textCol,
       threshold, numHashes, bands, segmentName = Some(seg))
     res.pairs.withColumn("batch_id", lit(batchId))
@@ -220,12 +249,19 @@ object StreamingDedup {
     val n = spark.conf.getOption("graft.dedup.autoCompactSegments")
       .map(_.toInt).getOrElse(32)
     if (n <= 0) return
+    // TIERED, not full (r9 ADVICE): a full merge here would fold the
+    // previous store-sized compact target back in every ~n batches —
+    // amortized O(store/n) per micro-batch, growing without bound and
+    // stalling the stream at scale. The size-ratio policy folds the
+    // fresh batch tail (O(recent)) and absorbs a larger generation
+    // only when the tail has grown to ~1/ratio of it, so the stream's
+    // per-batch maintenance cost is bounded; a full compactSegments /
+    // compactPairs stays available as an explicit off-stream call.
     if (DedupIndex.segments(spark, root).size > n)
-      DedupIndex.compactSegments(spark, root)
-    val p = new Path(root, "pairs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (committedPairDirs(fs, p).size > n)
-      compactPairs(spark, root)
+      DedupIndex.compactTiered(spark, root)
+    if (PairsLog.committedDirs(PairsLog.fsOf(spark, root),
+        PairsLog.base(root)).size > n)
+      compactPairsTiered(spark, root)
   }
 
   /** Every near-dup verdict the stream has produced so far:
@@ -234,23 +270,9 @@ object StreamingDedup {
     * directories are invisible, and so are directories shadowed by a
     * [[compactPairs]] merge — same reader contract as the index
     * segments. */
-  def currentPairs(spark: SparkSession, root: String): DataFrame = {
-    val p = new Path(root, "pairs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = committedPairDirs(fs, p)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "a BIGINT, b BIGINT, j DOUBLE, batch_id BIGINT"))
-    else spark.read.parquet(dirs.map(d => new Path(p, d).toString): _*)
-  }
-
-  /** Committed, unshadowed pairs dir names under root/pairs —
-    * [[graft.sources.ShadowLog]] with `_COMMITTED` markers. */
-  private def committedPairDirs(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path): Seq[String] =
-    graft.sources.ShadowLog.list(fs, p, "_COMMITTED", _ => true)._1
+  def currentPairs(spark: SparkSession, root: String): DataFrame =
+    PairsLog.currentPairs(spark, root,
+      "a BIGINT, b BIGINT, j DOUBLE, batch_id BIGINT")
 
   /** Merge every committed pairs directory into one — the verdict
     * log accumulates one directory per micro-batch exactly like the
@@ -262,45 +284,21 @@ object StreamingDedup {
     * after; and the same operational caveat — run while the stream
     * is healthy or stopped, not between a crash and its recovery. */
   def compactPairs(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
-    val p = new Path(root, "pairs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (srcs, shadowed) =
-      graft.sources.ShadowLog.list(fs, p, "_COMMITTED", _ => true)
-    if (srcs.size < 2) return None
-    // timestamp + monotonic sequence, the GraphStore convention:
-    // same-millisecond safe, clock-step-back safe
-    val seg = f"compact-${System.currentTimeMillis()}%013d-${
-      compactSeq.incrementAndGet()}%04d"
-    val paths = srcs.map(d => new Path(p, d).toString)
-    val pl = graft.sources.Compaction.planAll(spark, paths, targetBytes)
-    spark.read.parquet(paths: _*).repartition(pl.nOut)
-      .write.mode("error").parquet(new Path(p, seg).toString)
-    // closure, not just srcs: see ShadowLog — and for this log the
-    // closure is doubly load-bearing: dedupBatch's replay guard AND
-    // DedupIndex.compactSegments' replay-pending exclusion both read
-    // it to recognize compacted-away batches. A batch name is
-    // RETAINED past its dir's deletion exactly while its INDEX
-    // segment is still visible at the root — dropping it then would
-    // strand that segment as "replay-pending" forever (the r8
-    // liveness leak). Once the index segment itself is compacted
-    // away the name CAN be pruned, bounding the closure at
-    // O(live batch segments) instead of the full batch history of a
-    // long-lived stream (the r8 verdict's growth concern): a
-    // replayed batch that finds neither its pairs name nor its index
-    // segment simply re-runs, and first-write-wins converges it to
-    // an empty segment + empty verdicts — the compacted copies
-    // already hold the batch
-    val liveIndexSegs = graft.sources.ShadowLog.list(fs, new Path(root),
-      "_SUCCESS", _.startsWith("seg-"))._1.toSet
-    graft.sources.ShadowLog.writeSources(fs, p, seg,
-      graft.sources.ShadowLog.sourcesClosure(fs, p, srcs, shadowed,
-        retain = s => DedupIndex.StreamingBatchSegment.matches(s) &&
-          liveIndexSegs(s)))
-    fs.create(new Path(p, s"$seg/_COMMITTED"), true).close()
-    srcs.foreach(d => fs.delete(new Path(p, d), true))
-    Some(seg)
-  }
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] =
+    PairsLog.compactAll(spark, root, targetBytes,
+      DedupIndex.segments(spark, root).toSet)
+
+  /** Tiered pairs-log compaction — the hot-path form [[maybeCompact]]
+    * runs: folds only the [[graft.sources.Compaction.tieredPick]]
+    * subset, so the verdict log (which grows with the corpus's full
+    * duplicate history) is never wholly rewritten on the stream's
+    * forward path. Same protocol and closure as [[compactPairs]];
+    * machinery in [[PairsLog]] (shared with the embedding twin). */
+  def compactPairsTiered(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      ratio: Option[Double] = None): Option[String] =
+    PairsLog.compactTiered(spark, root, targetBytes, ratio,
+      DedupIndex.segments(spark, root).toSet)
 
   /** Delete pairs directories no reader can see — compaction sources
     * a crashed cleanup left behind, and torn (marker-less) dirs.
@@ -309,11 +307,6 @@ object StreamingDedup {
     * the stream is running: an in-flight batch's pairs dir is
     * marker-less between its parquet write and its `_COMMITTED`
     * create, indistinguishable from a torn orphan. */
-  def vacuumPairs(spark: SparkSession, root: String): Seq[String] = {
-    val p = new Path(root, "pairs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    graft.sources.ShadowLog.vacuum(fs, p, "_COMMITTED", _ => true)
-  }
-
-  private val compactSeq = new java.util.concurrent.atomic.AtomicLong()
+  def vacuumPairs(spark: SparkSession, root: String): Seq[String] =
+    PairsLog.vacuum(spark, root)
 }

@@ -231,6 +231,278 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
         "pairs that involve the new batch")
   }
 
+  test("layout manifest: one _layouts read resolves every segment's " +
+      "bp dirs; a missing/stale manifest only costs fallbacks (r10)") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.IndexLayout
+    spark.conf.set("graft.dedup.blockBytes", (64 * 1024).toString)
+    spark.conf.set("graft.dedup.probeBuckets", "8")
+    try {
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "text").localCheckpoint()
+      val root = Files.createTempDirectory("dedup-index-manifest").toString
+      val rootP = new Path(root)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      DedupIndex.update(spark, root, docs.filter(col("doc_id") < 100),
+        "doc_id", "text", threshold = 0.8)
+      DedupIndex.update(spark, root,
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+        "doc_id", "text", threshold = 0.8)
+      assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+      // manifest covers exactly the live segments and REFLECTS each
+      // one's true layout (fresh updates flat, the compacted segment's
+      // bp dirs exactly the ones on disk)
+      val segs = DedupIndex.segments(spark, root)
+      val lay = IndexLayout.readLayouts(fs, rootP)
+      assert(lay.keySet == segs.toSet,
+        s"manifest ${lay.keySet} != live $segs")
+      for (s <- segs; t <- Seq("bands", "sets")) {
+        val real = IndexLayout.listBp(fs, new Path(root, s"$s/$t"))
+        assert(lay(s)(t) == real,
+          s"manifest for $s/$t says ${lay(s)(t)}, disk has $real")
+      }
+      // detection with the manifest == detection without it (deleted
+      // manifest = pure-cache contract: fallback listings, same rows)
+      val probe = docs.filter(col("doc_id") >= 150)
+      val withManifest = pairSet(DedupIndex.update(spark, root, probe,
+        "doc_id", "text", threshold = 0.8).pairs)
+      val twin = Files.createTempDirectory("dedup-index-manifest2").toString
+      DedupIndex.update(spark, twin, docs.filter(col("doc_id") < 100),
+        "doc_id", "text", threshold = 0.8)
+      DedupIndex.update(spark, twin,
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 150),
+        "doc_id", "text", threshold = 0.8)
+      assert(DedupIndex.compactSegments(spark, twin).nonEmpty)
+      val twinP = new Path(twin)
+      val tfs = twinP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      tfs.delete(new Path(twin, "_layouts"), false)
+      val withoutManifest = pairSet(DedupIndex.update(spark, twin, probe,
+        "doc_id", "text", threshold = 0.8).pairs)
+      assert(withManifest == withoutManifest && withManifest.nonEmpty)
+      // ...and the update HEALED the deleted manifest (writer-side
+      // ensureLayouts), so the hole is paid once, not per probe
+      assert(IndexLayout.readLayouts(tfs, twinP).nonEmpty,
+        "update over a manifest-less store must heal the manifest")
+    } finally {
+      spark.conf.unset("graft.dedup.blockBytes")
+      spark.conf.unset("graft.dedup.probeBuckets")
+    }
+  }
+
+  test("tieredPick policy: tail folds, base survives until runs " +
+      "beneath reach 1/ratio of it, no straggler stranding (r10)") {
+    import graft.sources.Compaction.tieredPick
+    // fresh micro-batch tail folds together; store-sized base excluded
+    assert(tieredPick(Seq("b" -> 1400L, "t1" -> 10L, "t2" -> 10L,
+      "t3" -> 10L, "t4" -> 10L), 4.0).toSet == Set("t1", "t2", "t3", "t4"))
+    // one fold + base, tail sum far under base/ratio: no-op
+    assert(tieredPick(Seq("b" -> 1400L, "f" -> 40L), 4.0).isEmpty)
+    // a tiny straggler must not strand the runs above it (the naive
+    // stop-at-first-violation rule would return Nil here forever,
+    // since the straggler never grows)
+    assert(tieredPick(Seq("tiny" -> 1L, "r1" -> 120L, "r2" -> 120L),
+      2.0).toSet == Set("tiny", "r1", "r2"))
+    // convergence: once everything beneath the base sums past
+    // base/ratio, the base itself is absorbed
+    assert(tieredPick(Seq("b" -> 1400L, "f" -> 400L, "g" -> 400L),
+      2.0).toSet == Set("b", "f", "g"))
+    // fewer than 2 qualifying => Nil
+    assert(tieredPick(Seq("solo" -> 5L), 4.0).isEmpty)
+    assert(tieredPick(Nil, 4.0).isEmpty)
+  }
+
+  test("tiered compaction folds the batch tail, never the store-sized " +
+      "base on the hot path; content and detection unchanged (r10)") {
+    import org.apache.hadoop.fs.Path
+    // synthetic corpus large enough that segment BYTES track rows —
+    // at sf0.001 scale parquet's per-file floor (~4 KB) outweighs the
+    // data and four tiny segments weigh more than a compacted base
+    def mkDocs(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit(s"w$j-"), col("id"))): _*).as("text"))
+    val root = Files.createTempDirectory("dedup-index-tiered").toString
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def bytesOf(seg: String): Long =
+      fs.getContentSummary(new Path(root, seg)).getLength
+    // a store-sized base (one compacted segment)...
+    DedupIndex.update(spark, root, mkDocs(0, 4000),
+      "doc_id", "text", threshold = 0.8)
+    DedupIndex.update(spark, root, mkDocs(4000, 8000),
+      "doc_id", "text", threshold = 0.8)
+    assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+    val base = DedupIndex.segments(spark, root).head
+    // ...plus a tail of small per-batch segments
+    for (i <- 0 until 4)
+      DedupIndex.update(spark, root,
+        mkDocs(8000 + 20 * i, 8020 + 20 * i),
+        "doc_id", "text", threshold = 0.8)
+    val setsBefore = DedupIndex.currentSets(spark, root).count()
+    val tail = DedupIndex.segments(spark, root).filterNot(_ == base)
+    assert(4.0 * tail.map(bytesOf).sum < bytesOf(base),
+      s"spec geometry broken: base ${bytesOf(base)} vs tail ${
+        tail.map(bytesOf).sum}")
+    val folded = DedupIndex.compactTiered(spark, root)
+    assert(folded.nonEmpty)
+    val segsAfter = DedupIndex.segments(spark, root)
+    assert(segsAfter.contains(base),
+      s"tiered fold must leave the store-sized base alone: $segsAfter")
+    assert(segsAfter.size == 2,
+      s"tail must fold into one segment: $segsAfter")
+    assert(DedupIndex.currentSets(spark, root).count() == setsBefore,
+      "tiered fold must preserve content")
+    // nothing left in the fold's size band => a second pass is a no-op
+    assert(DedupIndex.compactTiered(spark, root).isEmpty,
+      "tiered pass must not cascade into the base prematurely")
+    // detection is unchanged by the partial fold: probe with exact
+    // copies of indexed docs under fresh ids — every probe doc must
+    // pair with its original identically on both stores
+    val probe = mkDocs(0, 60).withColumn("doc_id",
+      col("doc_id") + 1000000L)
+    val twin = Files.createTempDirectory("dedup-index-tiered2").toString
+    DedupIndex.update(spark, twin, mkDocs(0, 8080),
+      "doc_id", "text", threshold = 0.8)
+    val pt = pairSet(DedupIndex.update(spark, root, probe,
+      "doc_id", "text", threshold = 0.8).pairs)
+    val pu = pairSet(DedupIndex.update(spark, twin, probe,
+      "doc_id", "text", threshold = 0.8).pairs)
+    assert(pt == pu && pt.nonEmpty,
+      "probe over the tiered store must equal a one-segment twin")
+    // once the runs beneath the base sum past base/ratio, the base IS
+    // absorbed — tiered compaction converges instead of stratifying
+    // forever (each row still rewritten only O(log) times)
+    DedupIndex.update(spark, root, mkDocs(20000, 26000),
+      "doc_id", "text", threshold = 0.8)
+    assert(DedupIndex.compactTiered(spark, root,
+      ratio = Some(2.0)).nonEmpty)
+    assert(!DedupIndex.segments(spark, root).contains(base),
+      "runs grown past base/ratio must absorb the base")
+    assert(DedupIndex.segments(spark, root).size == 1)
+  }
+
+  test("tombstone retraction: a retracted id vanishes from readers " +
+      "and new pairs, re-arrivals are dropped while live, a covering " +
+      "compaction applies and drains it (r10)") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val root = Files.createTempDirectory("dedup-index-tomb").toString
+    val store = docs.filter(col("doc_id") < 150)
+    DedupIndex.update(spark, root, store.filter(col("doc_id") < 75),
+      "doc_id", "text", threshold = 0.8)
+    DedupIndex.update(spark, root, store.filter(col("doc_id") >= 75),
+      "doc_id", "text", threshold = 0.8)
+    // pick a doc that HAS a near-dup partner in the store, so the
+    // retraction is observable in the pair stream
+    val probe = docs.filter(col("doc_id") >= 150)
+    val twinAll = Files.createTempDirectory("dedup-tomb-twinall").toString
+    DedupIndex.update(spark, twinAll, store, "doc_id", "text",
+      threshold = 0.8)
+    val probePairsAll = pairSet(DedupIndex.update(spark, twinAll, probe,
+      "doc_id", "text", threshold = 0.8).pairs)
+    val cross = probePairsAll.find(p => p._1 < 150 || p._2 < 150)
+    assert(cross.nonEmpty, "fixture must have cross probe-store pairs")
+    val victim = cross.get match {
+      case (a, b) => if (a < 150) a else b // the store-side partner
+    }
+    assert(victim < 150)
+    // retract it
+    assert(DedupIndex.tombstone(spark, root,
+      Seq(victim).toDF("doc_id")).nonEmpty)
+    // invisible to readers immediately
+    assert(DedupIndex.currentSets(spark, root)
+      .filter(col("id") === victim).isEmpty)
+    assert(DedupIndex.currentBands(spark, root)
+      .filter(col("id") === victim).isEmpty)
+    // never appears in new pairs: probing equals a store REBUILT
+    // without the victim
+    val twin = Files.createTempDirectory("dedup-tomb-twin").toString
+    DedupIndex.update(spark, twin,
+      store.filter(col("doc_id") =!= victim), "doc_id", "text",
+      threshold = 0.8)
+    val pTomb = pairSet(DedupIndex.update(spark, root, probe,
+      "doc_id", "text", threshold = 0.8).pairs)
+    val pTwin = pairSet(DedupIndex.update(spark, twin, probe,
+      "doc_id", "text", threshold = 0.8).pairs)
+    assert(!pTomb.exists(p => p._1 == victim || p._2 == victim),
+      "a tombstoned id must never appear in new pairs")
+    assert(pTomb == pTwin,
+      "detection over the tombstoned store must equal the rebuilt-" +
+        s"without-the-doc store: ${pTomb.diff(pTwin).take(3)} / ${
+          pTwin.diff(pTomb).take(3)}")
+    // a re-arrival of the id while the tombstone is live is dropped
+    val re = DedupIndex.update(spark, root,
+      docs.filter(col("doc_id") === victim), "doc_id", "text",
+      threshold = 0.8)
+    assert(re.pairs.isEmpty)
+    assert(DedupIndex.currentSets(spark, root)
+      .filter(col("id") === victim).isEmpty,
+      "a live-tombstoned id must not be re-indexed")
+    // a PARTIAL (tiered) fold keeps the tombstone: rows may survive
+    // in unmerged segments. Then a covering compaction applies it
+    // physically — content equals the twin's, tombstone drained.
+    assert(DedupIndex.tombSegments(spark, root).size == 1)
+    val full = DedupIndex.compactSegments(spark, root)
+    assert(full.nonEmpty)
+    assert(DedupIndex.tombSegments(spark, root).isEmpty,
+      "a covering compaction must drain the applied tombstone")
+    assert(DedupIndex.currentSets(spark, root)
+      .filter(col("id") === victim).isEmpty,
+      "the applied tombstone's rows must be physically gone")
+    // content check against the twin (same docs + same probe batch,
+    // minus the victim): sets agree row-for-row
+    val rootSets = DedupIndex.currentSets(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val twinSets = DedupIndex.currentSets(spark, twin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(rootSets == twinSets,
+      "compacted-with-tombstone content must equal rebuilt-without")
+    // after draining, the id may legitimately return (re-consent)
+    DedupIndex.update(spark, root,
+      docs.filter(col("doc_id") === victim), "doc_id", "text",
+      threshold = 0.8)
+    assert(DedupIndex.currentSets(spark, root)
+      .filter(col("id") === victim).count() == 1,
+      "after the tombstone is applied and drained, re-ingestion is " +
+        "a fresh document")
+  }
+
+  test("embedding tombstone retraction mirrors the text index (r10)") {
+    import spark.implicits._
+    import graft.sources.EmbeddingDedupIndex
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val bases = Seq.tabulate(60)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = bases.map { case (id, v) =>
+      (100L + id, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat)) }
+    val corpus = (bases ++ dups).toDF("vec_id", "embedding")
+      .localCheckpoint()
+    val root = Files.createTempDirectory("emb-tomb").toString
+    val th = 0.9
+    EmbeddingDedupIndex.update(spark, root,
+      corpus.filter(col("vec_id") < 100), "vec_id", "embedding", dim, th,
+      bits = 5)
+    // retract vec 3, then ingest its near-copy: no pair may surface
+    assert(EmbeddingDedupIndex.tombstone(spark, root,
+      Seq(3L).toDF("vec_id")).nonEmpty)
+    val res = EmbeddingDedupIndex.update(spark, root,
+      corpus.filter(col("vec_id") >= 100), "vec_id", "embedding", dim, th,
+      bits = 5)
+    assert(!res.pairs.select("a", "b").collect()
+      .exists(r => r.getLong(0) == 3L || r.getLong(1) == 3L),
+      "a tombstoned vector must never appear in new pairs")
+    assert(EmbeddingDedupIndex.currentVecs(spark, root)
+      .filter(col("id") === 3L).isEmpty)
+    // covering compaction applies + drains; reband would too
+    assert(EmbeddingDedupIndex.compactSegments(spark, root).nonEmpty)
+    assert(EmbeddingDedupIndex.tombSegments(spark, root).isEmpty)
+    assert(EmbeddingDedupIndex.currentVecs(spark, root).count()
+      == corpus.count() - 1)
+  }
+
   test("geometry mismatch fails loudly instead of degrading recall") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").filter(col("doc_id") < 30)

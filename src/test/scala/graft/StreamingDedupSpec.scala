@@ -142,6 +142,48 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq).toSet == rowsBefore)
   }
 
+  test("an epoched batch colliding with legacy pre-epoch state fails " +
+      "loudly unless acceptLegacySegments is asserted (r9 ADVICE)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val half = rows.length / 2
+    val base = "/tmp/graft-test-streamdedup-legacy"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"
+    // a pre-epoch incarnation committed batch 0 under the legacy name
+    StreamingDedup.dedupBatch(rows.take(half).toSeq.toDF("doc_id", "text"),
+      0, "doc_id", "text", 0.8, root, 30, 6, epoch = None)
+    val before = DedupIndex.currentSets(spark, root).count()
+    // a RESET checkpoint's fresh batch 0 (different docs!) collides
+    // with the legacy name — silently adopting it would swallow the
+    // batch as an already-committed replay. Without the conf: loud.
+    val newDocs = rows.drop(half).toSeq.toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.dedupBatch(newDocs, 0, "doc_id", "text", 0.8,
+        root, 30, 6, epoch = Some("cafe0001"))
+    }
+    assert(e.getMessage.contains("acceptLegacySegments"))
+    assert(DedupIndex.currentSets(spark, root).count() == before,
+      "the refused batch must not have touched the store")
+    // a KEPT pre-epoch checkpoint (operator asserts it): the replayed
+    // batch 0 adopts the legacy name — recognized as committed, store
+    // unchanged, nothing doubled
+    spark.conf.set("graft.dedup.acceptLegacySegments", "true")
+    try {
+      StreamingDedup.dedupBatch(
+        rows.take(half).toSeq.toDF("doc_id", "text"), 0,
+        "doc_id", "text", 0.8, root, 30, 6, epoch = Some("cafe0001"))
+      assert(DedupIndex.currentSets(spark, root).count() == before,
+        "an adopted committed legacy batch is a no-op replay")
+    } finally spark.conf.unset("graft.dedup.acceptLegacySegments")
+    // a NON-colliding epoched batch id needs no conf at all
+    StreamingDedup.dedupBatch(newDocs, 1, "doc_id", "text", 0.8,
+      root, 30, 6, epoch = Some("cafe0001"))
+    assert(DedupIndex.currentSets(spark, root).count() == rows.length)
+  }
+
   test("index compaction refuses replay-pending batch segments: " +
       "crash a batch, compact, replay still converges") {
     import spark.implicits._
