@@ -308,13 +308,21 @@ object Knn {
       udf { (v: Seq[Double]) =>
         if (v == null) null
         else {
+          // ONE bulk copy to a primitive array before the hot loops:
+          // Seq[Double].apply goes through the unspecialized Seq
+          // interface, boxing every element — at 3√k·dim accesses per
+          // row × corpus rows that boxing was a measured multiple of
+          // the whole assignment stage (r10 ladder; toArray on
+          // Spark's ArraySeq-of-double is one specialized arraycopy)
+          val a = v.toArray
           // top-2 live coarse cells, then flat argmax over members
           var b1 = 0; var d1 = Double.MinValue
           var b2 = 0; var d2 = Double.MinValue
           var j = 0
           while (j < coarseLive.length) {
             val c = coarseLive(j); var d = 0.0; var i = 0
-            while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+            val lim = math.min(c.length, a.length)
+            while (i < lim) { d += c(i) * a(i); i += 1 }
             if (d > d1) { b2 = b1; d2 = d1; b1 = j; d1 = d }
             else if (d > d2) { b2 = j; d2 = d }
             j += 1
@@ -322,7 +330,8 @@ object Knn {
           var best = 0; var bestDot = Double.MinValue
           for (cell <- Seq(b1, b2).distinct; m <- membersLive(cell)) {
             val c = cs(m); var d = 0.0; var i = 0
-            while (i < c.length && i < v.length) { d += c(i) * v(i); i += 1 }
+            val lim = math.min(c.length, a.length)
+            while (i < lim) { d += c(i) * a(i); i += 1 }
             if (d > bestDot) { bestDot = d; best = m }
           }
           Integer.valueOf(best)
