@@ -352,6 +352,43 @@ object EmbeddingDedupIndex {
         val mp = new Path(root, "_meta.json")
         require(fs.exists(mp), s"no index at $root")
         val old = parseMeta(readSmall(fs, mp), mp)
+        // replay-pending guard, BEFORE the intent lands (r10 — needed
+        // once StreamingEmbeddingDedup exists): a streaming batch
+        // whose verdicts are not committed WILL be replayed, and the
+        // replay deletes + rewrites its named segment. Reband cannot
+        // EXCLUDE such a segment (old-geometry bands next to the new
+        // generation is the half-migrated recall hole reband exists
+        // to prevent), so a FRESH reband refuses — and it must refuse
+        // before writing the intent, or the stranded intent would
+        // block the very stream recovery that clears the pending
+        // state. (The intent-exists recovery branch above proceeds:
+        // updates refuse while an intent exists, so no NEW batch can
+        // have torn after it landed.)
+        locally {
+          def isStreamSeg(s: String) =
+            DedupIndex.StreamingBatchSegment.matches(s)
+          val committedSegs = ShadowLog.list(fs, p, "_SUCCESS",
+            _.startsWith("seg-"))._1.filterNot(_.endsWith("-tomb"))
+          if (committedSegs.exists(isStreamSeg)) {
+            val pairsBase = new Path(root, "pairs")
+            val pairsCommitted: Set[String] =
+              if (!fs.exists(pairsBase)) Set.empty
+              else {
+                val (vis, shad) =
+                  ShadowLog.list(fs, pairsBase, "_COMMITTED", _ => true)
+                vis.toSet ++ shad
+              }
+            val pending = committedSegs.filter(s =>
+              isStreamSeg(s) && !pairsCommitted(s))
+            require(pending.isEmpty,
+              s"cannot reband $root: streaming batch segment(s) " +
+                s"${pending.mkString(", ")} are replay-pending " +
+                "(verdicts not committed) — their replay would " +
+                "rewrite a segment this migration folds away, " +
+                "silently dropping the batch. Resume the stream to " +
+                "convergence first")
+          }
+        }
         val t = Meta(old.threshold, bands, bits, maxBucket,
           probeBuckets = old.probeBuckets)
         val out = fs.create(intentP, false)

@@ -157,6 +157,40 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite with SparkFixture {
     assert(EmbeddingDedupIndex.segments(spark, root).size == 1)
   }
 
+  test("reband refuses while a streaming batch is replay-pending — " +
+      "folding it away would silently drop the batch (r10)") {
+    import spark.implicits._
+    val rows = corpus.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val half = rows.length / 2
+    val base = "/tmp/graft-test-streamedembed-rebandguard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"
+    val th = 0.9
+    def deliver(id: Long, rs: Seq[(Long, Array[Float])]): Unit =
+      StreamingEmbeddingDedup.dedupBatch(rs.toDF("vec_id", "embedding"),
+        id, "vec_id", "embedding", dim, th, root, 10, 6, 500)
+    deliver(0, rows.take(half).toSeq)
+    deliver(1, rows.drop(half).toSeq)
+    // crash batch 1 between its segment commit and its pairs commit
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$root/pairs/seg-batch-0000000001"))
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingDedupIndex.reband(spark, root, bands = 10, bits = 7,
+        maxBucket = 500)
+    }
+    assert(e.getMessage.contains("replay-pending"))
+    // the refusal must leave no intent behind — the store stays
+    // updatable so the stream's recovery can actually run
+    deliver(1, rows.drop(half).toSeq)
+    assert(EmbeddingDedupIndex.currentVecs(spark, root).count()
+      == rows.length)
+    // with the batch committed, the migration proceeds
+    EmbeddingDedupIndex.reband(spark, root, bands = 10, bits = 7,
+      maxBucket = 500)
+    assert(EmbeddingDedupIndex.currentVecs(spark, root).count()
+      == rows.length)
+  }
+
   test("a pending reband fails the stream loudly; after the reband " +
       "converges the stream resumes and detects") {
     import spark.implicits._
