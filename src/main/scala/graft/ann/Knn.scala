@@ -301,6 +301,11 @@ object Knn {
       val live = memberOf.indices.filter(memberOf(_).nonEmpty).toArray
       val coarseLive = live.map(coarse)
       val membersLive = live.map(memberOf)
+      if (verbose) println(s"semdedup-quantizer k=${cs.length} " +
+        s"k1=$k1 live=${live.length} " +
+        s"maxMembers=${membersLive.map(_.length).max} " +
+        s"p99Members=${membersLive.map(_.length).sorted.apply(
+          math.max(0, (membersLive.length * 99) / 100 - 1))}")
       // input arrives cast to array<double> (see call sites): float
       // corpora upcast losslessly, double corpora keep full precision
       // — a Seq[Float] signature would silently truncate doubles and
