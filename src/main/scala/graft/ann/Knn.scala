@@ -298,11 +298,52 @@ object Knn {
         cs.zipWithIndex.foreach { case (c, j) => m(argmaxArr(coarse, c)) += j }
         m.map(_.result().toArray)
       }
-      val live = memberOf.indices.filter(memberOf(_).nonEmpty).toArray
-      val coarseLive = live.map(coarse)
-      val membersLive = live.map(memberOf)
+      // BALANCE the coarse cells (r10 2048× finding): Lloyd over the
+      // centroids leaves heavy cells — measured maxMembers 20× the
+      // k/k1 average on the elongated replica corpus — and a row
+      // probing a heavy top-2 cell pays its whole member list, so
+      // the assignment's constant silently grows with imbalance, not
+      // just with n^1.5. Any cell over ~2× the average is split by a
+      // mini-Lloyd over ITS member centroids into average-sized
+      // subcells (one driver-side pass over k vectors), bounding the
+      // per-row member work at ~2 × 2·(k/k1)·dim regardless of how
+      // the centroid mass clusters. The split adds ≤ k1/2-ish coarse
+      // entries, so the coarse scan term stays O(√k)·dim.
+      val capM = math.max(8, 2 * (cs.length + k1 - 1) / k1)
+      val balanced = Array.newBuilder[(Array[Double], Array[Int])]
+      for (j <- memberOf.indices; ms = memberOf(j) if ms.nonEmpty) {
+        if (ms.length <= capM) balanced += ((coarse(j), ms))
+        else {
+          val parts = (ms.length + capM - 1) / capM
+          var sub = Array.tabulate(parts)(i =>
+            cs(ms((i.toLong * ms.length / parts).toInt)).clone)
+          var assign: Array[Int] = null
+          for (_ <- 1 to 3) {
+            assign = ms.map(m => argmaxArr(sub, cs(m)))
+            val sums = Array.fill(parts)(new Array[Double](dim))
+            val cnts = new Array[Int](parts)
+            for (i <- ms.indices) {
+              val c = cs(ms(i)); val a = assign(i)
+              val lim = math.min(dim, c.length)
+              var d = 0; while (d < lim) { sums(a)(d) += c(d); d += 1 }
+              cnts(a) += 1
+            }
+            sub = sub.indices.map(i =>
+              if (cnts(i) == 0) sub(i)
+              else normalize(sums(i).map(_ / cnts(i)))).toArray
+          }
+          for (i <- sub.indices) {
+            val mem = ms.indices.collect {
+              case x if assign(x) == i => ms(x) }.toArray
+            if (mem.nonEmpty) balanced += ((sub(i), mem))
+          }
+        }
+      }
+      val bal = balanced.result()
+      val coarseLive = bal.map(_._1)
+      val membersLive = bal.map(_._2)
       if (verbose) println(s"semdedup-quantizer k=${cs.length} " +
-        s"k1=$k1 live=${live.length} " +
+        s"k1=$k1 live=${coarseLive.length} " +
         s"maxMembers=${membersLive.map(_.length).max} " +
         s"p99Members=${membersLive.map(_.length).sorted.apply(
           math.max(0, (membersLive.length * 99) / 100 - 1))}")
