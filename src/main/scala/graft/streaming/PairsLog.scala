@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name}
 
 import graft.sources.{Compaction, DedupIndex, ShadowLog}
 
@@ -51,19 +52,70 @@ private[streaming] object PairsLog {
     else spark.read.parquet(dirs.map(d => new Path(p, d).toString): _*)
   }
 
+  /** Verdict rows minus those naming a retracted id on EITHER side —
+    * the pairs-log face of the owning index's tombstones (both row
+    * schemas lead with `a BIGINT, b BIGINT`). Used two ways: readers
+    * apply it against LIVE tombstones (so a retracted id's verdicts
+    * disappear the instant the tombstone commits, covering the crash
+    * window between a tombstone and its [[purgeIds]]), and every
+    * merge applies it to what it rewrites (physical removal rides
+    * compaction, exactly like the index segments). */
+  def minusIds(df: DataFrame, ids: DataFrame): DataFrame = {
+    val cols = df.columns.map(col)
+    val i = ids.select(col(ids.columns.head).as("id")).distinct()
+    df.join(i.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(i.select(col("id").as("b")), Seq("b"), "left_anti")
+      .select(cols: _*)
+  }
+
+  /** PHYSICALLY remove every verdict naming one of `ids` — the
+    * pairs-log half of retraction ([[graft.sources.DedupIndex
+    * .tombstone]] is the index half; the streams' `retract` composes
+    * them purge-first so a crash anywhere reconverges by rerunning).
+    * One detection scan over the committed log finds the affected
+    * dirs (deletion requests are small — two broadcast semi-joins),
+    * then ONLY those dirs are rewritten filtered, under the same
+    * shadow-protocol merge as compaction (so the replay guard keeps
+    * seeing purged batch names through the `_sources` closure).
+    * Returns the rewritten dir, or None when nothing names the ids. */
+  def purgeIds(spark: SparkSession, root: String, ids: DataFrame,
+      targetBytes: Long, liveIndexSegs: => Set[String]): Option[String] = {
+    val p = base(root)
+    val fs = fsOf(spark, root)
+    val (srcs, shadowed) = ShadowLog.list(fs, p, "_COMMITTED", _ => true)
+    if (srcs.isEmpty) return None
+    val idDf = ids.select(col(ids.columns.head).as("id")).distinct()
+    val all = spark.read
+      .parquet(srcs.map(d => new Path(p, d).toString): _*)
+      .withColumn("__file", input_file_name())
+    val hitFiles = all
+      .join(idDf.select(col("id").as("a")), Seq("a"), "left_semi")
+      .select("__file")
+      .union(all.join(idDf.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select("__file"))
+      .distinct().collect().map(_.getString(0))
+    val affected = srcs.filter(d => hitFiles.exists(_.contains(s"/$d/")))
+    if (affected.isEmpty) return None
+    merge(spark, root, affected, shadowed, targetBytes, liveIndexSegs,
+      xform = minusIds(_, idDf))
+  }
+
   /** Full merge of every committed pairs dir — the explicit
     * maintenance form. `liveIndexSegs` feeds the retention rule: a
     * streaming batch's name must stay in the closure WHILE its index
     * segment is visible (else the index compaction strands it
     * replay-pending forever — the r8 liveness leak), and is prunable
-    * after, bounding the closure at O(live batch segments). */
+    * after, bounding the closure at O(live batch segments).
+    * `xform` is the owning stream's live-tombstone filter: merges
+    * APPLY retractions to what they rewrite. */
   def compactAll(spark: SparkSession, root: String, targetBytes: Long,
-      liveIndexSegs: => Set[String]): Option[String] = {
+      liveIndexSegs: => Set[String],
+      xform: DataFrame => DataFrame = identity): Option[String] = {
     val p = base(root)
     val fs = fsOf(spark, root)
     val (srcs, shadowed) = ShadowLog.list(fs, p, "_COMMITTED", _ => true)
     if (srcs.size < 2) return None
-    merge(spark, root, srcs, shadowed, targetBytes, liveIndexSegs)
+    merge(spark, root, srcs, shadowed, targetBytes, liveIndexSegs, xform)
   }
 
   /** Tiered merge — the hot-path form auto-compaction runs; only the
@@ -72,7 +124,8 @@ private[streaming] object PairsLog {
     * wholly rewritten on the stream's forward path. */
   def compactTiered(spark: SparkSession, root: String,
       targetBytes: Long, ratio: Option[Double],
-      liveIndexSegs: => Set[String]): Option[String] = {
+      liveIndexSegs: => Set[String],
+      xform: DataFrame => DataFrame = identity): Option[String] = {
     val p = base(root)
     val fs = fsOf(spark, root)
     val (srcs, shadowed) = ShadowLog.list(fs, p, "_COMMITTED", _ => true)
@@ -84,12 +137,14 @@ private[streaming] object PairsLog {
         .map(_.toDouble).getOrElse(4.0))
     val pick = Compaction.tieredPick(sized, r)
     if (pick.size < 2) None
-    else merge(spark, root, pick, shadowed, targetBytes, liveIndexSegs)
+    else merge(spark, root, pick, shadowed, targetBytes, liveIndexSegs,
+      xform)
   }
 
   private def merge(spark: SparkSession, root: String, srcs: Seq[String],
       shadowed: Set[String], targetBytes: Long,
-      liveIndexSegs: => Set[String]): Option[String] = {
+      liveIndexSegs: => Set[String],
+      xform: DataFrame => DataFrame = identity): Option[String] = {
     val p = base(root)
     val fs = fsOf(spark, root)
     // timestamp + monotonic sequence, the GraphStore convention:
@@ -98,7 +153,7 @@ private[streaming] object PairsLog {
       compactSeq.incrementAndGet()}%04d"
     val paths = srcs.map(d => new Path(p, d).toString)
     val pl = Compaction.planAll(spark, paths, targetBytes)
-    spark.read.parquet(paths: _*).repartition(pl.nOut)
+    xform(spark.read.parquet(paths: _*)).repartition(pl.nOut)
       .write.mode("error").parquet(new Path(p, seg).toString)
     // closure, not just srcs: see ShadowLog — and for this log the
     // closure is doubly load-bearing: the stream's replay guard AND

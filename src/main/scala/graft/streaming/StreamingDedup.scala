@@ -270,9 +270,55 @@ object StreamingDedup {
     * directories are invisible, and so are directories shadowed by a
     * [[compactPairs]] merge — same reader contract as the index
     * segments. */
-  def currentPairs(spark: SparkSession, root: String): DataFrame =
-    PairsLog.currentPairs(spark, root,
+  def currentPairs(spark: SparkSession, root: String): DataFrame = {
+    val raw = PairsLog.currentPairs(spark, root,
       "a BIGINT, b BIGINT, j DOUBLE, batch_id BIGINT")
+    // LIVE index tombstones hide verdicts naming a retracted id on
+    // either side — [[retract]] purges them physically, but a reader
+    // must not see them in the crash window between the tombstone
+    // commit and the purge's rerun, nor after a direct
+    // DedupIndex.tombstone on a streaming store. Skipped entirely
+    // when no tombstone segment exists (the forward path).
+    tombFilter(spark, root)(raw)
+  }
+
+  /** RETRACT documents end-to-end from a STREAMING dedup store —
+    * opt-out/licensing deletion must cover the verdict log too, not
+    * just the index: a retracted doc's pairs are derived data naming
+    * it, and "detection == a store rebuilt without the doc" is false
+    * while [[currentPairs]] still lists them. Composes the two
+    * halves purge-FIRST:
+    *
+    *  1. [[PairsLog.purgeIds]] rewrites the affected pairs dirs
+    *     without rows naming the ids (shadow-protocol merge — the
+    *     replay guard keeps seeing purged batch names);
+    *  2. [[graft.sources.DedupIndex.tombstone]] retracts the ids
+    *     from the index (readers/probes hide them now, merges apply,
+    *     a covering merge drains).
+    *
+    * Crash anywhere reconverges by RERUNNING the retract: dying
+    * between the halves leaves the doc fully live (purge found what
+    * it found, no tombstone — the rerun re-purges and lands it), and
+    * dying inside either half is that half's own crash story. The
+    * reverse order would strand a hidden doc with durable verdicts if
+    * the purge crashed and was never rerun — the reader-side filter
+    * above covers even that, but only while the tombstone is live.
+    * Run while the stream is healthy or stopped, like compaction.
+    * Returns the tombstone segment, or None for ids the store never
+    * saw (the purge half still ran — retraction is idempotent). */
+  def retract(spark: SparkSession, root: String, ids: DataFrame,
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    PairsLog.purgeIds(spark, root, ids, targetBytes,
+      DedupIndex.segments(spark, root).toSet)
+    DedupIndex.tombstone(spark, root, ids)
+  }
+
+  /** The owning index's live-tombstone filter for verdict rows —
+    * identity when no tombstone is live. */
+  private def tombFilter(spark: SparkSession,
+      root: String): DataFrame => DataFrame = df =>
+    if (DedupIndex.tombSegments(spark, root).isEmpty) df
+    else PairsLog.minusIds(df, DedupIndex.tombstonedIds(spark, root))
 
   /** Merge every committed pairs directory into one — the verdict
     * log accumulates one directory per micro-batch exactly like the
@@ -286,7 +332,7 @@ object StreamingDedup {
   def compactPairs(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Option[String] =
     PairsLog.compactAll(spark, root, targetBytes,
-      DedupIndex.segments(spark, root).toSet)
+      DedupIndex.segments(spark, root).toSet, tombFilter(spark, root))
 
   /** Tiered pairs-log compaction — the hot-path form [[maybeCompact]]
     * runs: folds only the [[graft.sources.Compaction.tieredPick]]
@@ -298,7 +344,7 @@ object StreamingDedup {
       targetBytes: Long = 128L * 1024 * 1024,
       ratio: Option[Double] = None): Option[String] =
     PairsLog.compactTiered(spark, root, targetBytes, ratio,
-      DedupIndex.segments(spark, root).toSet)
+      DedupIndex.segments(spark, root).toSet, tombFilter(spark, root))
 
   /** Delete pairs directories no reader can see — compaction sources
     * a crashed cleanup left behind, and torn (marker-less) dirs.

@@ -113,17 +113,36 @@ object StreamingEmbeddingDedup {
   }
 
   /** Every near-dup verdict the stream has produced so far:
-    * (a, b, sim, batch_id), canonically a < b. */
+    * (a, b, sim, batch_id), canonically a < b. Verdicts naming a
+    * LIVE-tombstoned id are hidden, as in
+    * [[StreamingDedup.currentPairs]]. */
   def currentPairs(spark: SparkSession, root: String): DataFrame =
-    PairsLog.currentPairs(spark, root,
-      "a BIGINT, b BIGINT, sim DOUBLE, batch_id BIGINT")
+    tombFilter(spark, root)(PairsLog.currentPairs(spark, root,
+      "a BIGINT, b BIGINT, sim DOUBLE, batch_id BIGINT"))
+
+  /** RETRACT vectors end-to-end (pairs purge, then index tombstone) —
+    * semantics, ordering and crash story exactly as
+    * [[StreamingDedup.retract]]. */
+  def retract(spark: SparkSession, root: String, ids: DataFrame,
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
+    PairsLog.purgeIds(spark, root, ids, targetBytes,
+      EmbeddingDedupIndex.segments(spark, root).toSet)
+    EmbeddingDedupIndex.tombstone(spark, root, ids)
+  }
+
+  private def tombFilter(spark: SparkSession,
+      root: String): DataFrame => DataFrame = df =>
+    if (EmbeddingDedupIndex.tombSegments(spark, root).isEmpty) df
+    else PairsLog.minusIds(df,
+      EmbeddingDedupIndex.tombstonedIds(spark, root))
 
   /** Full pairs-log merge — explicit maintenance; see
     * [[StreamingDedup.compactPairs]]. */
   def compactPairs(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Option[String] =
     PairsLog.compactAll(spark, root, targetBytes,
-      EmbeddingDedupIndex.segments(spark, root).toSet)
+      EmbeddingDedupIndex.segments(spark, root).toSet,
+      tombFilter(spark, root))
 
   /** Tiered pairs-log merge — the hot-path form; see
     * [[StreamingDedup.compactPairsTiered]]. */
@@ -131,7 +150,8 @@ object StreamingEmbeddingDedup {
       targetBytes: Long = 128L * 1024 * 1024,
       ratio: Option[Double] = None): Option[String] =
     PairsLog.compactTiered(spark, root, targetBytes, ratio,
-      EmbeddingDedupIndex.segments(spark, root).toSet)
+      EmbeddingDedupIndex.segments(spark, root).toSet,
+      tombFilter(spark, root))
 
   /** Delete unreadable pairs dirs; never while the stream runs. */
   def vacuumPairs(spark: SparkSession, root: String): Seq[String] =

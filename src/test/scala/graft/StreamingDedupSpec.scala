@@ -402,4 +402,94 @@ class StreamingDedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairSet(StreamingDedup.currentPairs(spark, root)) == bulk,
       "verdict log unchanged through double compaction")
   }
+
+  test("retract covers the VERDICT log: a retracted id's pairs vanish " +
+      "immediately in the tombstone-only crash window, are PHYSICALLY " +
+      "purged by retract, other verdicts survive row-identical, the " +
+      "purged batch replays as a no-op, and merges apply live " +
+      "tombstones (r10)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val third = rows.length / 3
+    val base = "/tmp/graft-test-streamretract"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"
+    val ep = "retractep"
+    val batches = Seq(rows.take(third), rows.slice(third, 2 * third),
+      rows.drop(2 * third))
+    def deliver(id: Long): Unit =
+      StreamingDedup.dedupBatch(batches(id.toInt).toSeq
+        .toDF("doc_id", "text"), id, "doc_id", "text", 0.8, root, 30, 6,
+        epoch = Some(ep))
+    (0L to 2L).foreach(deliver)
+    // the raw PHYSICAL log, bypassing the reader's tombstone filter
+    // (underscore-prefixed protocol files are ignored by the reader)
+    def rawPairs() = spark.read.parquet(s"$root/pairs/*")
+      .select("a", "b", "j", "batch_id").collect().map(_.toSeq).toSet
+    def visible() = StreamingDedup.currentPairs(spark, root)
+      .select("a", "b", "j", "batch_id").collect().map(_.toSeq).toSet
+    val before = visible()
+    assert(before.nonEmpty, "fixture must produce verdicts")
+
+    // merges APPLY live tombstones: a victim retracted at the index
+    // level only (no purge) is dropped physically by the next pairs
+    // compaction, while its tombstone is still live
+    val victim2 = StreamingDedup.currentPairs(spark, root)
+      .head.getAs[Long]("a")
+    val expected2 = before.filterNot(s =>
+      s.head == victim2 || s(1) == victim2)
+    assert(expected2.size < before.size)
+    assert(DedupIndex.tombstone(spark, root,
+      Seq(victim2).toDF("doc_id")).nonEmpty)
+    assert(StreamingDedup.compactPairs(spark, root).nonEmpty)
+    assert(rawPairs() == expected2,
+      "a pairs merge must apply live tombstones physically")
+
+    // CRASH WINDOW: the tombstone landed but the purge never ran (a
+    // retract that died between its halves, or a direct index-level
+    // tombstone on a streaming store). The reader must hide the
+    // verdicts although the log still physically holds them.
+    val victimRow = StreamingDedup.currentPairs(spark, root).head
+    val victim = victimRow.getAs[Long]("a")
+    val victimBatch = victimRow.getAs[Long]("batch_id")
+    assert(victim != victim2)
+    val expected = expected2.filterNot(s =>
+      s.head == victim || s(1) == victim)
+    assert(expected.size < expected2.size)
+    assert(DedupIndex.tombstone(spark, root,
+      Seq(victim).toDF("doc_id")).nonEmpty)
+    assert(visible() == expected,
+      "live tombstone must hide the id's verdicts from readers")
+    assert(rawPairs() == expected2,
+      "the crash window leaves the rows physically present")
+
+    // rerunning the retract completes the purge (idempotent halves)
+    assert(StreamingDedup.retract(spark, root,
+      Seq(victim).toDF("doc_id")).nonEmpty)
+    assert(rawPairs() == expected,
+      "retract must PHYSICALLY purge the id's verdicts and keep " +
+        "every other row byte-identical")
+    assert(visible() == expected)
+
+    // the batch's pairs dir is long merged away; its name rides the
+    // shadow closure, so a replay must be a committed no-op
+    val segsBefore = DedupIndex.segments(spark, root)
+    deliver(victimBatch)
+    assert(DedupIndex.segments(spark, root) == segsBefore,
+      "replay of a purged batch must not touch the index")
+    assert(rawPairs() == expected,
+      "replay of a purged batch must not resurrect or duplicate")
+
+    // a covering index compaction drains the tombstones; the verdicts
+    // stay clean because they were removed physically, not filtered
+    assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+    assert(DedupIndex.tombSegments(spark, root).isEmpty,
+      "covering compaction must drain the applied tombstones")
+    assert(visible() == expected)
+    assert(DedupIndex.currentSets(spark, root)
+      .filter(col("id").isin(victim, victim2)).isEmpty,
+      "retracted docs must be physically out of the index too")
+  }
 }

@@ -348,4 +348,59 @@ class StreamingEmbeddingDedupSpec extends AnyFunSuite with SparkFixture {
       "the new vector's near-dup pair against the old store must surface")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("retract covers the vector verdict log: crash-window hiding, " +
+      "physical purge, surviving rows identical, re-arrival dropped " +
+      "while live (r10)") {
+    import spark.implicits._
+    val rows = corpus.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val half = rows.length / 2
+    val base = "/tmp/graft-test-streamedembed-retract"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val root = s"$base/index"
+    val th = 0.9
+    val ep = "eretract"
+    def deliver(id: Long, rs: Seq[(Long, Array[Float])]): Unit =
+      StreamingEmbeddingDedup.dedupBatch(rs.toDF("vec_id", "embedding"),
+        id, "vec_id", "embedding", dim, th, root, 10, 6, 500,
+        epoch = Some(ep))
+    deliver(0, rows.take(half).toSeq)
+    deliver(1, rows.drop(half).toSeq)
+    def rawPairs() = spark.read.parquet(s"$root/pairs/*")
+      .select("a", "b", "sim", "batch_id").collect().map(_.toSeq).toSet
+    def visible() = StreamingEmbeddingDedup.currentPairs(spark, root)
+      .select("a", "b", "sim", "batch_id").collect().map(_.toSeq).toSet
+    val before = visible()
+    assert(before.nonEmpty, "fixture must produce verdicts")
+    val victim = StreamingEmbeddingDedup.currentPairs(spark, root)
+      .head.getAs[Long]("a")
+    val expected = before.filterNot(s =>
+      s.head == victim || s(1) == victim)
+    assert(expected.size < before.size)
+
+    // crash window: index tombstone without the purge — hidden from
+    // the reader, physically still present
+    assert(EmbeddingDedupIndex.tombstone(spark, root,
+      Seq(victim).toDF("vec_id")).nonEmpty)
+    assert(visible() == expected,
+      "live tombstone must hide the vector's verdicts")
+    assert(rawPairs() == before)
+
+    // a re-arrival of the retracted vector while the tombstone is
+    // live is dropped AND produces no verdicts
+    val vvec = rows.find(_._1 == victim).get._2
+    deliver(2, Seq((victim, vvec)))
+    assert(EmbeddingDedupIndex.currentVecs(spark, root)
+      .filter(col("id") === victim).isEmpty,
+      "a live-tombstoned vector must not be re-indexed")
+    assert(visible() == expected)
+
+    // the completed retract purges physically; survivors identical
+    assert(StreamingEmbeddingDedup.retract(spark, root,
+      Seq(victim).toDF("vec_id")).nonEmpty)
+    assert(rawPairs() == expected,
+      "retract must physically purge the vector's verdicts")
+    assert(visible() == expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
