@@ -335,7 +335,42 @@ object Knn {
           for (i <- sub.indices) {
             val mem = ms.indices.collect {
               case x if assign(x) == i => ms(x) }.toArray
-            if (mem.nonEmpty) balanced += ((sub(i), mem))
+            // NON-METRIC fallback (r10 2048× residual): when the
+            // member centroids are near-identical — one dup family's
+            // centroid mass — the metric mini-Lloyd cannot separate
+            // them (measured: maxMembers 1705 at 2048× after
+            // splitting) and a row probing the cell pays the whole
+            // list. Chunk such a sub-cell by member ORDER into
+            // capM-sized pieces, each represented by its chunk mean.
+            // This does not degrade assignment quality beyond what
+            // k-means already did: near-identical centroids define an
+            // arbitrary partition of the dense region regardless of
+            // how a row argmaxes over them (the flat scan spreads a
+            // family across them just as arbitrarily), so bounding
+            // the probe to one chunk trades nothing measurable for a
+            // hard per-row work cap. Deterministic: chunking follows
+            // the centroid index order, representatives are means.
+            if (mem.isEmpty) {}
+            else if (mem.length <= 2 * capM) balanced += ((sub(i), mem))
+            else {
+              val chunks = (mem.length + capM - 1) / capM
+              var c = 0
+              while (c < chunks) {
+                val lo = (c.toLong * mem.length / chunks).toInt
+                val hi = ((c + 1).toLong * mem.length / chunks).toInt
+                if (hi > lo) {
+                  val piece = java.util.Arrays.copyOfRange(mem, lo, hi)
+                  val mean = new Array[Double](dim)
+                  piece.foreach { m =>
+                    val v = cs(m); val lim = math.min(dim, v.length)
+                    var d = 0; while (d < lim) { mean(d) += v(d); d += 1 }
+                  }
+                  balanced += ((normalize(mean.map(_ / piece.length)),
+                    piece))
+                }
+                c += 1
+              }
+            }
           }
         }
       }
