@@ -125,8 +125,7 @@ object Algorithms {
     * re-joined every round. */
   def pageRank(undirectedEdges0: DataFrame, iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
-    val undirectedEdges = undirectedEdges0.repartition(col("a"))
-      .materialize()
+    val undirectedEdges = GraphBuilder.aKeyed(undirectedEdges0)
     // base: (node, deg) — every node of an undirected adjacency has
     // at least one edge, so the group-by covers all nodes
     val base = undirectedEdges.groupBy(col("a").as("node"))
@@ -159,8 +158,7 @@ object Algorithms {
     * component named by its lexicographically smallest member. */
   def connectedComponents(undirectedEdges0: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    val undirectedEdges = undirectedEdges0.repartition(col("a"))
-      .materialize()
+    val undirectedEdges = GraphBuilder.aKeyed(undirectedEdges0)
     var labels = undirectedEdges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).materialize()
     var changed = true
@@ -199,10 +197,26 @@ object Algorithms {
     * neighbor-estimate list (O(degree), the same bound as GraphX's
     * neighbor-collecting supersteps); the h-index itself is
     * order-free, so skew-salting the collect would compose if a
-    * pathological degree ever demanded it. Returns (node, core). */
+    * pathological degree ever demanded it. Returns (node, core).
+    *
+    * Dual regime: under the broadcast ceiling
+    * (`graft.kcore.broadcastEdges`) the decomposition runs as ONE
+    * executor task over the broadcast adjacency — exact
+    * Batagelj–Zaveršnik bucket peeling, O(E), whose output IS the
+    * h-index fixpoint (both equal the core number, Lü et al. Thm 1)
+    * — because below ~1M edges the distributed form's cost is pure
+    * round overhead (~10 convergence rounds × collect_list shuffle +
+    * checkpoint + convergence job for milliseconds of actual work).
+    * Past the ceiling the rounds above are the scale shape and run
+    * unchanged; spec pins regime equality. */
   def kCore(undirectedEdges0: DataFrame, maxIter: Int = 50): DataFrame = {
-    val undirectedEdges = undirectedEdges0.repartition(col("a"))
-      .materialize()
+    val spark = undirectedEdges0.sparkSession
+    val kceiling = spark.conf.getOption("graft.kcore.broadcastEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(kcoreBroadcastEdges)
+    if (undirectedEdges0.count() <= kceiling)
+      return kCoreBroadcast(undirectedEdges0)
+    val undirectedEdges = GraphBuilder.aKeyed(undirectedEdges0)
     // h-index of a desc-sorted estimate list: |{i : s_i ≥ i+1}| —
     // the count form of "largest h with h values ≥ h"
     def hIndex(ests: Column): Column =
@@ -238,6 +252,62 @@ object Algorithms {
     if (changed) throw new IllegalStateException(
       s"k-core did not converge in $maxIter rounds; raise maxIter")
     core.withColumnRenamed("c", "core")
+  }
+
+  /** Edge-count ceiling for the single-task peeling regime of
+    * [[kCore]] — same ~120 MB grouped-map envelope as
+    * [[betweennessBroadcastEdges]] (the two regimes share the
+    * memoized [[broadcastAdjacency]]). */
+  val kcoreBroadcastEdges = 2000000L
+
+  /** Broadcast regime of [[kCore]]: exact core numbers by bucket
+    * peeling (Batagelj & Zaveršnik 2003) in one executor task over
+    * the broadcast symmetric adjacency. Integer-only — no FP wobble
+    * between regimes. */
+  private def kCoreBroadcast(undirectedEdges: DataFrame): DataFrame = {
+    val spark = undirectedEdges.sparkSession
+    import spark.implicits._
+    val bAdj = broadcastAdjacency(undirectedEdges)
+    spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
+      val g = bAdj.value
+      val ids = g.keys.toArray.sorted
+      val idx = ids.zipWithIndex.toMap
+      val n = ids.length
+      // neighbors restricted to known nodes — identity on the
+      // symmetric adjacency every caller hands in
+      val adj: Array[Array[Int]] =
+        ids.map(k => g(k).flatMap(idx.get))
+      val core = adj.map(_.length)
+      if (n > 0) {
+        val maxDeg = core.max
+        // bin[d] = start offset of degree-d nodes in vert
+        val bin = new Array[Int](maxDeg + 2)
+        core.foreach(d => bin(d + 1) += 1)
+        for (d <- 1 to maxDeg + 1) bin(d) += bin(d - 1)
+        val pos = new Array[Int](n)
+        val vert = new Array[Int](n)
+        val fill = bin.clone()
+        for (v <- 0 until n) { pos(v) = fill(core(v)); vert(pos(v)) = v; fill(core(v)) += 1 }
+        for (i <- 0 until n) {
+          val v = vert(i)
+          adj(v).foreach { u =>
+            if (core(u) > core(v)) {
+              // swap u with the first vertex of its bucket, then
+              // shrink the bucket boundary and u's core by one
+              val du = core(u); val pu = pos(u)
+              val pw = bin(du); val w = vert(pw)
+              if (u != w) {
+                pos(u) = pw; vert(pw) = u
+                pos(w) = pu; vert(pu) = w
+              }
+              bin(du) += 1
+              core(u) -= 1
+            }
+          }
+        }
+      }
+      (0 until n).iterator.map(v => (ids(v), core(v)))
+    }.toDF("node", "core")
   }
 
   /** HyperBall-style neighborhood-function estimation: for EVERY
@@ -579,15 +649,136 @@ object Algorithms {
     * Seeds are the k smallest md5(node) — uniform over nodes,
     * deterministic, replayable by any engine. δ sums are doubles;
     * output rounds to 6 (FP addition order across partitions can
-    * wobble the last bits, same contract as PageRank). */
+    * wobble the last bits, same contract as PageRank).
+    *
+    * Two regimes, same dual-regime convention as [[ballSizes]] and
+    * the triangle closure: while the adjacency fits the broadcast
+    * ceiling, the sweep runs SEED-PARALLEL — Brandes' sources are
+    * independent, the textbook parallelization — as one job of k
+    * tasks over the broadcast edge list (one bounded collect + one
+    * broadcast + one tiny (v, δ) aggregation, instead of
+    * ~2·maxDepth join/agg/checkpoint rounds whose per-round job
+    * cost dominates below cluster scale). Past the ceiling the
+    * DataFrame rounds above are the right shape — k·|V| state rows
+    * shuffling on (s, v) — and run unchanged
+    * (`graft.betweenness.broadcastEdges` overrides the ceiling;
+    * spec pins regime equality). */
   def betweenness(undirectedEdges: DataFrame, k: Int = 16,
       maxDepth: Int = 4): DataFrame = {
+    val spark = undirectedEdges.sparkSession
     val nodes = undirectedEdges.select(col("a")).distinct()
       .materialize(true)
     val n = nodes.count()
     val kk = math.min(k.toLong, n)
     val seeds = nodes.orderBy(md5(col("a")), col("a")).limit(kk.toInt)
       .select(col("a").as("s"))
+    val ceiling = spark.conf.getOption("graft.betweenness.broadcastEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(betweennessBroadcastEdges)
+    val deltas =
+      if (undirectedEdges.count() <= ceiling)
+        dependencyBroadcast(undirectedEdges, seeds, maxDepth)
+      else dependencyShuffle(undirectedEdges, seeds, maxDepth)
+    val scale = n.toDouble / kk.toDouble / 2.0
+    nodes.join(deltas.groupBy("v").agg(sum("delta").as("delta")),
+        nodes("a") === col("v"), "left_outer")
+      .select(nodes("a").as("node"),
+        round(coalesce(col("delta"), lit(0.0)) * lit(scale), 6)
+          .as("betweenness"))
+  }
+
+  /** Edge-count ceiling for the seed-parallel broadcast regime of
+    * [[betweenness]]: ~2M directed rows ≈ ~120 MB as the grouped
+    * `Map[node, Array[neighbor]]` (~60 B/edge — leaner than a
+    * hash-join relation, so the ceiling sits above
+    * [[triangleBroadcastEdges]] at the same memory envelope). The
+    * driver materializes only |V| pre-grouped rows (see
+    * [[broadcastAdjacency]]), bounded by the ceiling itself. */
+  val betweennessBroadcastEdges = 2000000L
+
+  /** Memoized broadcast adjacency behind the sub-ceiling regimes —
+    * grouped DISTRIBUTED (groupBy(a) + collect_list, so the driver
+    * receives |V| pre-built rows instead of 2|E| pairs to re-group)
+    * and shipped once per frame instance: [[betweenness]] and
+    * [[kCore]] probe the same map. Eviction drops the reference;
+    * the TorrentBroadcast is reclaimed by the ContextCleaner. */
+  private val adjBcastCache = new graft.util.LruCache[DataFrame,
+    org.apache.spark.broadcast.Broadcast[Map[String, Array[String]]]](8)
+  private def broadcastAdjacency(undirectedEdges: DataFrame) =
+    adjBcastCache.getOrElseUpdate(undirectedEdges) {
+      val spark = undirectedEdges.sparkSession
+      import spark.implicits._
+      val adj = undirectedEdges
+        .groupBy(col("a").cast("string").as("a"))
+        .agg(collect_list(col("b").cast("string")).as("bs"))
+        .as[(String, Array[String])].collect().toMap
+      spark.sparkContext.broadcast(adj)
+    }
+
+  /** Broadcast regime: per-seed truncated Brandes (forward BFS with
+    * σ path counts, backward dependency sweep) as ONE flatMap task
+    * per seed over the broadcast adjacency — emits each reached
+    * node's (v, δ_s(v)) rows, depths 1..maxDepth, exactly the rows
+    * the shuffle regime's `acc` carries. σ sums are
+    * integers-in-doubles (exact in any order); δ addition order
+    * differs from the distributed agg only in the last ulp, absorbed
+    * by the caller's 6-decimal rounding like every other double
+    * reduction in this file. */
+  private def dependencyBroadcast(undirectedEdges: DataFrame,
+      seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = undirectedEdges.sparkSession
+    import spark.implicits._
+    val bAdj = broadcastAdjacency(undirectedEdges)
+    val seedKeys = seeds.select(col("s").cast("string")).as[String].collect()
+    spark.sparkContext
+      .parallelize(seedKeys.toSeq, math.max(1, seedKeys.length))
+      .flatMap { s =>
+        val g = bAdj.value
+        val depth = scala.collection.mutable.HashMap(s -> 0)
+        val sigma = scala.collection.mutable.HashMap(s -> 1.0)
+        val levels = scala.collection.mutable.ArrayBuffer(Array(s))
+        var frontier = levels(0)
+        var t = 1
+        while (t <= maxDepth && frontier.nonEmpty) {
+          val found = scala.collection.mutable.ArrayBuffer[String]()
+          frontier.foreach { v =>
+            val sv = sigma(v)
+            g.getOrElse(v, Array.empty[String]).foreach { w =>
+              depth.get(w) match {
+                case None => depth(w) = t; sigma(w) = sv; found += w
+                case Some(d) if d == t => sigma(w) += sv
+                case _ => ()
+              }
+            }
+          }
+          frontier = found.toArray
+          levels += frontier
+          t += 1
+        }
+        val delta = scala.collection.mutable.HashMap[String, Double]()
+        val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+        // deepest level first: a node's δ is final before its row is
+        // emitted, because contributions only flow downward in depth
+        for (d <- (levels.length - 1) to 1 by -1) {
+          levels(d).foreach { w =>
+            val dw = delta.getOrElse(w, 0.0)
+            out += ((w, dw))
+            val sw = sigma(w)
+            g.getOrElse(w, Array.empty[String]).foreach { v =>
+              if (depth.get(v).contains(d - 1))
+                delta(v) = delta.getOrElse(v, 0.0) + sigma(v) / sw * (1.0 + dw)
+            }
+          }
+        }
+        out
+      }.toDF("v", "delta")
+  }
+
+  /** Shuffle regime of [[betweenness]] — the DataFrame-iterative
+    * rounds described in its scaladoc; returns the (s, v, delta)
+    * dependency rows for depths ≥ 1. */
+  private def dependencyShuffle(undirectedEdges: DataFrame,
+      seeds: DataFrame, maxDepth: Int): DataFrame = {
     // pre-partition the adjacency on the ONE join key every sweep
     // uses and materialize it once: k is fixed, so the per-seed state
     // is scale-free, and the rounds' cost at 8×/64× graphs was pure
@@ -595,7 +786,7 @@ object Algorithms {
     // this; the backward sweep reads neighbors through the same
     // a-keyed frame — N(w) via a = w — which symmetry permits).
     // Same convention as pageRank/connectedComponents/kCore.
-    val edges = undirectedEdges.repartition(col("a")).materialize()
+    val edges = GraphBuilder.aKeyed(undirectedEdges)
     // forward: settled (s, v, sigma, d); sigma = #shortest s→v paths
     var settled = seeds
       .select(col("s"), col("s").as("v"), lit(1.0).as("sigma"),
@@ -651,12 +842,7 @@ object Algorithms {
     }
     // deltaAt now holds the sources' own rows (d=0) — excluded by
     // construction of `acc` (only depths ≥ 1 entered it)
-    val scale = n.toDouble / kk.toDouble / 2.0
-    nodes.join(acc.groupBy("v").agg(sum("delta").as("delta")),
-        nodes("a") === col("v"), "left_outer")
-      .select(nodes("a").as("node"),
-        round(coalesce(col("delta"), lit(0.0)) * lit(scale), 6)
-          .as("betweenness"))
+    acc
   }
 
   /** Modularity of a community assignment (Newman & Girvan 2004):
@@ -710,14 +896,15 @@ object Algorithms {
     * min_by over (count desc, label asc). */
   def labelPropagation(undirectedEdges: DataFrame,
       steps: Int = 5): DataFrame = {
-    // the edge frame is used as-is: callers hand the memoized
-    // checkpointed adjacency, and because every round references the
-    // IDENTICAL edge subplan, ReuseExchange ships its shuffle once
-    // even on the cluster-scale shuffle-join path — an explicit
-    // repartition(b) + localCheckpoint here re-shuffled and re-wrote
-    // ~2|E| rows into an already-pressured block manager on every
-    // call (part of the 14.5 s mid-bench cost vs 2.3 s isolated).
-    val edges = undirectedEdges
+    // the shared a-keyed adjacency (memoized — the old per-call
+    // repartition objection no longer applies): while AQE broadcasts
+    // the |V|-row label frame into the round join, BOTH aggregations
+    // below cluster by `a`, which the edge partitioning already
+    // satisfies — the rounds run exchange-free on the big side. On
+    // the cluster-scale path where the labels stop broadcasting, the
+    // SMJ's b-exchange over the IDENTICAL checkpointed subplan ships
+    // once via ReuseExchange, as before.
+    val edges = GraphBuilder.aKeyed(undirectedEdges)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     // rounds chain as ONE lazy plan — at a small fixed step count
@@ -773,9 +960,20 @@ object Algorithms {
     * of the |V|-row frontier against it — walks never branch, and
     * the walk corpus streams out as (start, step, node) rows.
     * Dead-end nodes (possible on directed inputs) simply end their
-    * walk early. */
+    * walk early.
+    *
+    * Dual regime: the choice table is the ONLY state a walk reads,
+    * so while it fits the broadcast ceiling
+    * (`graft.walks.broadcastChoices`, |V|·length rows) the `length`
+    * frontier joins collapse into one mapPartitions over the starts
+    * with the broadcast table — the walks follow the SAME
+    * Spark-computed rows either way (a pure pointer chase, no
+    * recomputation), so the regimes are row-identical by
+    * construction. Past the ceiling the per-step equi-joins are the
+    * right cluster shape and run unchanged. */
   def deterministicWalks(undirectedEdges: DataFrame,
       length: Int): DataFrame = {
+    val spark = undirectedEdges.sparkSession
     val ch = undirectedEdges
       .select(col("a").as("cur"), col("b"),
         explode(sequence(lit(1), lit(length))).as("t"))
@@ -784,16 +982,50 @@ object Algorithms {
         md5(concat_ws("|", col("cur"), col("t"), col("b")))).as("nxt"))
       .materialize()
     val start = undirectedEdges.select(col("a").as("start")).distinct()
-    var cur = start.select(col("start"), lit(0).as("step"),
-      col("start").as("node"))
-    val all = scala.collection.mutable.ListBuffer(cur)
-    for (t <- 1 to length) {
-      cur = cur.join(ch, cur("node") === ch("cur") && ch("t") === t)
-        .select(col("start"), lit(t).as("step"), col("nxt").as("node"))
-      all += cur
+    val ceiling = spark.conf.getOption("graft.walks.broadcastChoices")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(walksBroadcastChoices)
+    if (ch.count() <= ceiling) {
+      import spark.implicits._
+      val table: Map[(String, Int), String] = ch
+        .select(col("cur").cast("string"), col("t"),
+          col("nxt").cast("string"))
+        .as[(String, Int, String)].collect()
+        .map { case (c, t, x) => ((c, t), x) }.toMap
+      val bTable = spark.sparkContext.broadcast(table)
+      start.select(col("start").cast("string")).as[String].rdd
+        .mapPartitions { it =>
+          val m = bTable.value
+          it.flatMap { s =>
+            val walk = scala.collection.mutable.ArrayBuffer((s, 0, s))
+            var cur = s
+            var t = 1
+            while (t <= length && cur != null) {
+              m.get((cur, t)) match {
+                case Some(nx) => walk += ((s, t, nx)); cur = nx; t += 1
+                case None => cur = null
+              }
+            }
+            walk
+          }
+        }.toDF("start", "step", "node")
+    } else {
+      var cur = start.select(col("start"), lit(0).as("step"),
+        col("start").as("node"))
+      val all = scala.collection.mutable.ListBuffer(cur)
+      for (t <- 1 to length) {
+        cur = cur.join(ch, cur("node") === ch("cur") && ch("t") === t)
+          .select(col("start"), lit(t).as("step"), col("nxt").as("node"))
+        all += cur
+      }
+      all.reduce(_ unionByName _)
     }
-    all.reduce(_ unionByName _)
   }
+
+  /** Choice-table row ceiling (|V|·length) for the broadcast walk
+    * regime — same ~100 MB hashed envelope as the other broadcast
+    * ceilings in this file. */
+  val walksBroadcastChoices = 1000000L
 
   /** Structural similarity between destination-side nodes of a
     * bipartite edge list: neighbor-set Jaccard — for suppliers x, y,

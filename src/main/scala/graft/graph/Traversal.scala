@@ -106,7 +106,7 @@ object Traversal {
       maxIter: Int = 20): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val edges = edges0.repartition(col("a")).materialize()
+    val edges = GraphBuilder.aKeyed(edges0)
     var dist = Seq((source, 0.0)).toDF("node", "dist").materialize()
     var changed = true
     var iter = 0

@@ -136,5 +136,12 @@ class EventAnalyticsSpec extends AnyFunSuite with SparkFixture {
     // same input → identical walk corpus (no RNG state anywhere)
     val again = Algorithms.deterministicWalks(und, 3)
     assert(w.exceptAll(again).count() == 0 && again.exceptAll(w).count() == 0)
+    // regime equality: the per-step join form walks the same rows
+    spark.conf.set("graft.walks.broadcastChoices", "0")
+    val joined =
+      try Algorithms.deterministicWalks(und, 3)
+      finally spark.conf.unset("graft.walks.broadcastChoices")
+    assert(w.exceptAll(joined).count() == 0 &&
+      joined.exceptAll(w).count() == 0)
   }
 }

@@ -65,6 +65,22 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     assert(ring == Set(2))
   }
 
+  test("k-core regimes agree: single-task peeling == h-index rounds") {
+    def g = und(
+      "a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
+      "c" -> "d",
+      "e" -> "f", "f" -> "g", "e" -> "g", "g" -> "h",
+      "d" -> "e")
+    val peel = Algorithms.kCore(g)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    spark.conf.set("graft.kcore.broadcastEdges", "0")
+    val rounds =
+      try Algorithms.kCore(g)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      finally spark.conf.unset("graft.kcore.broadcastEdges")
+    assert(peel == rounds, s"$peel vs $rounds")
+  }
+
   test("k-core is bounded by degree on real data") {
     val edges = GraphBuilder.undirected(GraphBuilder.edges(spark, sfDir))
       .localCheckpoint()
@@ -226,6 +242,24 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
         und("x" -> "a", "x" -> "b", "x" -> "c"), k = 16, maxDepth = 4)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(s == Map("x" -> 3.0, "a" -> 0.0, "b" -> 0.0, "c" -> 0.0), s)
+  }
+
+  test("betweenness regimes agree: seed-parallel broadcast == shuffle rounds") {
+    // two triangles bridged by c—d plus a chord b—e: multiple equal-
+    // length paths exercise the σ ratios, truncation at maxDepth=2
+    // exercises the bounded-radius contract in both regimes
+    def g = und("a" -> "b", "b" -> "c", "a" -> "c",
+      "d" -> "e", "e" -> "f", "d" -> "f", "c" -> "d", "b" -> "e")
+    for (depth <- Seq(2, 4)) {
+      val bcast = Algorithms.betweenness(g, k = 16, maxDepth = depth)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      spark.conf.set("graft.betweenness.broadcastEdges", "0")
+      val shuffle =
+        try Algorithms.betweenness(g, k = 16, maxDepth = depth)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        finally spark.conf.unset("graft.betweenness.broadcastEdges")
+      assert(bcast == shuffle, s"depth=$depth: $bcast vs $shuffle")
+    }
   }
 
   test("modularity matches the hand-computed two-triangle value") {
