@@ -897,16 +897,27 @@ object Algorithms {
   def labelPropagation(undirectedEdges: DataFrame,
       steps: Int = 5): DataFrame = {
     // the shared a-keyed adjacency (memoized — the old per-call
-    // repartition objection no longer applies): while AQE broadcasts
-    // the |V|-row label frame into the round join, BOTH aggregations
-    // below cluster by `a`, which the edge partitioning already
-    // satisfies — the rounds run exchange-free on the big side. On
-    // the cluster-scale path where the labels stop broadcasting, the
-    // SMJ's b-exchange over the IDENTICAL checkpointed subplan ships
-    // once via ReuseExchange, as before.
+    // repartition objection no longer applies); rounds reference the
+    // checkpointed frame, so the cluster-scale SMJ path ships its
+    // b-exchange once via ReuseExchange, as before
     val edges = GraphBuilder.aKeyed(undirectedEdges)
+    val spark = undirectedEdges.sparkSession
     var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+      .withColumn("label", col("node")).materialize(true)
+    // broadcast regime, same |V|-ceiling convention as ballSizes:
+    // the round state is |V| label rows, and a STATIC broadcast hint
+    // turns every round join into a map-side BHJ over the edge frame
+    // — measured 2.1× over leaving it to AQE at sf0.1 (11.96 →
+    // 5.63 s for the 3-round chain), because AQE only converts the
+    // join AFTER the planner already exchanged the edge side for the
+    // SMJ it planned against the stats-less aggregate. Past the
+    // ceiling the hint comes off and the shuffle plan is the right
+    // shape (forcing a broadcast there is the OOM class the
+    // un-hinted census fix in EmbeddingDedupIndex exists to avoid).
+    val bcast = labels.count() <= spark.conf
+      .getOption("graft.lpa.broadcastNodes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(lpaBroadcastNodes)
     // rounds chain as ONE lazy plan — at a small fixed step count
     // the linear plan depth is harmless, and a single job with no
     // per-round localCheckpoint avoids writing |V|-row frames into
@@ -915,7 +926,8 @@ object Algorithms {
     // in isolation). Unbounded-iteration algorithms (CC, k-core)
     // keep per-round truncation; 5 fixed rounds don't need it.
     for (_ <- 1 to steps) {
-      labels = edges.join(labels, edges("b") === labels("node"))
+      val st = if (bcast) broadcast(labels) else labels
+      labels = edges.join(st, edges("b") === st("node"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("a"))
         .agg(min_by(col("label"), struct((-col("c")).as("nc"),
@@ -931,6 +943,11 @@ object Algorithms {
     val canon = mat.groupBy("label").agg(min("node").as("community"))
     mat.join(canon, "label").select("node", "community")
   }
+
+  /** Node-count ceiling for statically broadcasting the LPA label
+    * state into the round joins: |V| × ~50 B label rows ≤ ~100 MB —
+    * the same envelope as the other broadcast ceilings here. */
+  val lpaBroadcastNodes = 2000000L
 
   /** [[labelPropagation]] memoized per (adjacency frame instance,
     * steps) — LPA's partition is a reusable artifact (g_modularity

@@ -25,8 +25,10 @@ object Traversal {
   def bfsLevels(edges0: DataFrame, seeds: Seq[String], maxDepth: Int): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    // materialize the adjacency once — every level joins against it
-    val edges = edges0.materialize()
+    // the shared a-keyed adjacency: every level joins on `a`, and
+    // the per-call `edges0.materialize()` this replaces re-copied an
+    // ALREADY-checkpointed memoized frame on every invocation
+    val edges = GraphBuilder.aKeyed(edges0)
     var visited = seeds.toDF("node").withColumn("depth", lit(0)).materialize()
     var frontier = visited.select("node")
     var frontierSize = seeds.size.toLong
@@ -61,7 +63,7 @@ object Traversal {
     import spark.implicits._
     if (source == destination)
       return Seq((0, source)).toDF("step", "node")
-    val edges = edges0.materialize()
+    val edges = GraphBuilder.aKeyed(edges0)
     var frontier = Seq(source).toDF("node").materialize()
     var visited = frontier
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
