@@ -208,13 +208,16 @@ object Algorithms {
     * round overhead (~10 convergence rounds × collect_list shuffle +
     * checkpoint + convergence job for milliseconds of actual work).
     * Past the ceiling the rounds above are the scale shape and run
-    * unchanged; spec pins regime equality. */
+    * unchanged; spec pins regime equality. Two contract notes:
+    * `maxIter` does not apply below the ceiling (peeling is exact
+    * and always terminates, so the convergence-failure throw is a
+    * shuffle-regime-only behavior), and the broadcast kernel keys on
+    * STRING node columns — non-string adjacencies ride the shuffle
+    * regime at any size (see [[broadcastRegimeEligible]]). */
   def kCore(undirectedEdges0: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = undirectedEdges0.sparkSession
-    val kceiling = spark.conf.getOption("graft.kcore.broadcastEdges")
-      .flatMap(v => scala.util.Try(v.toLong).toOption)
-      .getOrElse(kcoreBroadcastEdges)
-    if (undirectedEdges0.count() <= kceiling)
+    if (broadcastRegimeEligible(undirectedEdges0,
+        confLong(spark, "graft.kcore.broadcastEdges", kcoreBroadcastEdges)))
       return kCoreBroadcast(undirectedEdges0)
     val undirectedEdges = GraphBuilder.aKeyed(undirectedEdges0)
     // h-index of a desc-sorted estimate list: |{i : s_i ≥ i+1}| —
@@ -259,6 +262,32 @@ object Algorithms {
     * [[betweennessBroadcastEdges]] (the two regimes share the
     * memoized [[broadcastAdjacency]]). */
   val kcoreBroadcastEdges = 2000000L
+
+  /** One conf-ceiling parse for the regime gates. Malformed values
+    * fall back to the default silently — these are perf knobs, not
+    * semantics (unlike graft.checkpoint.mode, which fails loudly). */
+  private def confLong(spark: org.apache.spark.sql.SparkSession,
+      key: String, default: Long): Long =
+    spark.conf.getOption(key)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(default)
+
+  /** Gate for the broadcast kernels: under the row ceiling AND both
+    * key columns are strings. The kernels collect keys into
+    * `Map[String, …]`; casting non-string ids would silently flip
+    * the output schema (and a bigint-vs-string result join coerces
+    * through double, mis-comparing 64-bit ids above 2^53) — so
+    * non-string adjacencies take the type-generic shuffle regime at
+    * any size. The count is one scan of the caller's frame; the
+    * query path hands memoized checkpointed adjacencies, for which
+    * it is near-free (a raw un-materialized plan pays one extra
+    * computation — materialize first if that matters). */
+  private def broadcastRegimeEligible(edges: DataFrame,
+      ceiling: Long): Boolean = {
+    val st = org.apache.spark.sql.types.StringType
+    edges.schema.fields.take(2).forall(_.dataType == st) &&
+      edges.count() <= ceiling
+  }
 
   /** Broadcast regime of [[kCore]]: exact core numbers by bucket
     * peeling (Batagelj & Zaveršnik 2003) in one executor task over
@@ -308,6 +337,11 @@ object Algorithms {
       }
       (0 until n).iterator.map(v => (ids(v), core(v)))
     }.toDF("node", "core")
+      // lazy checkpoint: the first action runs the peel once and
+      // pins the |V|-row result, so multi-action consumers don't
+      // re-run the O(E) single-task kernel per action (the shuffle
+      // regime's result is materialized and has the same property)
+      .materialize(false)
   }
 
   /** HyperBall-style neighborhood-function estimation: for EVERY
@@ -670,13 +704,15 @@ object Algorithms {
       .materialize(true)
     val n = nodes.count()
     val kk = math.min(k.toLong, n)
-    val seeds = nodes.orderBy(md5(col("a")), col("a")).limit(kk.toInt)
+    // cast-to-string before md5: identity for the string-keyed query
+    // path (oracle replays the same bytes), and it makes the seed
+    // choice well-typed on numeric-id graphs (md5 takes binary)
+    val seeds = nodes
+      .orderBy(md5(col("a").cast("string")), col("a")).limit(kk.toInt)
       .select(col("a").as("s"))
-    val ceiling = spark.conf.getOption("graft.betweenness.broadcastEdges")
-      .flatMap(v => scala.util.Try(v.toLong).toOption)
-      .getOrElse(betweennessBroadcastEdges)
     val deltas =
-      if (undirectedEdges.count() <= ceiling)
+      if (broadcastRegimeEligible(undirectedEdges, confLong(spark,
+          "graft.betweenness.broadcastEdges", betweennessBroadcastEdges)))
         dependencyBroadcast(undirectedEdges, seeds, maxDepth)
       else dependencyShuffle(undirectedEdges, seeds, maxDepth)
     val scale = n.toDouble / kk.toDouble / 2.0
@@ -704,15 +740,22 @@ object Algorithms {
     * the TorrentBroadcast is reclaimed by the ContextCleaner. */
   private val adjBcastCache = new graft.util.LruCache[DataFrame,
     org.apache.spark.broadcast.Broadcast[Map[String, Array[String]]]](8)
+  private val adjBcastLock = new Object
+  // serialized build: LruCache runs builders outside its lock on the
+  // assumption they are LAZY; this one is an eager collect+broadcast,
+  // and two racing first calls would each ship the ~100 MB map and
+  // orphan the loser's TorrentBroadcast until a driver GC
   private def broadcastAdjacency(undirectedEdges: DataFrame) =
-    adjBcastCache.getOrElseUpdate(undirectedEdges) {
-      val spark = undirectedEdges.sparkSession
-      import spark.implicits._
-      val adj = undirectedEdges
-        .groupBy(col("a").cast("string").as("a"))
-        .agg(collect_list(col("b").cast("string")).as("bs"))
-        .as[(String, Array[String])].collect().toMap
-      spark.sparkContext.broadcast(adj)
+    adjBcastLock.synchronized {
+      adjBcastCache.getOrElseUpdate(undirectedEdges) {
+        val spark = undirectedEdges.sparkSession
+        import spark.implicits._
+        val adj = undirectedEdges
+          .groupBy(col("a").cast("string").as("a"))
+          .agg(collect_list(col("b").cast("string")).as("bs"))
+          .as[(String, Array[String])].collect().toMap
+        spark.sparkContext.broadcast(adj)
+      }
     }
 
   /** Broadcast regime: per-seed truncated Brandes (forward BFS with
@@ -772,6 +815,9 @@ object Algorithms {
         }
         out
       }.toDF("v", "delta")
+      // lazy checkpoint, same reason as kCoreBroadcast: don't re-run
+      // k seed sweeps per downstream action
+      .materialize(false)
   }
 
   /** Shuffle regime of [[betweenness]] — the DataFrame-iterative
@@ -914,10 +960,10 @@ object Algorithms {
     // ceiling the hint comes off and the shuffle plan is the right
     // shape (forcing a broadcast there is the OOM class the
     // un-hinted census fix in EmbeddingDedupIndex exists to avoid).
-    val bcast = labels.count() <= spark.conf
-      .getOption("graft.lpa.broadcastNodes")
-      .flatMap(v => scala.util.Try(v.toLong).toOption)
-      .getOrElse(lpaBroadcastNodes)
+    // type-agnostic (a broadcast HINT, nothing is collected), so no
+    // string-key eligibility check — just the state-size ceiling
+    val bcast = labels.count() <=
+      confLong(spark, "graft.lpa.broadcastNodes", lpaBroadcastNodes)
     // rounds chain as ONE lazy plan — at a small fixed step count
     // the linear plan depth is harmless, and a single job with no
     // per-round localCheckpoint avoids writing |V|-row frames into
@@ -999,10 +1045,9 @@ object Algorithms {
         md5(concat_ws("|", col("cur"), col("t"), col("b")))).as("nxt"))
       .materialize()
     val start = undirectedEdges.select(col("a").as("start")).distinct()
-    val ceiling = spark.conf.getOption("graft.walks.broadcastChoices")
-      .flatMap(v => scala.util.Try(v.toLong).toOption)
-      .getOrElse(walksBroadcastChoices)
-    if (ch.count() <= ceiling) {
+    // ch is materialized above, so the eligibility count is free
+    if (broadcastRegimeEligible(ch.select("cur", "nxt"), confLong(spark,
+        "graft.walks.broadcastChoices", walksBroadcastChoices))) {
       import spark.implicits._
       val table: Map[(String, Int), String] = ch
         .select(col("cur").cast("string"), col("t"),

@@ -138,11 +138,23 @@ object GraphBuilder {
     * big side in a full bench pass, each a block-manager write).
     * Keyed by frame instance like the triangle/ball/LPA artifacts;
     * eviction drops only the reference (these are checkpoint roots —
-    * see the edgeCache note above). */
+    * see the edgeCache note above).
+    *
+    * Mutable-source caveat (the edgeCache rule applies here too): the
+    * memo pins the FIRST call's snapshot for the frame instance's
+    * cache lifetime. A long-lived service holding one frame over
+    * storage that gets overwritten must hand a fresh frame per read
+    * point — the dir-keyed query-path caches do (immutable input
+    * dirs), and GraphStore readers construct new frames per epoch.
+    * Build is serialized: it is an EAGER shuffle+checkpoint, and
+    * racing first calls would each write the 2|E| copy. */
   def aKeyed(edges: DataFrame): DataFrame =
-    aKeyedCache.getOrElseUpdate(edges)(
-      edges.repartition(col("a")).materialize())
+    aKeyedLock.synchronized {
+      aKeyedCache.getOrElseUpdate(edges)(
+        edges.repartition(col("a")).materialize())
+    }
 
   private val aKeyedCache =
     new graft.util.LruCache[DataFrame, DataFrame](16)
+  private val aKeyedLock = new Object
 }

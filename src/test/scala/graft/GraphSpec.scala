@@ -262,6 +262,26 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("non-string node ids ride the shuffle regimes, types intact") {
+    import spark.implicits._
+    // the broadcast kernels key on STRING node columns; a long-keyed
+    // adjacency must fall to the type-generic shuffle regime at any
+    // size and keep its id type end to end
+    val und = GraphBuilder.undirected(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src_key", "dst_key"))
+    val bc = Algorithms.betweenness(und, k = 16, maxDepth = 4)
+    assert(bc.schema("node").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(bc.count() == 4)
+    val cores = Algorithms.kCore(und)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cores == Map(1L -> 2, 2L -> 2, 3L -> 2, 4L -> 1))
+    val walks = Algorithms.deterministicWalks(und, 2)
+    assert(walks.schema("node").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(walks.filter(col("step") === 2).count() == 4)
+  }
+
   test("modularity matches the hand-computed two-triangle value") {
     import spark.implicits._
     // two triangles bridged by one edge; the natural partition:
