@@ -195,7 +195,7 @@ object EgraphQueries {
     "g_walks" -> { (s, d) =>
       // 4-step deterministic walks from every node (md5-argmin
       // choice — exactly replayable by the SQL oracle)
-      Algorithms.deterministicWalks(GraphBuilder.undirectedFor(s, d), 4)
+      Algorithms.deterministicWalksCached(GraphBuilder.undirectedFor(s, d), 4)
         .orderBy("start", "step")
     },
 

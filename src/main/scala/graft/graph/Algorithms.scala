@@ -124,8 +124,10 @@ object Algorithms {
     * the rank state carries `share` = rank/deg so out-degree is not
     * re-joined every round. */
   def pageRank(undirectedEdges0: DataFrame, iters: Int = 10,
-      damping: Double = 0.85): DataFrame = {
-    val undirectedEdges = GraphBuilder.aKeyed(undirectedEdges0)
+      damping: Double = 0.85): DataFrame =
+    GraphBuilder.withAKeyed(undirectedEdges0) { undirectedEdges =>
+    // (scoped: a one-shot input's repartitioned copy is freed on
+    // return; the result below is rooted at its own checkpoints)
     // base: (node, deg) — every node of an undirected adjacency has
     // at least one edge, so the group-by covers all nodes
     val base = undirectedEdges.groupBy(col("a").as("node"))
@@ -157,8 +159,8 @@ object Algorithms {
     * aggregation shuffle. Returns (node, component) with the
     * component named by its lexicographically smallest member. */
   def connectedComponents(undirectedEdges0: DataFrame,
-      maxIter: Int = 50): DataFrame = {
-    val undirectedEdges = GraphBuilder.aKeyed(undirectedEdges0)
+      maxIter: Int = 50): DataFrame =
+    GraphBuilder.withAKeyed(undirectedEdges0) { undirectedEdges =>
     var labels = undirectedEdges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).materialize()
     var changed = true
@@ -219,7 +221,7 @@ object Algorithms {
     if (broadcastRegimeEligible(undirectedEdges0,
         confLong(spark, "graft.kcore.broadcastEdges", kcoreBroadcastEdges)))
       return kCoreBroadcast(undirectedEdges0)
-    val undirectedEdges = GraphBuilder.aKeyed(undirectedEdges0)
+    GraphBuilder.withAKeyed(undirectedEdges0) { undirectedEdges =>
     // h-index of a desc-sorted estimate list: |{i : s_i ≥ i+1}| —
     // the count form of "largest h with h values ≥ h"
     def hIndex(ests: Column): Column =
@@ -255,6 +257,7 @@ object Algorithms {
     if (changed) throw new IllegalStateException(
       s"k-core did not converge in $maxIter rounds; raise maxIter")
     core.withColumnRenamed("c", "core")
+    }
   }
 
   /** Edge-count ceiling for the single-task peeling regime of
@@ -740,17 +743,26 @@ object Algorithms {
     * the TorrentBroadcast is reclaimed by the ContextCleaner. */
   private val adjBcastCache = new graft.util.LruCache[DataFrame,
     org.apache.spark.broadcast.Broadcast[Map[String, Array[String]]]](8)
-  private val adjBcastLock = new Object
-  // serialized build: LruCache runs builders outside its lock on the
-  // assumption they are LAZY; this one is an eager collect+broadcast,
-  // and two racing first calls would each ship the ~100 MB map and
-  // orphan the loser's TorrentBroadcast until a driver GC
+  // serialized build PER KEY (striped latch — one monitor here used
+  // to serialize first builds of DIFFERENT graphs too): LruCache runs
+  // builders outside its lock on the assumption they are LAZY; this
+  // one is an eager collect+broadcast, and two racing first calls for
+  // the same frame would each ship the ~100 MB map and orphan the
+  // loser's TorrentBroadcast until a driver GC
   private def broadcastAdjacency(undirectedEdges: DataFrame) =
-    adjBcastLock.synchronized {
+    graft.util.Latches.forKey(undirectedEdges).synchronized {
       adjBcastCache.getOrElseUpdate(undirectedEdges) {
         val spark = undirectedEdges.sparkSession
         import spark.implicits._
+        // null keys are dropped to MATCH the shuffle regimes, whose
+        // equi-joins never match a null `a` — without this a null id
+        // survives the groupBy into the map and `ids.sorted` in
+        // kCoreBroadcast NPEs (String natural order), a
+        // regime-divergent failure for the same input. (A null `b`
+        // is already skipped by collect_list; the filter makes both
+        // sides of the contract explicit.)
         val adj = undirectedEdges
+          .filter(col("a").isNotNull && col("b").isNotNull)
           .groupBy(col("a").cast("string").as("a"))
           .agg(collect_list(col("b").cast("string")).as("bs"))
           .as[(String, Array[String])].collect().toMap
@@ -823,8 +835,9 @@ object Algorithms {
   /** Shuffle regime of [[betweenness]] — the DataFrame-iterative
     * rounds described in its scaladoc; returns the (s, v, delta)
     * dependency rows for depths ≥ 1. */
-  private def dependencyShuffle(undirectedEdges: DataFrame,
-      seeds: DataFrame, maxDepth: Int): DataFrame = {
+  private def dependencyShuffle(undirectedEdges0: DataFrame,
+      seeds: DataFrame, maxDepth: Int): DataFrame =
+    GraphBuilder.withAKeyed(undirectedEdges0) { edges =>
     // pre-partition the adjacency on the ONE join key every sweep
     // uses and materialize it once: k is fixed, so the per-seed state
     // is scale-free, and the rounds' cost at 8×/64× graphs was pure
@@ -832,7 +845,6 @@ object Algorithms {
     // this; the backward sweep reads neighbors through the same
     // a-keyed frame — N(w) via a = w — which symmetry permits).
     // Same convention as pageRank/connectedComponents/kCore.
-    val edges = GraphBuilder.aKeyed(undirectedEdges)
     // forward: settled (s, v, sigma, d); sigma = #shortest s→v paths
     var settled = seeds
       .select(col("s"), col("s").as("v"), lit(1.0).as("sigma"),
@@ -941,12 +953,12 @@ object Algorithms {
     * edge key exactly once per round), and the argmax folds into
     * min_by over (count desc, label asc). */
   def labelPropagation(undirectedEdges: DataFrame,
-      steps: Int = 5): DataFrame = {
-    // the shared a-keyed adjacency (memoized — the old per-call
-    // repartition objection no longer applies); rounds reference the
+      steps: Int = 5): DataFrame =
+    // the shared a-keyed adjacency (memoized for stable frames,
+    // scoped scratch for one-shot ones); rounds reference the
     // checkpointed frame, so the cluster-scale SMJ path ships its
     // b-exchange once via ReuseExchange, as before
-    val edges = GraphBuilder.aKeyed(undirectedEdges)
+    GraphBuilder.withAKeyed(undirectedEdges) { edges =>
     val spark = undirectedEdges.sparkSession
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).materialize(true)
@@ -961,9 +973,19 @@ object Algorithms {
     // shape (forcing a broadcast there is the OOM class the
     // un-hinted census fix in EmbeddingDedupIndex exists to avoid).
     // type-agnostic (a broadcast HINT, nothing is collected), so no
-    // string-key eligibility check — just the state-size ceiling
-    val bcast = labels.count() <=
-      confLong(spark, "graft.lpa.broadcastNodes", lpaBroadcastNodes)
+    // string-key eligibility check — the state-size ceiling, AND a
+    // driver-heap bound: each round's BHJ builds its own broadcast
+    // of the evolving label state on the DRIVER (up to `steps` live
+    // at once in the nested plan), so near the row ceiling a
+    // default-sized driver could OOM where the un-hinted SMJ plan
+    // completed (r10 ADVICE). ~256 B/row hashed (two string cells +
+    // HashedRelation overhead); all rounds together must fit in a
+    // quarter of the driver heap or the hint comes off and the
+    // shuffle plan — correct at any scale — runs instead.
+    val heapRowCap = Runtime.getRuntime.maxMemory / 4 / (256L * steps)
+    val bcast = labels.count() <= math.min(
+      confLong(spark, "graft.lpa.broadcastNodes", lpaBroadcastNodes),
+      heapRowCap)
     // rounds chain as ONE lazy plan — at a small fixed step count
     // the linear plan depth is harmless, and a single job with no
     // per-round localCheckpoint avoids writing |V|-row frames into
@@ -1070,7 +1092,10 @@ object Algorithms {
             }
             walk
           }
-        }.toDF("start", "step", "node")
+          // lazy checkpoint like the sibling broadcast kernels: a
+          // multi-action consumer must not re-run the pointer chase
+          // (and re-read the broadcast) per action (r10 ADVICE)
+        }.toDF("start", "step", "node").materialize(false)
     } else {
       var cur = start.select(col("start"), lit(0).as("step"),
         col("start").as("node"))
@@ -1088,6 +1113,22 @@ object Algorithms {
     * regime — same ~100 MB hashed envelope as the other broadcast
     * ceilings in this file. */
   val walksBroadcastChoices = 1000000L
+
+  /** [[deterministicWalks]] memoized per (adjacency instance,
+    * length) — the walk corpus is a reusable artifact like the LPA
+    * partition, and the uncached broadcast regime re-collects and
+    * re-broadcasts the ~|V|·length choice table on every call (r10
+    * ADVICE). The raw function stays uncached so the regime-equality
+    * spec's conf flip really exercises both code paths; the query
+    * path routes through here. Cached entries are lazily
+    * checkpointed by the regimes themselves. */
+  def deterministicWalksCached(undirectedEdges: DataFrame,
+      length: Int): DataFrame =
+    walksCache.getOrElseUpdate((undirectedEdges, length))(
+      deterministicWalks(undirectedEdges, length))
+
+  private val walksCache =
+    new graft.util.LruCache[(DataFrame, Int), DataFrame](8)
 
   /** Structural similarity between destination-side nodes of a
     * bipartite edge list: neighbor-set Jaccard — for suppliers x, y,

@@ -80,7 +80,7 @@ object GraphBuilder {
     * partitioning via partial (map-side) aggregation.
     */
   def edges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.getOrElseUpdate((s, dir))(
+    edgeCache.getOrElseUpdate((s, dir))(markStable(
       Tables.orders(s, dir).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_quantity"),
           col("o_orderkey") === col("l_orderkey"))
@@ -93,7 +93,7 @@ object GraphBuilder {
           // the link details hash identically in any oracle engine
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("sum_qty"))
-        .materialize())
+        .materialize()))
 
   // the adjacency is a materialized artifact (GraphStore persists it
   // in production); memoizing the built frame per (session, dir)
@@ -116,8 +116,30 @@ object GraphBuilder {
 
   /** Memoized undirected adjacency of the demo graph for `dir`. */
   def undirectedFor(s: SparkSession, dir: String): DataFrame =
-    undirectedCache.getOrElseUpdate((s, dir))(
-      undirected(edges(s, dir)).materialize())
+    undirectedCache.getOrElseUpdate((s, dir))(markStable(
+      undirected(edges(s, dir)).materialize()))
+
+  // ---- stable-instance registry --------------------------------
+  // Frames handed out by the dir-keyed caches above are LONG-LIVED
+  // (the memo returns the same instance to every query), so derived
+  // artifacts keyed on them (aKeyed, broadcastAdjacency, lpaCache)
+  // actually get cache hits. A frame built fresh per call (e.g. the
+  // dedup keeper-resolution adjacency — a new unionByName().distinct()
+  // per call) NEVER hits an instance-keyed memo; caching its derived
+  // checkpoint only pins dead 2|E| copies in the LRU until 16 more
+  // one-shot misses churn them out (r10 ADVICE, GraphBuilder:151).
+  // Weak identity set: a registered frame falls out on its own when
+  // the owning cache evicts it and no consumer holds it.
+  private val stableFrames = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Boolean]))
+
+  /** Register `df` as a long-lived, memo-eligible frame instance.
+    * The dir-keyed caches here do it automatically; a service
+    * holding its own adjacency for many queries can opt in. */
+  def markStable(df: DataFrame): DataFrame = { stableFrames.add(df); df }
+
+  private def isStable(df: DataFrame): Boolean = stableFrames.contains(df)
 
   /** Undirected, deduplicated (a, b) adjacency — both directions
     * materialized, like the reference's two-rows-per-bidirectional-link
@@ -146,15 +168,46 @@ object GraphBuilder {
     * storage that gets overwritten must hand a fresh frame per read
     * point — the dir-keyed query-path caches do (immutable input
     * dirs), and GraphStore readers construct new frames per epoch.
-    * Build is serialized: it is an EAGER shuffle+checkpoint, and
-    * racing first calls would each write the 2|E| copy. */
+    * Build is serialized PER KEY (striped latch, not one monitor —
+    * concurrent first builds of DIFFERENT graphs run in parallel):
+    * it is an EAGER shuffle+checkpoint, and racing first calls for
+    * the same frame would each write the 2|E| copy.
+    *
+    * Memoization applies only to [[markStable]]-registered frames —
+    * the instances the dir-keyed caches (and long-lived services)
+    * hand out repeatedly. One-shot frames route around the memo via
+    * [[withAKeyed]]; memoizing them pinned dead 2|E| checkpoints in
+    * the LRU until churn evicted them (r10 ADVICE). */
   def aKeyed(edges: DataFrame): DataFrame =
-    aKeyedLock.synchronized {
+    graft.util.Latches.forKey(edges).synchronized {
       aKeyedCache.getOrElseUpdate(edges)(
         edges.repartition(col("a")).materialize())
     }
 
+  /** Scoped a-keyed adjacency — THE entry point for the iterative
+    * operators. Stable (registered) frames read the shared memoized
+    * checkpoint; one-shot frames get a `persist`ed (NOT checkpointed)
+    * repartitioned copy that is unpersisted when `body` returns.
+    *
+    * Why persist for the scratch path: unpersist after `body` must
+    * be safe even if the caller's returned frame is still lazy —
+    * persist keeps lineage, so a late action merely recomputes the
+    * repartition (correct, just slower), where unpersisting a
+    * localCheckpoint root would crash it. Every consumer in this
+    * library materializes its own round state, so in practice the
+    * scratch copy is never re-read after `body`; the blocks are
+    * freed immediately instead of waiting out 16 LRU misses. */
+  def withAKeyed[T](edges: DataFrame)(body: DataFrame => T): T =
+    if (isStable(edges)) body(aKeyed(edges))
+    else {
+      val scratch = edges.repartition(col("a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try body(scratch) finally scratch.unpersist(blocking = false)
+    }
+
   private val aKeyedCache =
     new graft.util.LruCache[DataFrame, DataFrame](16)
-  private val aKeyedLock = new Object
+
+  /** Test hook: the memo must not grow on one-shot inputs. */
+  private[graft] def aKeyedCacheSize: Int = aKeyedCache.size
 }

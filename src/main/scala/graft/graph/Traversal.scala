@@ -28,7 +28,7 @@ object Traversal {
     // the shared a-keyed adjacency: every level joins on `a`, and
     // the per-call `edges0.materialize()` this replaces re-copied an
     // ALREADY-checkpointed memoized frame on every invocation
-    val edges = GraphBuilder.aKeyed(edges0)
+    GraphBuilder.withAKeyed(edges0) { edges =>
     var visited = seeds.toDF("node").withColumn("depth", lit(0)).materialize()
     var frontier = visited.select("node")
     var frontierSize = seeds.size.toLong
@@ -46,6 +46,7 @@ object Traversal {
       frontier = next.select("node")
     }
     visited
+    }
   }
 
   /** One seed→destination path, reference DFS semantics ("a path,
@@ -63,7 +64,7 @@ object Traversal {
     import spark.implicits._
     if (source == destination)
       return Seq((0, source)).toDF("step", "node")
-    val edges = GraphBuilder.aKeyed(edges0)
+    GraphBuilder.withAKeyed(edges0) { edges =>
     var frontier = Seq(source).toDF("node").materialize()
     var visited = frontier
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -87,18 +88,22 @@ object Traversal {
       frontierSize = agg.getLong(0)
       found = agg.getLong(1) > 0
     }
-    if (!found) return spark.emptyDataFrame.selectExpr("0 as step", "'' as node").limit(0)
-    // walk back: levels(i) maps child -> parent at depth i+1
-    var path = List(destination)
-    var current = destination
-    var level = levels.size - 1
-    while (level >= 0) {
-      val p = levels(level).filter(col("child") === current)
-        .select("parent").collect()
-      if (p.nonEmpty) { current = p.head.getString(0); path = current :: path }
-      level -= 1
+    if (!found)
+      spark.emptyDataFrame.selectExpr("0 as step", "'' as node").limit(0)
+    else {
+      // walk back: levels(i) maps child -> parent at depth i+1
+      var path = List(destination)
+      var current = destination
+      var level = levels.size - 1
+      while (level >= 0) {
+        val p = levels(level).filter(col("child") === current)
+          .select("parent").collect()
+        if (p.nonEmpty) { current = p.head.getString(0); path = current :: path }
+        level -= 1
+      }
+      path.zipWithIndex.map { case (n, i) => (i, n) }.toDF("step", "node")
     }
-    path.zipWithIndex.map { case (n, i) => (i, n) }.toDF("step", "node")
+    }
   }
 
   /** Weighted single-source shortest distances by iterative edge
@@ -108,7 +113,7 @@ object Traversal {
       maxIter: Int = 20): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
-    val edges = GraphBuilder.aKeyed(edges0)
+    GraphBuilder.withAKeyed(edges0) { edges =>
     var dist = Seq((source, 0.0)).toDF("node", "dist").materialize()
     var changed = true
     var iter = 0
@@ -129,5 +134,6 @@ object Traversal {
       dist = relaxed.select("node", "dist")
     }
     dist
+    }
   }
 }

@@ -337,4 +337,56 @@ class GraphSpec extends AnyFunSuite with SparkFixture {
       .toMap
     assert(got == Map(("s1", "s2") -> 0.5, ("s2", "s3") -> 0.3333))
   }
+
+  test("withAKeyed: one-shot frames skip the memo and are freed; " +
+      "stable frames share one memoized instance") {
+    import org.apache.spark.storage.StorageLevel
+    val before = GraphBuilder.aKeyedCacheSize
+    // one-shot: a fresh frame per call (the dedup keeper-resolution
+    // shape) — the scratch copy must be unpersisted when the scope
+    // closes and must never enter the memo
+    val oneShot = und("a" -> "b", "b" -> "c", "d" -> "e")
+    var seen: org.apache.spark.sql.DataFrame = null
+    val cc = GraphBuilder.withAKeyed(oneShot) { k =>
+      seen = k
+      k.count()
+      k
+    }
+    assert(cc eq seen)
+    assert(seen.storageLevel == StorageLevel.NONE,
+      "scratch a-keyed copy must be unpersisted after the scope")
+    assert(GraphBuilder.aKeyedCacheSize == before,
+      "one-shot frames must not occupy the memo")
+    // the full algorithm path: result stays correct and usable AFTER
+    // the scratch frame was freed (results are checkpoint-rooted)
+    val comp = Algorithms.connectedComponents(oneShot)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d"))
+    assert(GraphBuilder.aKeyedCacheSize == before)
+    // stable: the registered instance memoizes — same a-keyed frame
+    // both times
+    val stable = GraphBuilder.markStable(und("a" -> "b", "b" -> "c"))
+    var first: org.apache.spark.sql.DataFrame = null
+    var second: org.apache.spark.sql.DataFrame = null
+    GraphBuilder.withAKeyed(stable) { k => first = k; k.count() }
+    GraphBuilder.withAKeyed(stable) { k => second = k }
+    assert(first eq second, "stable frames must share one memo entry")
+  }
+
+  test("broadcast kernels drop null node ids like the equi-join regimes") {
+    import spark.implicits._
+    // 4-cycle plus a null-keyed edge, symmetrized by hand: before the
+    // fix, the null survived groupBy into the broadcast map and
+    // ids.sorted in the peeling kernel threw
+    val e = Seq(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c"), ("d", "a"), ("a", "d"),
+      (null.asInstanceOf[String], "a"), ("a", null.asInstanceOf[String]))
+      .toDF("a", "b")
+    val cores = Algorithms.kCore(e) // under ceiling → broadcast regime
+      .filter(col("node").isNotNull)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(cores == Map("a" -> 2, "b" -> 2, "c" -> 2, "d" -> 2))
+  }
 }
