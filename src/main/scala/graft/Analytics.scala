@@ -39,6 +39,7 @@ object Analytics {
   private val q20PairCache =
     new graft.util.LruCache[(SparkSession, String), DataFrame](
       4, (df: DataFrame) => df.unpersist(false))
+  graft.util.Memos.registerDerived(() => q20PairCache.clear())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> { (s, d) =>

@@ -54,6 +54,7 @@ object EgraphQueries {
   // eviction drops the reference only — see the edgeCache note)
   private val overlayCache =
     new graft.util.LruCache[(SparkSession, String), DataFrame](16)
+  graft.util.Memos.registerDerived(() => overlayCache.clear())
   private def overlaidFor(s: SparkSession, d: String): DataFrame =
     overlayCache.getOrElseUpdate((s, d))(
       GraphBuilder.undirectedFor(s, d)

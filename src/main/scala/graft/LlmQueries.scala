@@ -28,6 +28,7 @@ object LlmQueries {
   // this engine's one-session-per-process deployment)
   private val pairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
+  graft.util.Memos.registerDerived(() => pairsCache.clear())
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d),
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",

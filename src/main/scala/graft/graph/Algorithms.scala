@@ -69,6 +69,7 @@ object Algorithms {
     */
   private val triangleCache =
     new graft.util.LruCache[DataFrame, DataFrame](8)
+  graft.util.Memos.registerDerived(() => triangleCache.clear())
   private def triangleStream(undirectedEdges: DataFrame): DataFrame =
     triangleCache.getOrElseUpdate(undirectedEdges)(
       triangleStreamBuild(undirectedEdges).materialize())
@@ -582,6 +583,7 @@ object Algorithms {
 
   private val ballCache =
     new graft.util.LruCache[DataFrame, (Int, DataFrame)](8)
+  graft.util.Memos.registerDerived(() => ballCache.clear())
 
   /** Node-count ceiling for broadcasting the per-round sketch state:
     * |V| × ~1.1 KB (lgk=10 dense sketch + carries) ≤ ~256 MB. Below
@@ -743,6 +745,7 @@ object Algorithms {
     * the TorrentBroadcast is reclaimed by the ContextCleaner. */
   private val adjBcastCache = new graft.util.LruCache[DataFrame,
     org.apache.spark.broadcast.Broadcast[Map[String, Array[String]]]](8)
+  graft.util.Memos.registerDerived(() => adjBcastCache.clear())
   // serialized build PER KEY (striped latch — one monitor here used
   // to serialize first builds of DIFFERENT graphs too): LruCache runs
   // builders outside its lock on the assumption they are LAZY; this
@@ -1031,6 +1034,7 @@ object Algorithms {
 
   private val lpaCache =
     new graft.util.LruCache[(DataFrame, Int), DataFrame](8)
+  graft.util.Memos.registerDerived(() => lpaCache.clear())
 
   /** Deterministic "random" walks of `length` steps from every
     * node: step `t` from node `v` moves to
@@ -1129,6 +1133,7 @@ object Algorithms {
 
   private val walksCache =
     new graft.util.LruCache[(DataFrame, Int), DataFrame](8)
+  graft.util.Memos.registerDerived(() => walksCache.clear())
 
   /** Structural similarity between destination-side nodes of a
     * bipartite edge list: neighbor-set Jaccard — for suppliers x, y,

@@ -207,6 +207,7 @@ object GraphBuilder {
 
   private val aKeyedCache =
     new graft.util.LruCache[DataFrame, DataFrame](16)
+  graft.util.Memos.registerDerived(() => aKeyedCache.clear())
 
   /** Test hook: the memo must not grow on one-shot inputs. */
   private[graft] def aKeyedCacheSize: Int = aKeyedCache.size

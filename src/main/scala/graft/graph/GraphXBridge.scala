@@ -75,6 +75,7 @@ object GraphXBridge {
   // slow graph build never stalls hits on already-cached graphs
   private val graphCache = new graft.util.LruCache[DataFrame, Graph[String, Double]](
     8, _.unpersist(blocking = false))
+  graft.util.Memos.registerDerived(() => graphCache.clear())
 
   /** GraphX PageRank, returned as (node, rank) keyed by the original
     * string keys. */

@@ -70,4 +70,14 @@ final class LruCache[K, V](limit: Int, onEvict: V => Unit = (_: V) => ()) {
   }
 
   def size: Int = synchronized(m.size)
+
+  /** Evict everything, routing each value through `onEvict` (outside
+    * the lock). For the benchmark's reset-between-passes protocol and
+    * tests — drop-only caches just release their references (the
+    * ContextCleaner reclaims unpinned checkpoint blocks), unpersisting
+    * caches free their blocks eagerly. */
+  def clear(): Unit = {
+    val evicted = synchronized { val vs = m.values.toList; m.clear(); vs }
+    evicted.foreach(e => try onEvict(e) catch { case _: Throwable => () })
+  }
 }

@@ -503,6 +503,128 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
       == corpus.count() - 1)
   }
 
+  test("manifest resolution is O(1) metadata calls, independent of " +
+      "segment count; only the deleted-manifest fallback pays O(segs)") {
+    // The r10 verdict's gap: locally the manifest is wall-clock-
+    // invisible (local listStatus is ~free), so the claim it exists
+    // for — ONE metadata read per probe instead of O(segments ×
+    // tables) directory walks, the dominating term on object storage
+    // — had no regression pin. This counts the actual filesystem
+    // calls through a recording FileSystem.
+    import org.apache.hadoop.fs.Path
+    import graft.sources.IndexLayout
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.cfs.impl", classOf[CountingFileSystem].getName)
+    val base = Files.createTempDirectory("cfs-manifest").toString
+    val fs = new Path(s"cfs:$base").getFileSystem(hconf)
+    val tables = Seq("bands", "sets")
+    def mkStore(n: Int): (Path, Seq[String]) = {
+      val root = new Path(s"cfs:$base/store$n")
+      val segs = (1 to n).map(i => f"seg-$i%03d")
+      for (s <- segs; t <- tables; d <- Seq("bp=0", "bp=1"))
+        fs.mkdirs(new Path(root, s"$s/$t/$d"))
+      IndexLayout.recordLayouts(fs, root, segs.map(s =>
+        s -> tables.map(_ -> Seq("bp=0", "bp=1")).toMap).toMap, segs)
+      (root, segs)
+    }
+    // the probe-side resolution: one readLayouts + layoutFor for
+    // every (segment, table) — exactly what probeTable issues
+    def resolve(root: Path, segs: Seq[String]): (Int, Int, Int) = {
+      CountingFileSystem.reset()
+      val lay = IndexLayout.readLayouts(fs, root)
+      for (s <- segs; t <- tables)
+        assert(IndexLayout.layoutFor(fs, root, lay, s, t)
+          == Seq("bp=0", "bp=1"))
+      (CountingFileSystem.count("open", _.endsWith("_layouts")),
+        CountingFileSystem.count("listStatus", _ => true),
+        CountingFileSystem.count("getFileStatus", _ => true))
+    }
+    val (r4, s4) = mkStore(4)
+    val (r16, s16) = mkStore(16)
+    val c4 = resolve(r4, s4)
+    val c16 = resolve(r16, s16)
+    assert(c4 == c16,
+      s"manifest resolution must not scale with segments: 4segs=$c4 16segs=$c16")
+    assert(c4._1 == 1, s"exactly one manifest read per probe, got ${c4._1}")
+    assert(c4._2 == 0, s"no directory listings on the manifest path, got ${c4._2}")
+    // fallback: deleting the manifest costs one listing (plus one
+    // existence check) per (segment, table) — O(segs), the cost the
+    // manifest exists to avoid, and ONLY then
+    fs.delete(new Path(r16, "_layouts"), false)
+    CountingFileSystem.reset()
+    val lay = IndexLayout.readLayouts(fs, r16)
+    for (s <- s16; t <- tables)
+      assert(IndexLayout.layoutFor(fs, r16, lay, s, t)
+        == Seq("bp=0", "bp=1"))
+    assert(CountingFileSystem.count("open", _.endsWith("_layouts")) == 0)
+    assert(CountingFileSystem.count("listStatus", _ => true)
+      == s16.size * tables.size,
+      "fallback pays exactly one listing per (segment, table)")
+  }
+
+  test("the real probe reads the manifest once and never lists a " +
+      "bucketed segment's table dirs; fallback does, rows identical") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.IndexLayout
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.cfs.impl", classOf[CountingFileSystem].getName)
+    spark.conf.set("graft.dedup.probeBuckets", "8")
+    // tiny block budget so compaction picks the bucketed layout at
+    // test corpus size (bucketing bar = probeBuckets × blockBytes)
+    spark.conf.set("graft.dedup.blockBytes", "1024")
+    try {
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "text").localCheckpoint()
+      val root = s"cfs:${Files.createTempDirectory("cfs-probe")}/store"
+      val rootP = new Path(root)
+      val fs = rootP.getFileSystem(hconf)
+      DedupIndex.update(spark, root, docs.filter(col("doc_id") < 60),
+        "doc_id", "text", threshold = 0.8)
+      DedupIndex.update(spark, root,
+        docs.filter(col("doc_id") >= 60 && col("doc_id") < 120),
+        "doc_id", "text", threshold = 0.8)
+      assert(DedupIndex.compactSegments(spark, root).nonEmpty)
+      DedupIndex.update(spark, root,
+        docs.filter(col("doc_id") >= 120 && col("doc_id") < 140),
+        "doc_id", "text", threshold = 0.8) // flat tail after compaction
+      val segs = DedupIndex.segments(spark, root)
+      val lay0 = IndexLayout.readLayouts(fs, rootP)
+      val bucketed = segs.filter(s => lay0(s)("bands").nonEmpty)
+      assert(bucketed.nonEmpty, "need a compacted (bucketed) segment")
+      def isBucketedTableDir(p: String) =
+        bucketed.exists(s => p.endsWith(s"$s/bands") || p.endsWith(s"$s/sets"))
+      // a handful of real band buckets as the probe keys
+      val bkDf = DedupIndex.currentBands(spark, root)
+        .select("bucket").distinct().limit(5).localCheckpoint()
+      val keys = IndexLayout.collectKeys(bkDf, 8, 1000, "test buckets")
+      assert(keys.exists(_.nonEmpty))
+
+      CountingFileSystem.reset()
+      val withManifest = DedupIndex
+        .probeBands(spark, root, segs, 8, keys)
+        .collect().toSet
+      assert(CountingFileSystem.count("open", _.endsWith("_layouts")) == 1,
+        "probe must resolve layout from ONE manifest read")
+      assert(CountingFileSystem.count("listStatus", isBucketedTableDir) == 0,
+        "manifest hit must not walk bucketed segments' table dirs")
+      assert(withManifest.nonEmpty)
+
+      // pure-cache contract: no manifest → fallback listings, same rows
+      fs.delete(new Path(rootP, "_layouts"), false)
+      CountingFileSystem.reset()
+      val withoutManifest = DedupIndex
+        .probeBands(spark, root, segs, 8, keys)
+        .collect().toSet
+      assert(CountingFileSystem.count("open", _.endsWith("_layouts")) == 0)
+      assert(CountingFileSystem.count("listStatus", isBucketedTableDir) > 0,
+        "fallback must list the bucketed table dirs it lost the map for")
+      assert(withoutManifest == withManifest)
+    } finally {
+      spark.conf.unset("graft.dedup.probeBuckets")
+      spark.conf.unset("graft.dedup.blockBytes")
+    }
+  }
+
   test("geometry mismatch fails loudly instead of degrading recall") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").filter(col("doc_id") < 30)
