@@ -97,6 +97,9 @@ object DedupIndex {
     // (IndexLayout.defaultProbeBuckets), 0 on stores created before
     // the bucketed layout existed (flat segments, unpruned probes)
     val p = meta.probeBuckets
+    // single-writer lease: a concurrent update/compaction would
+    // interleave shadow commits (see Lease)
+    Lease.withWriter(spark, root) {
     IndexLayout.withProbePushdown(spark) {
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -238,6 +241,7 @@ object DedupIndex {
       Map(seg -> Map("bands" -> Nil, "sets" -> Nil)), segs :+ seg)
     UpdateResult(seg, pairs)
     }
+    }
   }
 
   /** Bulk-load documents into the index WITHOUT near-dup detection —
@@ -263,6 +267,7 @@ object DedupIndex {
       s"index at $root was built with $meta; loads must match " +
         s"(got threshold=$threshold numHashes=$numHashes bands=$bands)")
     val p = meta.probeBuckets
+    Lease.withWriter(spark, root) {
     IndexLayout.withProbePushdown(spark) {
       val segs = segments(spark, root)
       val tombs = tombSegments(spark, root)
@@ -292,6 +297,7 @@ object DedupIndex {
       IndexLayout.recordLayouts(fs, new Path(root),
         Map(seg -> Map("bands" -> Nil, "sets" -> Nil)), segs :+ seg)
       seg
+    }
     }
   }
 
@@ -421,12 +427,14 @@ object DedupIndex {
     require(fs.exists(new Path(root, "_meta.json")),
       s"no index at $root")
     val idDf = ids.select(col(ids.columns.head).as("id")).distinct()
-    if (idDf.isEmpty) return None
-    val seg = f"seg-${System.currentTimeMillis()}%013d-${
-      saveSeq.incrementAndGet()}%04d-tomb"
-    IndexLayout.writeSorted(idDf, "id", s"$root/$seg/ids", 0)
-    fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
-    Some(seg)
+    if (idDf.isEmpty) None
+    else Lease.withWriter(spark, root) {
+      val seg = f"seg-${System.currentTimeMillis()}%013d-${
+        saveSeq.incrementAndGet()}%04d-tomb"
+      IndexLayout.writeSorted(idDf, "id", s"$root/$seg/ids", 0)
+      fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+      Some(seg)
+    }
   }
 
   /** The live (unapplied) tombstoned ids — empty when none. */
@@ -487,11 +495,13 @@ object DedupIndex {
     * crash-recovery window, it simply leaves the replay-pending
     * segment alone until its batch commits. */
   def compactSegments(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
-    val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
-    if (srcs.size < 2) return None
-    mergeSources(spark, root, all, shadowed, srcs, tombs, targetBytes)
-  }
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] =
+    Lease.withWriter(spark, root) {
+      val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
+      if (srcs.size < 2) None
+      else mergeSources(spark, root, all, shadowed, srcs, tombs,
+        targetBytes)
+    }
 
   /** Tiered (size-ratio) compaction — the HOT-PATH form
     * [[graft.streaming.StreamingDedup]]'s auto-compaction runs: folds
@@ -507,9 +517,11 @@ object DedupIndex {
     * `graft.dedup.compactRatio` (4.0). */
   def compactTiered(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      ratio: Option[Double] = None): Option[String] = {
+      ratio: Option[Double] = None): Option[String] =
+    Lease.withWriter(spark, root) {
     val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
-    if (srcs.size < 2) return None
+    if (srcs.size < 2) None
+    else {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one size listing per TRIGGER (not per batch — triggers fire
@@ -522,7 +534,8 @@ object DedupIndex {
     val pick = Compaction.tieredPick(sized, r)
     if (pick.size < 2) None
     else mergeSources(spark, root, all, shadowed, pick, tombs, targetBytes)
-  }
+    }
+    }
 
   /** (visible committed data segments, shadowed set, compactable
     * subset, live tombstone segments): the replay-pending guard
@@ -633,11 +646,12 @@ object DedupIndex {
     * every mutation here it assumes the store's single-maintenance-
     * writer discipline (a concurrent update's not-yet-committed dir
     * looks exactly like a crash orphan). */
-  def vacuumShadowed(spark: SparkSession, root: String): Seq[String] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
-  }
+  def vacuumShadowed(spark: SparkSession, root: String): Seq[String] =
+    Lease.withWriter(spark, root) {
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
+    }
 
   /** Union read of the committed segments' `table` dirs. `subs`
     * narrows to bucket subdirectories (e.g. "bp=7") — a segment

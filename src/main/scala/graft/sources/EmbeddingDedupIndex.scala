@@ -119,6 +119,9 @@ object EmbeddingDedupIndex {
       val sp = new Path(root, s)
       if (fs.exists(sp)) fs.delete(sp, true)
     }
+    // single-writer lease (see Lease): concurrent mutations would
+    // interleave shadow commits
+    Lease.withWriter(spark, root) {
     IndexLayout.withProbePushdown(spark) {
     // one listing per update (see DedupIndex) — data and tombstone
     // segments split from the same ShadowLog pass
@@ -245,6 +248,7 @@ object EmbeddingDedupIndex {
       Map(seg -> Map("bands" -> Nil, "vecs" -> Nil)), segs :+ seg)
     UpdateResult(seg, pairs)
     }
+    }
   }
 
   /** The per-batch store probes — the EXACT reads update() issues,
@@ -329,7 +333,7 @@ object EmbeddingDedupIndex {
     * reband migrates the hash layout, not the detection contract.
     * Same single-maintenance-writer discipline as compaction. */
   def reband(spark: SparkSession, root: String, bands: Int, bits: Int,
-      maxBucket: Int): String = {
+      maxBucket: Int): String = Lease.withWriter(spark, root) {
     Registry.registerAll(spark)
     require(bits > 0 && bits <= 16, s"bits must be in [1, 16]: $bits")
     require(bands > 0 && maxBucket > 0,
@@ -461,11 +465,13 @@ object EmbeddingDedupIndex {
     * folding it would let the crash-recovery rewrite double the
     * batch. */
   def compactSegments(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
-    val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
-    if (srcs.size < 2) return None
-    mergeSources(spark, root, all, shadowed, srcs, tombs, targetBytes)
-  }
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] =
+    Lease.withWriter(spark, root) {
+      val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
+      if (srcs.size < 2) None
+      else mergeSources(spark, root, all, shadowed, srcs, tombs,
+        targetBytes)
+    }
 
   /** Tiered (size-ratio) compaction — the hot-path form the streaming
     * twin's auto-compaction runs; see [[DedupIndex.compactTiered]]
@@ -473,9 +479,11 @@ object EmbeddingDedupIndex {
     * (same protocol and guards). */
   def compactTiered(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      ratio: Option[Double] = None): Option[String] = {
+      ratio: Option[Double] = None): Option[String] =
+    Lease.withWriter(spark, root) {
     val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
-    if (srcs.size < 2) return None
+    if (srcs.size < 2) None
+    else {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sized = srcs.map(s =>
@@ -486,7 +494,8 @@ object EmbeddingDedupIndex {
     val pick = Compaction.tieredPick(sized, r)
     if (pick.size < 2) None
     else mergeSources(spark, root, all, shadowed, pick, tombs, targetBytes)
-  }
+    }
+    }
 
   /** Same eligibility contract as DedupIndex.eligibleSources: visible
     * committed data segments minus the streaming replay-pending set,
@@ -561,11 +570,12 @@ object EmbeddingDedupIndex {
 
   /** Delete segment directories no reader can see — same contract as
     * [[DedupIndex.vacuumShadowed]]. */
-  def vacuumShadowed(spark: SparkSession, root: String): Seq[String] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
-  }
+  def vacuumShadowed(spark: SparkSession, root: String): Seq[String] =
+    Lease.withWriter(spark, root) {
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      ShadowLog.vacuum(fs, p, "_SUCCESS", _.startsWith("seg-"))
+    }
 
   /** All committed, non-retracted vectors. */
   def currentVecs(spark: SparkSession, root: String): DataFrame =
@@ -600,12 +610,14 @@ object EmbeddingDedupIndex {
       spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(root, "_meta.json")), s"no index at $root")
     val idDf = ids.select(col(ids.columns.head).as("id")).distinct()
-    if (idDf.isEmpty) return None
-    val seg = f"seg-${System.currentTimeMillis()}%013d-${
-      saveSeq.incrementAndGet()}%04d-tomb"
-    IndexLayout.writeSorted(idDf, "id", s"$root/$seg/ids", 0)
-    fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
-    Some(seg)
+    if (idDf.isEmpty) None
+    else Lease.withWriter(spark, root) {
+      val seg = f"seg-${System.currentTimeMillis()}%013d-${
+        saveSeq.incrementAndGet()}%04d-tomb"
+      IndexLayout.writeSorted(idDf, "id", s"$root/$seg/ids", 0)
+      fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+      Some(seg)
+    }
   }
 
   /** The live (unapplied) tombstoned ids — empty when none. */

@@ -625,6 +625,85 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("single-writer lease: a live foreign lease refuses every " +
+      "mutation loudly; a crash orphan is broken by age (r10 #5)") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.{EmbeddingDedupIndex, Lease}
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val root = Files.createTempDirectory("dedup-lease").toString
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plantLease(owner: String, ts: Long): Unit = {
+      val out = fs.create(new Path(rootP, Lease.FileName), true)
+      try out.write(s"$owner\t$ts".getBytes("UTF-8")) finally out.close()
+    }
+    // normal mutations cycle the lease transparently
+    DedupIndex.update(spark, root, docs.filter(col("doc_id") < 40),
+      "doc_id", "text", threshold = 0.8)
+    assert(!fs.exists(new Path(rootP, Lease.FileName)),
+      "lease must be released after a mutation")
+    // a LIVE foreign lease refuses update / compaction / tombstone
+    plantLease("intruder", System.currentTimeMillis())
+    val e = intercept[IllegalStateException] {
+      DedupIndex.update(spark, root,
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 60),
+        "doc_id", "text", threshold = 0.8)
+    }
+    assert(e.getMessage.contains("locked by writer intruder"))
+    intercept[IllegalStateException] {
+      DedupIndex.compactSegments(spark, root)
+    }
+    intercept[IllegalStateException] {
+      import spark.implicits._
+      DedupIndex.tombstone(spark, root, Seq(1L).toDF("id"))
+    }
+    // a crash orphan (older than ttl) is broken and taken over
+    plantLease("crashed", System.currentTimeMillis()
+      - Lease.ttlMs(spark) - 1000)
+    val r = DedupIndex.update(spark, root,
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 60),
+      "doc_id", "text", threshold = 0.8)
+    assert(r.segment.nonEmpty)
+    assert(!fs.exists(new Path(rootP, Lease.FileName)),
+      "recovered lease must be released after the mutation")
+    // same-JVM concurrent writer: refused without touching the race
+    @volatile var inside = false
+    @volatile var bodyErr: Throwable = null
+    val t = new Thread(() => {
+      try Lease.withWriter(spark, root) {
+        inside = true; Thread.sleep(1200)
+      } catch { case x: Throwable => bodyErr = x }
+    })
+    t.start()
+    while (!inside && t.isAlive) Thread.sleep(10)
+    val e2 = intercept[IllegalStateException] {
+      DedupIndex.compactSegments(spark, root)
+    }
+    assert(e2.getMessage.contains("locked by writer"))
+    t.join()
+    assert(bodyErr == null)
+    // released → mutations proceed again
+    DedupIndex.update(spark, root, docs.filter(col("doc_id") >= 60
+      && col("doc_id") < 70), "doc_id", "text", threshold = 0.8)
+    // the embedding twin enforces the same contract
+    import spark.implicits._
+    val eroot = Files.createTempDirectory("ededup-lease").toString
+    val vecs = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.4f)))
+      .toDF("vec_id", "embedding")
+    EmbeddingDedupIndex.update(spark, eroot, vecs, "vec_id", "embedding",
+      dim = 8, threshold = 0.9, bits = 4)
+    val efs = new Path(eroot).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val eout = efs.create(new Path(eroot, Lease.FileName), true)
+    try eout.write(s"other\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally eout.close()
+    intercept[IllegalStateException] {
+      EmbeddingDedupIndex.update(spark, eroot, vecs, "vec_id", "embedding",
+        dim = 8, threshold = 0.9, bits = 4)
+    }
+  }
+
   test("geometry mismatch fails loudly instead of degrading recall") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").filter(col("doc_id") < 30)
