@@ -272,7 +272,161 @@ object Knn {
       }
       best
     }
-    def argmaxUdf(cs: Array[Array[Double]]) = {
+    // DEEPER-TREE router (r10 verdict #4 — the scaladoc'd n·log k
+    // escape, now real): past `graft.semdedup.treeK` centroids
+    // (default 4096) the two-level form's √k coarse scan + √k-sized
+    // member lists make assignment n^1.5 — with k ∝ n that walls a
+    // few octaves out even after the r10 constant-factor fixes. The
+    // tree splits the centroid set recursively (branch ~32, the same
+    // mini-Lloyd + non-metric chunk fallback discipline as the
+    // two-level balancer, so progress is guaranteed even on
+    // near-identical centroid mass) down to constant-size leaves;
+    // a row descends with a width-2 beam — per level: ≤2·branch rep
+    // dots — and flat-argmaxes the top-2 leaves' members: O(log k)
+    // dots per row, n·log k total. Below the threshold the
+    // two-level code runs byte-identically to r10.
+    sealed trait TNode extends Serializable
+    case class TLeaf(members: Array[Int]) extends TNode
+    case class TInner(reps: Array[Array[Double]], kids: Array[TNode])
+      extends TNode
+    val treeK = corpus.sparkSession.conf
+      .getOption("graft.semdedup.treeK")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(4096)
+
+    def argmaxArr0(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.MinValue
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j); var d = 0.0
+        var i = 0; val lim = math.min(c.length, v.length)
+        while (i < lim) { d += c(i) * v(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = j }
+        j += 1
+      }
+      best
+    }
+
+    /** Split `ids` (indices into cs) into ≤ `parts` balanced groups:
+      * 3-round mini-Lloyd over the member centroids; groups the
+      * metric pass cannot separate (near-identical centroid mass)
+      * fall back to order-chunking with chunk-mean reps — the same
+      * hard-progress guarantee as the two-level balancer. */
+    def lloydSplit(cs: Array[Array[Double]], ids: Array[Int],
+        parts: Int): Array[(Array[Double], Array[Int])] = {
+      var sub = Array.tabulate(parts)(i =>
+        cs(ids((i.toLong * ids.length / parts).toInt)).clone)
+      var assign: Array[Int] = null
+      for (_ <- 1 to 3) {
+        assign = ids.map(m => argmaxArr0(sub, cs(m)))
+        val sums = Array.fill(parts)(new Array[Double](dim))
+        val cnts = new Array[Int](parts)
+        for (i <- ids.indices) {
+          val c = cs(ids(i)); val a = assign(i)
+          val lim = math.min(dim, c.length)
+          var d = 0; while (d < lim) { sums(a)(d) += c(d); d += 1 }
+          cnts(a) += 1
+        }
+        sub = sub.indices.map(i =>
+          if (cnts(i) == 0) sub(i)
+          else normalize(sums(i).map(_ / cnts(i)))).toArray
+      }
+      val grouped = (0 until parts).map(g =>
+        ids.indices.collect { case i if assign(i) == g => ids(i) }.toArray)
+        .filter(_.nonEmpty)
+      val cap = math.max(8, 2 * ids.length / parts)
+      grouped.toArray.flatMap { g =>
+        if (g.length < ids.length) Array((meanRep(cs, g), g))
+        else {
+          // no metric progress (one group swallowed everything —
+          // near-identical centroid mass): chunk by order, arbitrary
+          // but hard-bounded, exactly the two-level fallback's
+          // rationale; guarantees every child shrinks
+          val chunks = math.max(2, (g.length + cap - 1) / cap)
+          (0 until chunks).flatMap { c =>
+            val lo = (c.toLong * g.length / chunks).toInt
+            val hi = ((c + 1).toLong * g.length / chunks).toInt
+            if (hi > lo) {
+              val piece = java.util.Arrays.copyOfRange(g, lo, hi)
+              Some((meanRep(cs, piece), piece))
+            } else None
+          }.toArray
+        }
+      }
+    }
+
+    def meanRep(cs: Array[Array[Double]], ids: Array[Int]): Array[Double] = {
+      val m = new Array[Double](dim)
+      ids.foreach { id =>
+        val c = cs(id); val lim = math.min(dim, c.length)
+        var d = 0; while (d < lim) { m(d) += c(d); d += 1 }
+      }
+      normalize(m.map(_ / ids.length))
+    }
+
+    def buildTree(cs: Array[Array[Double]], ids: Array[Int],
+        leafCap: Int, branch: Int): TNode =
+      if (ids.length <= leafCap) TLeaf(ids)
+      else {
+        val parts = math.min(branch,
+          math.max(2, (ids.length + leafCap - 1) / leafCap))
+        val groups = lloydSplit(cs, ids, parts)
+        if (groups.length <= 1) TLeaf(ids) // cannot split further
+        else TInner(groups.map(_._1),
+          groups.map(g => buildTree(cs, g._2, leafCap, branch)))
+      }
+
+    def treeUdf(cs: Array[Array[Double]]) = {
+      val leafCap = 128
+      val root = buildTree(cs, cs.indices.toArray, leafCap, 32)
+      if (verbose) {
+        def stats(n: TNode): (Int, Int, Int) = n match { // (depth, leaves, maxLeaf)
+          case TLeaf(m) => (1, 1, m.length)
+          case TInner(_, kids) =>
+            val s = kids.map(stats)
+            (1 + s.map(_._1).max, s.map(_._2).sum, s.map(_._3).max)
+        }
+        val (d0, l0, m0) = stats(root)
+        println(s"semdedup-quantizer TREE k=${cs.length} depth=$d0 " +
+          s"leaves=$l0 maxLeaf=$m0")
+      }
+      udf { (v: Seq[Double]) =>
+        if (v == null) null
+        else {
+          val a = v.toArray
+          def score(rep: Array[Double]): Double = {
+            var d = 0.0; var i = 0
+            val lim = math.min(rep.length, a.length)
+            while (i < lim) { d += rep(i) * a(i); i += 1 }
+            d
+          }
+          // width-2 beam down the levels; leaves keep their path
+          // score, final argmax over the top-2 leaves' members
+          var frontier: List[(Double, TNode)] = List((0.0, root))
+          var bestLeaves: List[(Double, TLeaf)] = Nil
+          while (frontier.nonEmpty) {
+            val expanded = frontier.flatMap {
+              case (_, TInner(reps, kids)) =>
+                reps.indices.map(j => (score(reps(j)), kids(j)))
+              case (s, l: TLeaf) => bestLeaves ::= ((s, l)); Nil
+            }
+            frontier = expanded.sortBy(-_._1).take(2)
+          }
+          val leaves = bestLeaves.sortBy(-_._1).take(2)
+          var best = 0; var bestDot = Double.MinValue
+          leaves.foreach { case (_, l) =>
+            l.members.foreach { m =>
+              val d = score(cs(m))
+              if (d > bestDot) { bestDot = d; best = m }
+            }
+          }
+          Integer.valueOf(best)
+        }: java.lang.Integer
+      }
+    }
+
+    def argmaxUdf(cs: Array[Array[Double]]) = if (cs.length > treeK)
+      treeUdf(cs)
+    else {
       val k1 = math.max(1, math.ceil(math.sqrt(cs.length)).toInt)
       // driver-side Lloyd over the CENTROIDS (cs.length vectors)
       var coarse = cs.take(k1).map(_.clone)

@@ -63,7 +63,7 @@ object DedupIndex {
     * not comparable to signatures of another), so a mismatched
     * update must fail loudly, not silently degrade recall. */
   case class Meta(threshold: Double, numHashes: Int, bands: Int,
-      probeBuckets: Int = 0)
+      probeBuckets: Int = 0, oph: Boolean = false)
 
   case class UpdateResult(segment: String, pairs: DataFrame)
 
@@ -88,7 +88,7 @@ object DedupIndex {
       segmentName: Option[String] = None): UpdateResult = {
     val meta = readOrInitMeta(spark, root,
       Meta(threshold, numHashes, bands,
-        IndexLayout.defaultProbeBuckets(spark)))
+        IndexLayout.defaultProbeBuckets(spark), ophConf(spark)))
     require((meta.threshold, meta.numHashes, meta.bands) ==
       ((threshold, numHashes, bands)),
       s"index at $root was built with $meta; updates must match " +
@@ -136,7 +136,7 @@ object DedupIndex {
     // from the arrival too (see tombstone): its stored rows are being
     // retracted, so re-indexing it would resurrect the data
     val rawSigs = notTombstoned(spark, root, tombs, Dedup
-      .signatures(newDocs, idCol, textCol, numHashes, bands)
+      .signatures(newDocs, idCol, textCol, numHashes, bands, meta.oph)
       .dropDuplicates("id"), "id")
     // an id already in the store is dropped, not re-indexed: the
     // segment log cannot retract the old rows, so re-ingesting would
@@ -261,7 +261,7 @@ object DedupIndex {
       numHashes: Int = 30, bands: Int = 6): String = {
     val meta = readOrInitMeta(spark, root,
       Meta(threshold, numHashes, bands,
-        IndexLayout.defaultProbeBuckets(spark)))
+        IndexLayout.defaultProbeBuckets(spark), ophConf(spark)))
     require((meta.threshold, meta.numHashes, meta.bands) ==
       ((threshold, numHashes, bands)),
       s"index at $root was built with $meta; loads must match " +
@@ -273,7 +273,7 @@ object DedupIndex {
       val tombs = tombSegments(spark, root)
       val cap = IndexLayout.probeKeyCap(spark)
       val rawSigs = notTombstoned(spark, root, tombs, Dedup
-        .signatures(docs, idCol, textCol, numHashes, bands)
+        .signatures(docs, idCol, textCol, numHashes, bands, meta.oph)
         .dropDuplicates("id"), "id")
       val batchIds = if (segs.isEmpty) None
         else IndexLayout.collectKeys(
@@ -714,6 +714,14 @@ object DedupIndex {
     }
   }
 
+  /** Signature-scheme choice, read ONCE at store creation and pinned
+    * in `_meta.json` — a store probed with a different scheme than it
+    * was built with is a silent recall hole, so the conf never
+    * applies to an existing store. */
+  private def ophConf(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.minhash.oph")
+      .exists(_.trim.equalsIgnoreCase("true"))
+
   private def readOrInitMeta(spark: SparkSession, root: String,
       init: Meta): Meta = {
     val fs = new Path(root).getFileSystem(
@@ -730,17 +738,20 @@ object DedupIndex {
       // with such a threshold must stay readable
       // probeBuckets optional: absent = a store created before the
       // bucketed probe layout existed = flat segments (0)
-      val m = """\{"threshold":([0-9.eE+-]+),"numHashes":(\d+),"bands":(\d+)(?:,"probeBuckets":(\d+))?\}"""
+      // oph optional too: absent = a store created before the
+      // one-permutation option existed = classic k-pass signatures
+      val m = """\{"threshold":([0-9.eE+-]+),"numHashes":(\d+),"bands":(\d+)(?:,"probeBuckets":(\d+))?(?:,"oph":(true|false))?\}"""
         .r.findFirstMatchIn(txt.trim)
         .getOrElse(throw new IllegalStateException(
           s"unreadable dedup-index meta at $mp: $txt"))
       Meta(m.group(1).toDouble, m.group(2).toInt, m.group(3).toInt,
-        Option(m.group(4)).map(_.toInt).getOrElse(0))
+        Option(m.group(4)).map(_.toInt).getOrElse(0),
+        Option(m.group(5)).exists(_.toBoolean))
     } else {
       fs.mkdirs(new Path(root))
       val out = fs.create(mp, false) // fail on concurrent create
       try out.write(
-        s"""{"threshold":${init.threshold},"numHashes":${init.numHashes},"bands":${init.bands},"probeBuckets":${init.probeBuckets}}"""
+        s"""{"threshold":${init.threshold},"numHashes":${init.numHashes},"bands":${init.bands},"probeBuckets":${init.probeBuckets},"oph":${init.oph}}"""
           .getBytes("UTF-8"))
       finally out.close()
       init

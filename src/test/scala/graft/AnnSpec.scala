@@ -114,6 +114,38 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     assert(found >= 64, s"only $found/80 planted dups found")
   }
 
+  test("semDedupScaled deeper-tree router: same precision/recall " +
+      "pins as the two-level form when the tree engages") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = Seq.tabulate(80)(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val dups = bases.map { case (id, v) =>
+      (1000L + id, v.map(x => x + 0.02f * rnd.nextGaussian().toFloat)) }
+    val corpus = (bases ++ dups).toDF("vec_id", "embedding")
+    // force the n·log k tree router at test scale (k = 10 > 4):
+    // production default engages past 4096 centroids
+    spark.conf.set("graft.semdedup.treeK", "4")
+    val got = try Knn.semDedupScaled(corpus, "vec_id", "embedding", dim,
+      threshold = 0.9, targetClusterSize = 16).cache()
+    finally spark.conf.unset("graft.semdedup.treeK")
+    // precision exact by construction (cosine-verified emissions)
+    val exact = Knn.nearDupPairs(corpus, "vec_id", "embedding", dim, 0.9)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.select("vec_id", "dup_of").collect().foreach { r =>
+      val p = (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))
+      assert(exact.contains(p), s"emitted non-dup $p")
+    }
+    // recall: the beam-2 descent must co-route planted near-copies
+    // (cosine ≈ 0.97) with their bases like the top-2 coarse probe
+    val found = (0 until 80).count { i =>
+      got.filter(col("vec_id") === (1000L + i) &&
+        col("dup_of") === i.toLong).count() == 1 }
+    assert(found >= 64, s"only $found/80 planted dups found under tree")
+  }
+
   test("lsh bucket cap drops a degenerate region but keeps real " +
       "near-dup clusters (the 64x disk-exhaustion guard)") {
     import spark.implicits._

@@ -172,4 +172,49 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
         (2L, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")).toDF("doc_id", "text")
     assert(Dedup.duplicateSpans(selfRep, "doc_id", "text", n = 8).count() == 0)
   }
+
+  test("one-permutation minhash: planted near-dups recalled exactly " +
+      "like the classic k-pass signatures; store pins the scheme") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // 60 base docs of ~60 distinct tokens; 40 planted near-dups with
+    // two tokens swapped (J ≈ 0.93 — P(candidate) ≈ 1 at r=5/b=6).
+    // Deterministic seed: this is a fixed corpus, not a flaky draw.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong,
+      Seq.fill(70)("w" + rnd.nextInt(5000)).distinct.take(60)
+        .mkString(" ")))
+    val dups = base.take(40).map { case (id, t) =>
+      (id + 1000L, t.split(" ").dropRight(2).mkString(" ") + s" x$id y$id")
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text").localCheckpoint()
+    val planted = (0 until 40).map(i => (i.toLong, i + 1000L)).toSet
+    def found(df: DataFrame) = df.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val classic = found(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    spark.conf.set("graft.minhash.oph", "true")
+    val oph = try found(
+      Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    finally spark.conf.unset("graft.minhash.oph")
+    assert(planted.subsetOf(classic), s"classic missed ${planted -- classic}")
+    assert(planted.subsetOf(oph), s"oph missed ${planted -- oph}")
+    // precision is exact under both (verification is exact Jaccard):
+    // every found pair really clears the threshold
+    assert(classic == found(Dedup.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.8)), "classic is deterministic")
+    // the store pins the scheme at creation: updates WITHOUT the conf
+    // keep probing with OPH signatures and find cross-batch dups
+    val root = java.nio.file.Files
+      .createTempDirectory("dedup-oph-store").toString
+    spark.conf.set("graft.minhash.oph", "true")
+    try graft.sources.DedupIndex.update(spark, root,
+      docs.filter(col("doc_id") < 1000), "doc_id", "text", threshold = 0.8)
+    finally spark.conf.unset("graft.minhash.oph")
+    val r2 = graft.sources.DedupIndex.update(spark, root,
+      docs.filter(col("doc_id") >= 1000), "doc_id", "text", threshold = 0.8)
+    assert(planted.subsetOf(found(r2.pairs)),
+      "meta-pinned OPH store must keep detecting across batches " +
+        "without the conf set")
+  }
 }
