@@ -251,6 +251,79 @@ object EmbeddingDedupIndex {
     }
   }
 
+  /** Bulk-load vectors into the index WITHOUT near-dup detection —
+    * the bootstrap path, mirroring [[DedupIndex.bulkLoad]]: seeding
+    * dedup-on-arrival over an already-curated embedding corpus needs
+    * the vectors INDEXED (so future arrivals check against them) but
+    * not re-verified against themselves. One banding pass + one
+    * sorted segment write, O(batch) with no candidate join or
+    * verification read; ids already in the store are dropped (same
+    * first-write-wins contract), geometry pinned by `_meta.json`,
+    * and the committed segment is indistinguishable from an
+    * update()'s. The 100 TB seeding recipe: bulkLoad chunks →
+    * compactSegments (bucketed layout) → optionally reband to the
+    * corpus-sized geometry → stream arrivals. */
+  def bulkLoad(spark: SparkSession, root: String, vecs: DataFrame,
+      idCol: String, vecCol: String, dim: Int, threshold: Double,
+      bands: Int = 10, bits: Int = 6, maxBucket: Int = 500): String = {
+    Registry.registerAll(spark)
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(root, Intent)),
+      s"a reband of $root is in progress or crashed — rerun reband " +
+        "to converge the store before loading")
+    if (!fs.exists(new Path(root, "_meta.json"))) {
+      require(bits > 0 && bits <= 16, s"bits must be in [1, 16]: $bits")
+      require(bands > 0 && maxBucket > 0,
+        s"bands/maxBucket must be positive: $bands/$maxBucket")
+    }
+    val meta = readOrInitMeta(spark, root,
+      Meta(threshold, bands, bits, maxBucket,
+        probeBuckets = IndexLayout.defaultProbeBuckets(spark)))
+    require(meta.copy(probeBuckets = 0) ==
+      Meta(threshold, bands, bits, maxBucket),
+      s"index at $root was built with $meta; loads must match " +
+        s"(got threshold=$threshold bands=$bands bits=$bits " +
+        s"maxBucket=$maxBucket) — to change geometry, run reband")
+    val p = meta.probeBuckets
+    Lease.withWriter(spark, root) {
+    IndexLayout.withProbePushdown(spark) {
+      val allSegs = ShadowLog.list(fs, new Path(root), "_SUCCESS",
+        _.startsWith("seg-"))._1
+      val segs = allSegs.filterNot(_.endsWith("-tomb"))
+      val tombs = allSegs.filter(_.endsWith("-tomb"))
+      IndexLayout.ensureLayouts(fs, new Path(root), segs,
+        Seq("bands", "vecs"))
+      val cap = IndexLayout.probeKeyCap(spark)
+      val rawBase = notTombstoned(spark, root, tombs,
+        vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+          sqrt(Knn.dot(col(vecCol), col(vecCol))).as("nm")), "id")
+      val batchIds = if (segs.isEmpty) None
+        else IndexLayout.collectKeys(
+          vecs.select(col(idCol)).distinct(), p, cap, "batch ids")
+      val base = (if (segs.isEmpty) rawBase.dropDuplicates("id")
+        else rawBase.dropDuplicates("id")
+          .join(probeVecs(spark, root, segs, p, batchIds)
+            .select(col("id")), Seq("id"), "left_anti")).materialize()
+      val newBands = base.select(col("id"), posexplode(array(
+          (0 until bands).map(j =>
+            Knn.lshBucketSeeded(col("v"), dim, bits, seed = j)): _*))
+        .as(Seq("band", "bucket")))
+      val seg = f"seg-${System.currentTimeMillis()}%013d-${
+        saveSeq.incrementAndGet()}%04d"
+      // flat-sorted L0, like the text twin's bulk loads: a bootstrap
+      // is a few large loads + one compactSegments (which buckets)
+      IndexLayout.writeSorted(newBands, "bucket", s"$root/$seg/bands", 0)
+      IndexLayout.writeSorted(base.select("id", "v", "nm"), "id",
+        s"$root/$seg/vecs", 0)
+      fs.create(new Path(root, s"$seg/_SUCCESS"), true).close()
+      IndexLayout.recordLayouts(fs, new Path(root),
+        Map(seg -> Map("bands" -> Nil, "vecs" -> Nil)), segs :+ seg)
+      seg
+    }
+    }
+  }
+
   /** The per-batch store probes — the EXACT reads update() issues,
     * package-private so PlanAuditSpec can pin their pushdown/pruning
     * shape without replicating the code under test. */

@@ -66,15 +66,30 @@ object Lease {
   // writers share one JVM — e.g. two streaming queries on one root
   private val held = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // REENTRANT on the owning thread: composed mutations (retract =
+  // pairs purge + tombstone) nest withWriter scopes; the inner scope
+  // is a no-op instead of refusing its own outer scope. Cross-thread
+  // nesting still refuses — only the acquiring thread re-enters.
+  private val threadHeld = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue(): scala.collection.mutable.Set[String] =
+      scala.collection.mutable.Set.empty
+  }
+
   /** Run `body` holding the store's writer lease; release afterwards.
-    * Refuses loudly if another live writer holds it. */
+    * Refuses loudly if another live writer holds it; reentrant within
+    * the acquiring thread. */
   def withWriter[T](spark: SparkSession, root: String)(body: => T): T = {
     val rootP = new Path(root)
-    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val owner = java.util.UUID.randomUUID().toString
-    acquire(fs, rootP, owner, ttlMs(spark))
-    try body
-    finally release(fs, rootP, owner)
+    val key = rootP.toString
+    if (threadHeld.get.contains(key)) body
+    else {
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val owner = java.util.UUID.randomUUID().toString
+      acquire(fs, rootP, owner, ttlMs(spark))
+      threadHeld.get += key
+      try body
+      finally { threadHeld.get -= key; release(fs, rootP, owner) }
+    }
   }
 
   /** Take the lease for `owner` or throw. Package-visible for specs. */

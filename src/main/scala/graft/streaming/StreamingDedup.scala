@@ -307,11 +307,15 @@ object StreamingDedup {
     * Returns the tombstone segment, or None for ids the store never
     * saw (the purge half still ran — retraction is idempotent). */
   def retract(spark: SparkSession, root: String, ids: DataFrame,
-      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
-    PairsLog.purgeIds(spark, root, ids, targetBytes,
-      DedupIndex.segments(spark, root).toSet)
-    DedupIndex.tombstone(spark, root, ids)
-  }
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] =
+    // one writer-lease scope over BOTH halves (reentrant through the
+    // nested tombstone): a stream batch racing the purge would
+    // interleave pairs-log rewrites with verdict appends
+    graft.sources.Lease.withWriter(spark, root) {
+      PairsLog.purgeIds(spark, root, ids, targetBytes,
+        DedupIndex.segments(spark, root).toSet)
+      DedupIndex.tombstone(spark, root, ids)
+    }
 
   /** The owning index's live-tombstone filter for verdict rows —
     * identity when no tombstone is live. */
@@ -331,8 +335,9 @@ object StreamingDedup {
     * is healthy or stopped, not between a crash and its recovery. */
   def compactPairs(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Option[String] =
-    PairsLog.compactAll(spark, root, targetBytes,
-      DedupIndex.segments(spark, root).toSet, tombFilter(spark, root))
+    graft.sources.Lease.withWriter(spark, root)(
+      PairsLog.compactAll(spark, root, targetBytes,
+        DedupIndex.segments(spark, root).toSet, tombFilter(spark, root)))
 
   /** Tiered pairs-log compaction — the hot-path form [[maybeCompact]]
     * runs: folds only the [[graft.sources.Compaction.tieredPick]]
@@ -343,8 +348,9 @@ object StreamingDedup {
   def compactPairsTiered(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
       ratio: Option[Double] = None): Option[String] =
-    PairsLog.compactTiered(spark, root, targetBytes, ratio,
-      DedupIndex.segments(spark, root).toSet, tombFilter(spark, root))
+    graft.sources.Lease.withWriter(spark, root)(
+      PairsLog.compactTiered(spark, root, targetBytes, ratio,
+        DedupIndex.segments(spark, root).toSet, tombFilter(spark, root)))
 
   /** Delete pairs directories no reader can see — compaction sources
     * a crashed cleanup left behind, and torn (marker-less) dirs.

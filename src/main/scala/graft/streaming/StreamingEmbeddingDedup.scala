@@ -124,11 +124,15 @@ object StreamingEmbeddingDedup {
     * semantics, ordering and crash story exactly as
     * [[StreamingDedup.retract]]. */
   def retract(spark: SparkSession, root: String, ids: DataFrame,
-      targetBytes: Long = 128L * 1024 * 1024): Option[String] = {
-    PairsLog.purgeIds(spark, root, ids, targetBytes,
-      EmbeddingDedupIndex.segments(spark, root).toSet)
-    EmbeddingDedupIndex.tombstone(spark, root, ids)
-  }
+      targetBytes: Long = 128L * 1024 * 1024): Option[String] =
+    // one writer-lease scope over BOTH halves (reentrant through the
+    // nested tombstone): a stream batch racing the purge would
+    // interleave pairs-log rewrites with verdict appends
+    graft.sources.Lease.withWriter(spark, root) {
+      PairsLog.purgeIds(spark, root, ids, targetBytes,
+        EmbeddingDedupIndex.segments(spark, root).toSet)
+      EmbeddingDedupIndex.tombstone(spark, root, ids)
+    }
 
   private def tombFilter(spark: SparkSession,
       root: String): DataFrame => DataFrame = df =>
@@ -140,18 +144,20 @@ object StreamingEmbeddingDedup {
     * [[StreamingDedup.compactPairs]]. */
   def compactPairs(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024): Option[String] =
-    PairsLog.compactAll(spark, root, targetBytes,
-      EmbeddingDedupIndex.segments(spark, root).toSet,
-      tombFilter(spark, root))
+    graft.sources.Lease.withWriter(spark, root)(
+      PairsLog.compactAll(spark, root, targetBytes,
+        EmbeddingDedupIndex.segments(spark, root).toSet,
+        tombFilter(spark, root)))
 
   /** Tiered pairs-log merge — the hot-path form; see
     * [[StreamingDedup.compactPairsTiered]]. */
   def compactPairsTiered(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
       ratio: Option[Double] = None): Option[String] =
-    PairsLog.compactTiered(spark, root, targetBytes, ratio,
-      EmbeddingDedupIndex.segments(spark, root).toSet,
-      tombFilter(spark, root))
+    graft.sources.Lease.withWriter(spark, root)(
+      PairsLog.compactTiered(spark, root, targetBytes, ratio,
+        EmbeddingDedupIndex.segments(spark, root).toSet,
+        tombFilter(spark, root)))
 
   /** Delete unreadable pairs dirs; never while the stream runs. */
   def vacuumPairs(spark: SparkSession, root: String): Seq[String] =
