@@ -312,7 +312,7 @@ object Knn {
       * fall back to order-chunking with chunk-mean reps — the same
       * hard-progress guarantee as the two-level balancer. */
     def lloydSplit(cs: Array[Array[Double]], ids: Array[Int],
-        parts: Int): Array[(Array[Double], Array[Int])] = {
+        parts: Int, leafCapOf: Int): Array[(Array[Double], Array[Int])] = {
       var sub = Array.tabulate(parts)(i =>
         cs(ids((i.toLong * ids.length / parts).toInt)).clone)
       var assign: Array[Int] = null
@@ -333,15 +333,24 @@ object Knn {
       val grouped = (0 until parts).map(g =>
         ids.indices.collect { case i if assign(i) == g => ids(i) }.toArray)
         .filter(_.nonEmpty)
-      val cap = math.max(8, 2 * ids.length / parts)
+      // HARD geometric shrinkage (r11 2048× finding): on
+      // near-identical centroid mass the metric split "succeeds" with
+      // one group holding ~90% — technically progress, but recursion
+      // depth then grows linearly (measured depth 28 where branch 32
+      // predicts 3, and the beam pays 2·branch dots PER LEVEL). Any
+      // child above a QUARTER of the parent is order-chunked into
+      // quarter-sized pieces — the same non-metric fallback rationale
+      // as the two-level balancer — bounding depth at
+      // log₄(k/leafCap)+O(1) while leaving genuinely separated
+      // metric clusters (≤ n/4 each) untouched. The floor is leafCap,
+      // NOT the parts-derived average (near the leaves parts → 2 and
+      // an average-based bound stops shrinking anything — measured
+      // depth 14-18 from lopsided [n−1, 1] tail cascades).
+      val maxChild = math.max(leafCapOf, ids.length / 4)
       grouped.toArray.flatMap { g =>
-        if (g.length < ids.length) Array((meanRep(cs, g), g))
+        if (g.length <= maxChild) Array((meanRep(cs, g), g))
         else {
-          // no metric progress (one group swallowed everything —
-          // near-identical centroid mass): chunk by order, arbitrary
-          // but hard-bounded, exactly the two-level fallback's
-          // rationale; guarantees every child shrinks
-          val chunks = math.max(2, (g.length + cap - 1) / cap)
+          val chunks = math.max(2, (g.length + maxChild - 1) / maxChild)
           (0 until chunks).flatMap { c =>
             val lo = (c.toLong * g.length / chunks).toInt
             val hi = ((c + 1).toLong * g.length / chunks).toInt
@@ -369,7 +378,7 @@ object Knn {
       else {
         val parts = math.min(branch,
           math.max(2, (ids.length + leafCap - 1) / leafCap))
-        val groups = lloydSplit(cs, ids, parts)
+        val groups = lloydSplit(cs, ids, parts, leafCap)
         if (groups.length <= 1) TLeaf(ids) // cannot split further
         else TInner(groups.map(_._1),
           groups.map(g => buildTree(cs, g._2, leafCap, branch)))
@@ -399,25 +408,82 @@ object Knn {
             while (i < lim) { d += rep(i) * a(i); i += 1 }
             d
           }
-          // width-2 beam down the levels; leaves keep their path
-          // score, final argmax over the top-2 leaves' members
-          var frontier: List[(Double, TNode)] = List((0.0, root))
-          var bestLeaves: List[(Double, TLeaf)] = Nil
-          while (frontier.nonEmpty) {
-            val expanded = frontier.flatMap {
-              case (_, TInner(reps, kids)) =>
-                reps.indices.map(j => (score(reps(j)), kids(j)))
-              case (s, l: TLeaf) => bestLeaves ::= ((s, l)); Nil
+          // width-2 beam down the levels, ALLOCATION-FREE (the List/
+          // sortBy form allocated ~depth × branch boxed tuples per
+          // ROW — billions at the 4096× rung, and the allocation
+          // churn, not the dot products, dominated the stage): track
+          // the top-2 scored frontier nodes and top-2 scored leaves
+          // with scalars only
+          var f1: TNode = root; var fs1 = 0.0
+          var f2: TNode = null; var fs2 = Double.MinValue
+          var l1: TLeaf = null; var ls1 = Double.MinValue
+          var l2: TLeaf = null; var ls2 = Double.MinValue
+          def offerLeaf(l: TLeaf, d: Double): Unit =
+            if (l1 == null || d > ls1) {
+              if (l1 != null && (l ne l1)) { l2 = l1; ls2 = ls1 }
+              l1 = l; ls1 = d
+            } else if ((l2 == null || d > ls2) && (l ne l1)) {
+              l2 = l; ls2 = d
             }
-            frontier = expanded.sortBy(-_._1).take(2)
+          var live = true
+          while (live) {
+            var b1: TNode = null; var d1 = Double.MinValue
+            var b2: TNode = null; var d2 = Double.MinValue
+            var expanded = false
+            var fi = 0
+            while (fi < 2) {
+              val f = if (fi == 0) f1 else f2
+              val fscore = if (fi == 0) fs1 else fs2
+              f match {
+                case TInner(reps, kids) =>
+                  expanded = true
+                  var j = 0
+                  while (j < reps.length) {
+                    val d = score(reps(j))
+                    if (d > d1) { b2 = b1; d2 = d1; b1 = kids(j); d1 = d }
+                    else if (d > d2) { b2 = kids(j); d2 = d }
+                    j += 1
+                  }
+                case l: TLeaf =>
+                  // an early leaf (unbalanced tree) competes by its
+                  // own path score for the final top-2 leaf set
+                  offerLeaf(l, fscore)
+                case null => ()
+              }
+              fi += 1
+            }
+            if (!expanded) live = false
+            else {
+              // leaf children enter the leaf top-2 with their rep
+              // score; inner children become the next frontier
+              f1 = null; f2 = null
+              if (b1 != null) b1 match {
+                case l: TLeaf => offerLeaf(l, d1)
+                case n => f1 = n; fs1 = d1
+              }
+              if (b2 != null) b2 match {
+                case l: TLeaf => offerLeaf(l, d2)
+                case n =>
+                  if (f1 == null) { f1 = n; fs1 = d2 }
+                  else { f2 = n; fs2 = d2 }
+              }
+              if (f1 == null && f2 == null) live = false
+            }
           }
-          val leaves = bestLeaves.sortBy(-_._1).take(2)
           var best = 0; var bestDot = Double.MinValue
-          leaves.foreach { case (_, l) =>
-            l.members.foreach { m =>
-              val d = score(cs(m))
-              if (d > bestDot) { bestDot = d; best = m }
+          var li = 0
+          while (li < 2) {
+            val l = if (li == 0) l1 else l2
+            if (l != null) {
+              val ms = l.members
+              var mi = 0
+              while (mi < ms.length) {
+                val d = score(cs(ms(mi)))
+                if (d > bestDot) { bestDot = d; best = ms(mi) }
+                mi += 1
+              }
             }
+            li += 1
           }
           Integer.valueOf(best)
         }: java.lang.Integer
