@@ -142,8 +142,28 @@ object Bench {
 
     val sruns = Seq(s1, s2, s3).filter(_ > 0)
     val spread = if (sruns.size >= 2) sruns.max / sruns.min else -1.0
+    // tiered quality (r11 verdict #2): the old single ≤2.0 "clean"
+    // certified windows that were uniformly ~1.35× loud. ≤1.2 ⇒ per-
+    // key numbers are gradeable; ≤2.0 ⇒ only the total is; above ⇒
+    // read everything against bench_record.json.
     val quality = if (spread < 0) "unknown"
-      else if (spread <= 2.0) "clean" else "noisy"
+      else if (spread <= 1.2) "clean"
+      else if (spread <= 2.0) "total_only" else "noisy"
+    // per-key volatility: pass1/pass2 disagreement > 1.5× means a
+    // burst hit one visit — that key's best-of-2 is still the better
+    // estimate but should not be graded as a regression/win alone
+    val volatile = pass1.flatMap { case (k, v1) =>
+      val v2 = p2.getOrElse(k, -1.0)
+      if (v1 > 0 && v2 > 0 && math.max(v1, v2) / math.min(v1, v2) > 1.5)
+        Some(k) else None
+    }
+    // /proc/loadavg at the window's end: co-tenant load is THE noise
+    // source on this host, so the artifact carries the evidence
+    val loadavg = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "unavailable" }
 
     // committed clean-window reference, embedded per key when present
     val record: Map[String, Double] = try {
@@ -179,7 +199,8 @@ object Bench {
       case (k, _) if record.contains(k) => k -> record(k) }
     val noise =
       s"""{"sentinel":"$sentinelKey","runs":[${jnum(s1)},${jnum(s2)},${
-        jnum(s3)}],"spread":${jnum(spread)},"window_quality":"$quality"}"""
+        jnum(s3)}],"spread":${jnum(spread)},"window_quality":"$quality","loadavg":${
+        jstr(loadavg)},"volatile_keys":[${volatile.map(jstr).mkString(",")}]}"""
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best_of_2_reset","queries":${
         jmap(results)},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"pass1_total":${
@@ -199,7 +220,8 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val entries = results.map { case (k, v) => k -> (s"\"" + k + "\":" + ms(v)) }
     val noiseShort =
-      s""""noise":{"spread":${ms(spread)},"window_quality":"$quality"},"""
+      s""""noise":{"spread":${ms(spread)},"window_quality":"$quality","volatile":${
+        volatile.size},"loadavg":${jstr(loadavg)}},"""
     val fixedPre =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"best_of_2_reset",$noiseShort"queries":{"""
     val esShort = if (es.length <= 200) es else "{}"

@@ -985,7 +985,10 @@ object Algorithms {
     // HashedRelation overhead); all rounds together must fit in a
     // quarter of the driver heap or the hint comes off and the
     // shuffle plan — correct at any scale — runs instead.
-    val heapRowCap = Runtime.getRuntime.maxMemory / 4 / (256L * steps)
+    // max(1, steps): steps=0 legitimately returns the initial labels
+    // and must not divide by zero sizing a cap no round will use
+    val heapRowCap =
+      Runtime.getRuntime.maxMemory / 4 / (256L * math.max(1, steps))
     val bcast = labels.count() <= math.min(
       confLong(spark, "graft.lpa.broadcastNodes", lpaBroadcastNodes),
       heapRowCap)

@@ -494,11 +494,17 @@ object DedupIndex {
     * EXCLUDED from this pass — compaction is now safe to run in the
     * crash-recovery window, it simply leaves the replay-pending
     * segment alone until its batch commits. */
+  /** `force` rewrites even a SINGLE segment — a no-op for merging,
+    * but the migration path for layout changes (probe-bounded pages,
+    * `graft.dedup.pageRows`): a store bulk-loaded before a layout fix
+    * is often one big compacted segment, which the `< 2` fast path
+    * would otherwise never touch. */
   def compactSegments(spark: SparkSession, root: String,
-      targetBytes: Long = 128L * 1024 * 1024): Option[String] =
+      targetBytes: Long = 128L * 1024 * 1024,
+      force: Boolean = false): Option[String] =
     Lease.withWriter(spark, root) {
       val (all, shadowed, srcs, tombs) = eligibleSources(spark, root)
-      if (srcs.size < 2) None
+      if (srcs.size < (if (force) 1 else 2)) None
       else mergeSources(spark, root, all, shadowed, srcs, tombs,
         targetBytes)
     }

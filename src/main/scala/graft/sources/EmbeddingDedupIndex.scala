@@ -114,15 +114,18 @@ object EmbeddingDedupIndex {
     // probe layout is store geometry too — pinned at creation, 0 on
     // stores created before the bucketed layout existed
     val p = meta.probeBuckets
+    // single-writer lease (see Lease): concurrent mutations would
+    // interleave shadow commits
+    Lease.withWriter(spark, root) {
+    IndexLayout.withProbePushdown(spark) {
+    // drop a replayed segment INSIDE the lease (r11 ADVICE): doing it
+    // before acquisition let a racing second writer delete the
+    // holder's in-flight epoch-named segment and only then be refused
     segmentName.foreach { s =>
       require(s.startsWith("seg-"), s"segment name must start with seg-: $s")
       val sp = new Path(root, s)
       if (fs.exists(sp)) fs.delete(sp, true)
     }
-    // single-writer lease (see Lease): concurrent mutations would
-    // interleave shadow commits
-    Lease.withWriter(spark, root) {
-    IndexLayout.withProbePushdown(spark) {
     // one listing per update (see DedupIndex) — data and tombstone
     // segments split from the same ShadowLog pass
     val allSegs = ShadowLog.list(fs, new Path(root), "_SUCCESS",

@@ -149,9 +149,16 @@ object IndexLayout {
     val sorted = if (p > 0)
       ranged.sortWithinPartitions("bp", sortCol)
     else ranged.sortWithinPartitions(sortCol)
+    val pr = pageRows(df.sparkSession)
     val w = sorted.write.option("parquet.block.size", bb)
       .option("parquet.page.size", math.max(8L * 1024, bb / 64))
-      .option("parquet.page.row.count.limit", pageRows(df.sparkSession))
+      .option("parquet.page.row.count.limit", pr)
+      // parquet only TESTS page boundaries every row.check.min rows
+      // (default 100) — a row-count limit below that is silently
+      // quantized to the check interval, so pin the interval to the
+      // limit (spec: every id page spans ≤ pageRows rows)
+      .option("parquet.page.size.row.check.min", math.max(1, pr / 4))
+      .option("parquet.page.size.row.check.max", pr)
     (if (p > 0) w.partitionBy("bp") else w).parquet(path)
   }
 

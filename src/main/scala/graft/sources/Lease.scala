@@ -23,8 +23,12 @@ import org.apache.spark.sql.SparkSession
   *  - a STALE lease (older than `graft.lease.ttlMs`, default 15 min)
   *    is a crash orphan: the previous writer died between acquire and
   *    release. It is broken and taken over — age-based recovery, no
-  *    operator intervention. Mutations expected to run longer than
-  *    the TTL (a giant initial compaction) should raise the conf.
+  *    operator intervention. Long mutations do NOT age out: the
+  *    driver heartbeats the stamp every ttl/3 while the mutation
+  *    runs (r11 ADVICE), so only a genuinely dead driver orphans a
+  *    lease. If a host sleeps past the TTL with the heartbeat
+  *    stalled and loses the lease anyway, the mutation FAILS loudly
+  *    at its final ownership verify instead of reporting success.
   *
   * Scope and honesty: this is a loud-failure guard with the same
   * trust model as the rest of the store protocol, NOT a distributed
@@ -85,11 +89,68 @@ object Lease {
     else {
       val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val owner = java.util.UUID.randomUUID().toString
-      acquire(fs, rootP, owner, ttlMs(spark))
+      val ttl = ttlMs(spark)
+      acquire(fs, rootP, owner, ttl)
       threadHeld.get += key
-      try body
-      finally { threadHeld.get -= key; release(fs, rootP, owner) }
+      // heartbeat (r11 ADVICE): a mutation legitimately running past
+      // the TTL (a 100 TB-scale compaction/reband/bulkLoad) must not
+      // look like a crash orphan to the next writer. The driver
+      // re-stamps the lease every ttl/3, so the lease only ages out
+      // when the driver is actually gone — not merely slow.
+      val beat = heartbeat(fs, rootP, owner, ttl)
+      var failed = true
+      val out =
+        try { val r = body; failed = false; r }
+        finally {
+          beat.interrupt(); threadHeld.get -= key
+          if (failed) release(fs, rootP, owner)
+        }
+      // verify-then-release: if the lease was taken over anyway (the
+      // host slept past the TTL with the heartbeat stalled), FAIL the
+      // mutation loudly instead of reporting success over commits
+      // that may have interleaved with the new writer's
+      read(fs, rootP) match {
+        case Some((who, _)) if who != owner =>
+          held.remove(key, owner)
+          throw new IllegalStateException(
+            s"store $root: writer lease was taken over by $who during " +
+              "this mutation (the host stalled past graft.lease.ttlMs); " +
+              "this mutation's commits may interleave with the new " +
+              "writer's — inspect the store before trusting either")
+        case _ => release(fs, rootP, owner)
+      }
+      out
     }
+  }
+
+  /** Daemon thread re-stamping `_lease` every ttl/3 while a mutation
+    * runs. The re-stamp is an in-place overwrite (not the acquire
+    * rename): only this owner writes while it holds the lease, and a
+    * reader that catches the torn microsecond parses it as absent —
+    * the same window a crash orphan's takeover already carries. */
+  private def heartbeat(fs: FileSystem, root: Path, owner: String,
+      ttl: Long): Thread = {
+    val t = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(math.max(1000L, ttl / 3))
+          // re-stamp only while still ours — never clobber a taker
+          if (read(fs, root).exists(_._1 == owner)) {
+            val out = fs.create(new Path(root, FileName), true)
+            try out.write(
+              s"$owner\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+            finally out.close()
+          }
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException => () // next beat retries; worst
+        // case the lease ages out and the final verify fails loudly
+      }
+    }, s"graft-lease-heartbeat-${root.getName}")
+    t.setDaemon(true)
+    t.start()
+    t
   }
 
   /** Take the lease for `owner` or throw. Package-visible for specs. */
@@ -129,6 +190,17 @@ object Lease {
       val who = read(fs, root).map(_._1).getOrElse("unknown")
       throw new IllegalStateException(
         s"store $root: lost the lease race to writer $who")
+    }
+    // POSIX rename(2) silently REPLACES an existing destination (the
+    // local FS maps Hadoop rename onto it), so a successful rename
+    // does not prove we won — re-read and verify our owner id landed
+    // (r11 ADVICE). On HDFS the rename itself already refused.
+    read(fs, root) match {
+      case Some((who, _)) if who == owner => ()
+      case other =>
+        throw new IllegalStateException(
+          s"store $root: lost the lease race to writer " +
+            s"${other.map(_._1).getOrElse("unknown")} (rename replaced)")
     }
   }
 

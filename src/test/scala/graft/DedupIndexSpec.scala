@@ -702,6 +702,133 @@ class DedupIndexSpec extends AnyFunSuite with SparkFixture {
       EmbeddingDedupIndex.update(spark, eroot, vecs, "vec_id", "embedding",
         dim = 8, threshold = 0.9, bits = 4)
     }
+    // the embedding twin's replay cleanup runs INSIDE the lease (r11
+    // ADVICE): a refused second writer must not have deleted the
+    // holder's segment first. Commit a named segment, plant a live
+    // foreign lease, replay-update with that segmentName — refused
+    // AND the committed segment is untouched.
+    efs.delete(new Path(eroot, Lease.FileName), false)
+    EmbeddingDedupIndex.update(spark, eroot,
+      Seq((3L, Array.fill(8)(0.3f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 8, threshold = 0.9, bits = 4,
+      segmentName = Some("seg-replayguard"))
+    assert(efs.exists(new Path(eroot, "seg-replayguard/_SUCCESS")))
+    val eout2 = efs.create(new Path(eroot, Lease.FileName), true)
+    try eout2.write(
+      s"holder\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally eout2.close()
+    intercept[IllegalStateException] {
+      EmbeddingDedupIndex.update(spark, eroot,
+        Seq((3L, Array.fill(8)(0.3f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 8, threshold = 0.9, bits = 4,
+        segmentName = Some("seg-replayguard"))
+    }
+    assert(efs.exists(new Path(eroot, "seg-replayguard/_SUCCESS")),
+      "a refused replay writer must not delete the holder's segment")
+    efs.delete(new Path(eroot, Lease.FileName), false)
+  }
+
+  test("compactSegments migrates a coarse-page (pre-pageRows) store " +
+      "to the probe-bounded page layout (r11 verdict #6)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // max rows any single page of the id column spans, across every
+    // sets parquet file under the store — the probe's decode
+    // granularity per key (column-index filtering selects row ranges
+    // at the PREDICATE column's page boundaries)
+    def maxIdPageRows(root: String): Long = {
+      val rootP = new Path(root)
+      val fs = rootP.getFileSystem(hconf)
+      val files = fs.listFiles(rootP, true)
+      var worst = 0L
+      while (files.hasNext) {
+        val f = files.next()
+        if (f.getPath.getName.endsWith(".parquet") &&
+            f.getPath.toString.contains("/sets/")) {
+          val r = ParquetFileReader.open(
+            HadoopInputFile.fromPath(f.getPath, hconf))
+          try {
+            r.getFooter.getBlocks.forEach { b =>
+              val idCol = b.getColumns.asScala
+                .find(_.getPath.toDotString == "id").get
+              val oi = r.readOffsetIndex(idCol)
+              val n = oi.getPageCount
+              for (i <- 0 until n) {
+                val start = oi.getFirstRowIndex(i)
+                val end = if (i + 1 < n) oi.getFirstRowIndex(i + 1)
+                  else b.getRowCount
+                worst = math.max(worst, end - start)
+              }
+            }
+          } finally r.close()
+        }
+      }
+      worst
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").localCheckpoint()
+    val root = Files.createTempDirectory("dedup-pagemig").toString
+    // simulate a pre-r11 store: pages bounded only by bytes, so the
+    // narrow sorted id column packs the whole file into one page
+    spark.conf.set("graft.dedup.pageRows", "100000")
+    try DedupIndex.update(spark, root, docs, "doc_id", "text",
+      threshold = 0.8)
+    finally spark.conf.unset("graft.dedup.pageRows")
+    val coarse = maxIdPageRows(root)
+    assert(coarse > 64,
+      s"fixture must reproduce the coarse layout (got $coarse rows/page)")
+    // compaction rewrites every file through writeSorted, which reads
+    // the CURRENT pageRows conf — one compactSegments is the runbook
+    // migration for stores written before the bound existed. force:
+    // a single-segment store (one bulk load) must migrate too.
+    assert(DedupIndex.compactSegments(spark, root).isEmpty,
+      "single segment is a merge no-op without force")
+    assert(DedupIndex.compactSegments(spark, root, force = true).nonEmpty)
+    val bounded = maxIdPageRows(root)
+    assert(bounded <= 64,
+      s"compacted store must adopt probe-bounded pages, got $bounded")
+  }
+
+  test("lease heartbeat keeps a long mutation alive past the TTL; a " +
+      "takeover mid-mutation fails the mutation loudly (r11 ADVICE)") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Lease
+    val root = Files.createTempDirectory("lease-beat").toString
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heartbeat: with a 3s TTL the beat fires every max(1s, ttl/3);
+    // a 2.5s body must observe the stamp ADVANCE, so a concurrent
+    // acquirer reading mid-mutation never sees a crash orphan
+    spark.conf.set("graft.lease.ttlMs", "3000")
+    try {
+      var stamps = List.empty[Long]
+      Lease.withWriter(spark, root) {
+        stamps ::= Lease.read(fs, rootP).map(_._2).getOrElse(-1L)
+        Thread.sleep(2500)
+        stamps ::= Lease.read(fs, rootP).map(_._2).getOrElse(-1L)
+      }
+      assert(stamps.forall(_ > 0), s"lease must stay readable: $stamps")
+      assert(stamps.head > stamps.last,
+        s"heartbeat must advance the stamp during the mutation: $stamps")
+      assert(!fs.exists(new Path(rootP, Lease.FileName)))
+      // takeover mid-mutation (host stalled past TTL, lease stolen):
+      // the mutation must FAIL at its final verify, not report
+      // success, and must NOT delete the new writer's lease
+      val e = intercept[IllegalStateException] {
+        Lease.withWriter(spark, root) {
+          val out = fs.create(new Path(rootP, Lease.FileName), true)
+          try out.write(
+            s"thief\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+      assert(e.getMessage.contains("taken over by thief"))
+      assert(Lease.read(fs, rootP).exists(_._1 == "thief"),
+        "the overtaken mutation must not delete the new writer's lease")
+    } finally spark.conf.unset("graft.lease.ttlMs")
   }
 
   test("geometry mismatch fails loudly instead of degrading recall") {
