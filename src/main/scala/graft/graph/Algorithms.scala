@@ -968,10 +968,15 @@ object Algorithms {
     // broadcast regime, same |V|-ceiling convention as ballSizes:
     // the round state is |V| label rows, and a STATIC broadcast hint
     // turns every round join into a map-side BHJ over the edge frame
-    // — measured 2.1× over leaving it to AQE at sf0.1 (11.96 →
-    // 5.63 s for the 3-round chain), because AQE only converts the
-    // join AFTER the planner already exchanged the edge side for the
-    // SMJ it planned against the stats-less aggregate. Past the
+    // — because AQE only converts the join AFTER the planner already
+    // exchanged the edge side for the SMJ it planned against the
+    // stats-less aggregate. Honest r12 re-measure (tools/
+    // lpa_ab_r12.txt, warm ABBA over a pre-built adjacency): the
+    // steady-state win is 1.11× at sf0.1 growing to 1.44× at 8×,
+    // and the hint removes the un-hinted plan's 4-5× worst legs
+    // (its first visit ran 77.8 s vs 14.6 hinted at 8×). The "2.1×"
+    // recorded here in r10 was that volatility band's upper edge,
+    // not the steady state. Past the
     // ceiling the hint comes off and the shuffle plan is the right
     // shape (forcing a broadcast there is the OOM class the
     // un-hinted census fix in EmbeddingDedupIndex exists to avoid).
