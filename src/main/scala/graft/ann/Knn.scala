@@ -691,6 +691,34 @@ object Knn {
     cellKeepersScan(withCell, "cell", idCol, threshold)
   }
 
+  /** Accumulator-backed stage split for [[cellKeepersScan]], wired
+    * only when `graft.semdedup.stageTimes` is on. Built for the r12
+    * attribution probe (SemScanProbe → tools/semscan_r12.txt) that
+    * measured the old groupByKey form's remainder: decode 912 s /
+    * sort 145 s / scan 308 s task-summed CPU, dots/rows = 1.001.
+    * After the InternalRow-cursor rewrite the decode and sort live
+    * in Tungsten stages the accumulators cannot see, so only the
+    * scan fields are populated (decodeNs/sortNs stay 0 and report
+    * as such). Accumulator values exist only AFTER the caller's
+    * action, so scratch probes, not the library, read them. */
+  private[graft] final case class ScanTelemetry(
+      decodeNs: org.apache.spark.util.LongAccumulator,
+      sortNs: org.apache.spark.util.LongAccumulator,
+      scanNs: org.apache.spark.util.LongAccumulator,
+      dots: org.apache.spark.util.LongAccumulator,
+      rows: org.apache.spark.util.LongAccumulator,
+      cells: org.apache.spark.util.LongAccumulator) {
+    def report: String =
+      f"decode=${decodeNs.value / 1e9}%.1fs sort=${sortNs.value / 1e9}%.1fs " +
+        f"scan=${scanNs.value / 1e9}%.1fs dots=${dots.value}%d " +
+        f"rows=${rows.value}%d cells=${cells.value}%d (task-summed CPU; " +
+        "wall is lower by the task parallelism)"
+  }
+  private[graft] object ScanTelemetry {
+    /** Most recent scan's accumulators (probe-read, post-action). */
+    @volatile var last: Option[ScanTelemetry] = None
+  }
+
   /** Per-cell early-exit argfirst (see semDedupScaled): for each
     * member `a`, the smallest-id same-cell member `b < a` with
     * cosine ≥ threshold, emitted as (id, cluster, dup_of, sim) — the
@@ -698,41 +726,120 @@ object Knn {
     * produces, without materializing the quadratic pair stream. The
     * dot accumulates ascending float→double exactly like the codegen
     * kernel (functions.VectorExpressions.DotProductExpr), so the
-    * emitted sims are bit-identical to the join form's. */
+    * emitted sims are bit-identical to the join form's.
+    *
+    * PRECONDITION: `withCell` must arrive hash-partitioned by
+    * `cellCol` (semDedupScaled materializes it that way) — this scan
+    * adds NO exchange of its own, so a cell split across partitions
+    * would silently lose cross-partition pairs.
+    *
+    * Shape (rewritten from groupByKey/flatMapGroups after the r12
+    * 8192× attribution probe, tools/semscan_r12.txt): the typed
+    * groupByKey path cost a second 16.8M-row exchange, a SQL sort by
+    * key PLUS a boxed per-group sortBy, and — the dominant term —
+    * the tuple ENCODER decode at 912 s task-summed CPU (67% of
+    * in-lambda CPU; `array<float>` with containsNull=true forces the
+    * deserializer through a per-element boxing loop, ~1B boxed
+    * floats at 16.4M rows). The same probe measured dots/rows =
+    * 1.001 — the argfirst really is O(1) probes per row on dup-dense
+    * corpora, so the scan itself was never the wall and the
+    * theorized quadratic tail does not exist there. Now: ONE
+    * Tungsten `sortWithinPartitions(cell, id)` over the pre-
+    * partitioned frame (no exchange — localCheckpoint preserves
+    * physical partitioning; replaces both sorts), then an
+    * InternalRow cursor that copies each vector out with ONE bulk
+    * `toFloatArray` (no per-element boxing; the cursor row is reused
+    * by Spark, so every kept field is copied before advancing). */
   private def cellKeepersScan(withCell: DataFrame, cellCol: String,
       idCol: String, threshold: Double): DataFrame = {
     val spark = withCell.sparkSession
-    import spark.implicits._
-    withCell
-      .select(col(cellCol).cast("int"), col("id"),
-        col("v").cast("array<float>"), col("nm"))
-      .as[(Int, Long, Array[Float], Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val ms = it.toArray.sortBy(_._2)
-        val out = Array.newBuilder[(Long, Int, Long, Double)]
-        var i = 1
-        while (i < ms.length) {
-          val (_, ida, va, na) = ms(i)
-          var j = 0
-          var found = false
-          while (j < i && !found) {
-            val (_, idb, vb, nb) = ms(j)
-            var s = 0.0
-            var d = 0
-            val lim = math.min(va.length, vb.length)
-            while (d < lim) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
-            val sim = s / (na * nb)
-            if (!sim.isNaN && sim >= threshold) {
-              out += ((ida, cell, idb, sim)); found = true
+    val telem = if (spark.conf.getOption("graft.semdedup.stageTimes")
+        .exists(_.toBoolean)) {
+      val sc = spark.sparkContext
+      val t = ScanTelemetry(sc.longAccumulator("semdedup-scan-decodeNs"),
+        sc.longAccumulator("semdedup-scan-sortNs"),
+        sc.longAccumulator("semdedup-scan-scanNs"),
+        sc.longAccumulator("semdedup-scan-dots"),
+        sc.longAccumulator("semdedup-scan-rows"),
+        sc.longAccumulator("semdedup-scan-cells"))
+      ScanTelemetry.last = Some(t)
+      Some(t)
+    } else None
+    val sorted = withCell
+      .select(col(cellCol).cast("int").as("cell"), col("id"),
+        col("v").cast("array<float>").as("v"), col("nm"))
+      .sortWithinPartitions("cell", "id")
+    val outRows = sorted.queryExecution.toRdd.mapPartitions { it =>
+      // growable PRIMITIVE buffers for the current cell (a generic
+      // ArrayBuffer[Long] would box every element right back)
+      var cap = 1024
+      var n = 0
+      var ids = new Array[Long](cap)
+      var nms = new Array[Double](cap)
+      var vecs = new Array[Array[Float]](cap)
+      var cur = 0
+      var any = false
+      def flush(): Iterator[org.apache.spark.sql.Row] = {
+        if (n == 0) Iterator.empty
+        else {
+          val t0 = if (telem.isDefined) System.nanoTime() else 0L
+          val out = Array.newBuilder[org.apache.spark.sql.Row]
+          var dots = 0L
+          var i = 1
+          while (i < n) {
+            val va = vecs(i); val na = nms(i); val ida = ids(i)
+            var j = 0
+            var found = false
+            while (j < i && !found) {
+              val vb = vecs(j)
+              var s = 0.0
+              var d = 0
+              val lim = math.min(va.length, vb.length)
+              while (d < lim) { s += va(d).toDouble * vb(d).toDouble; d += 1 }
+              val sim = s / (na * nms(j))
+              if (!sim.isNaN && sim >= threshold) {
+                out += org.apache.spark.sql.Row(ida, cur, ids(j), sim)
+                found = true
+              }
+              dots += 1
+              j += 1
             }
-            j += 1
+            i += 1
           }
-          i += 1
+          telem.foreach { t =>
+            t.scanNs.add(System.nanoTime() - t0)
+            t.dots.add(dots); t.rows.add(n); t.cells.add(1)
+          }
+          n = 0
+          out.result().iterator
         }
-        out.result().iterator
       }
-      .toDF(idCol, "cluster", "dup_of", "sim")
+      it.flatMap { row =>
+        val cell = row.getInt(0)
+        val pre = if (any && cell != cur) flush() else Iterator.empty
+        cur = cell; any = true
+        if (n == cap) {
+          cap *= 2
+          ids = java.util.Arrays.copyOf(ids, cap)
+          nms = java.util.Arrays.copyOf(nms, cap)
+          vecs = java.util.Arrays.copyOf(vecs, cap)
+        }
+        ids(n) = row.getLong(1)
+        vecs(n) = row.getArray(2).toFloatArray()
+        nms(n) = row.getDouble(3)
+        n += 1
+        pre
+      } ++ flush()
+    }
+    spark.createDataFrame(outRows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("dup_of",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sim",
+        org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
   /** Scale path for embedding near-dup: banded sign-LSH candidate
