@@ -1004,6 +1004,14 @@ object Algorithms {
     // (measured: per-round checkpoints ran 6× slower mid-bench than
     // in isolation). Unbounded-iteration algorithms (CC, k-core)
     // keep per-round truncation; 5 fixed rounds don't need it.
+    // MEASURED NEGATIVE (r12, tools/lpa_mode_r12.txt): collapsing
+    // this two-level pair into one shuffle via
+    // mode(label, deterministic=true) — row-identical semantics,
+    // pinned — is 2-6% SLOWER at steady state at sf0.1 and 8×: the
+    // saved exchange is real but mode's imperative
+    // ObjectHashAggregate gives up codegen that both of these hash
+    // aggs keep. Revisit only where shuffle bytes, not agg CPU, are
+    // the measured wall.
     for (_ <- 1 to steps) {
       val st = if (bcast) broadcast(labels) else labels
       labels = edges.join(st, edges("b") === st("node"))
