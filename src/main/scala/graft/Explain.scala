@@ -14,6 +14,9 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // show the whole operator tree: materialize() boundaries become
+    // pass-throughs for the audit (see Materialize "none")
+    spark.conf.set("graft.checkpoint.mode", "none")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q6_filter", "q3_topk", "q5_join5", "i_lookup_text", "s_search_or")
     names.foreach { n =>

@@ -59,6 +59,14 @@ object Materialize {
         .map(_.trim.toLowerCase).getOrElse("local") match {
         case "local" | "" =>
           ds.localCheckpoint(eager)
+        // plan-audit only (graft.Explain): no truncation, so
+        // `.explain` shows the operator tree THROUGH the boundaries
+        // that localCheckpoint would turn into ExistingRDD scans.
+        // Never set in bench/verify runs — repeated reads of a
+        // nondeterministic frame (sample, first) could diverge
+        // without the checkpoint pin.
+        case "none" =>
+          ds
         case "replicated" =>
           ds.localCheckpoint(eager, StorageLevel.MEMORY_AND_DISK_2)
         case "reliable" =>
