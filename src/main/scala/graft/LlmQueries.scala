@@ -140,7 +140,7 @@ object LlmQueries {
 
     "e_knn_ivf" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val model = ann.Ivf.train(emb, "vec_id", "embedding", dim, k = 16)
+      val model = ann.Ivf.trainCached(emb, "vec_id", "embedding", dim, k = 16)
       ann.Ivf.topK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", dim, k = 5, model, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rk"),
@@ -164,7 +164,7 @@ object LlmQueries {
       // (rows-only: Lloyd means are float-sum order-dependent, like
       // IVF; semantics pinned in AnnSpec)
       val emb = Tables.embeddings(s, d)
-      val model = ann.Pq.train(emb, "vec_id", "embedding", dim,
+      val model = ann.Pq.trainCached(emb, "vec_id", "embedding", dim,
         m = 4, k = 16)
       ann.Pq.topK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", dim, k = 5, model)
@@ -202,8 +202,8 @@ object LlmQueries {
       // exact re-rank (rows-only like its parents; AnnSpec pins
       // recall vs brute and containment in the probed cells)
       val emb = Tables.embeddings(s, d)
-      val ivf = ann.Ivf.train(emb, "vec_id", "embedding", dim, k = 16)
-      val pq = ann.Pq.train(emb, "vec_id", "embedding", dim, m = 4, k = 16)
+      val ivf = ann.Ivf.trainCached(emb, "vec_id", "embedding", dim, k = 16)
+      val pq = ann.Pq.trainCached(emb, "vec_id", "embedding", dim, m = 4, k = 16)
       ann.Pq.topKWithIvf(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", dim, k = 5, pq, ivf, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rk"),

@@ -79,15 +79,21 @@ object Ivf {
     for (_ <- 1 to iters) {
       val assigned = corpus.select(col(vecCol).as("v"),
         model.cellExpr(col(vecCol)).as("cell"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("cell").agg(map_from_arrays(
-          collect_list(col("pos")), collect_list(col("m"))).as("byPos"))
+      // per-position means as `dim` scalar avg aggregates in ONE
+      // codegen hash agg over k groups (r12): the posexplode form
+      // multiplied the aggregation input by dim (every vector became
+      // 64 rows) and needed a second collect_list pass to reassemble
+      // positions. Measured PARITY at sf0.1 (0.89 → 0.97 s warm,
+      // window noise — training there is codegen+collect bound, not
+      // agg bound); kept for the at-scale shape: partial-agg rows
+      // per task drop from k·dim to k and the explode disappears
+      val aggs = (0 until dim).map(i =>
+        avg(col("v").getItem(i).cast("double")).as(s"m$i"))
+      val means = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val byPos = r.getMap[Int, Double](1)
-          r.getInt(0) -> normalize((0 until dim).map(i => byPos.getOrElse(i, 0.0)))
+          r.getInt(0) -> normalize((0 until dim).map { i =>
+            if (r.isNullAt(i + 1)) 0.0 else r.getDouble(i + 1) })
         }.toSeq
       // empty cells keep their previous centroid
       val kept = model.centroids.toMap ++ means.toMap
@@ -95,6 +101,35 @@ object Ivf {
     }
     model
   }
+
+  /** [[train]] memoized per (corpus plan, geometry) — e_knn_ivf and
+    * e_knn_ivfpq train the IDENTICAL deterministic quantizer on the
+    * same scan (Lloyd from id-ordered seeds, fixed sample seed), so
+    * the second training pass was pure duplicate work. Keyed on the
+    * ANALYZED PLAN's semantic hash (Tables.* builds a fresh frame per
+    * call, so instance identity — the lpaCache key — would never
+    * hit). Registered with Memos: the bench's reset protocol clears
+    * it between passes like every derived artifact. */
+  def trainCached(corpus0: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int = 2,
+      sampleFraction: Double = 1.0): Model =
+    cache.getOrElseUpdate(
+      (corpus0.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+        dim, k, iters, sampleFraction),
+      train(corpus0, idCol, vecCol, dim, k, iters, sampleFraction))
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int, Int, Int, Double), Model]()
+  private implicit final class MapOps(private val m:
+      java.util.concurrent.ConcurrentHashMap[
+        (Int, String, String, Int, Int, Int, Double), Model]) {
+    def getOrElseUpdate(k: (Int, String, String, Int, Int, Int, Double),
+        v: => Model): Model = {
+      val hit = m.get(k)
+      if (hit != null) hit else { val nv = v; m.putIfAbsent(k, nv); nv }
+    }
+  }
+  graft.util.Memos.registerDerived(() => cache.clear())
 
   /** Approximate top-k: per query, exact cosine rank over the
     * vectors in its `nprobe` best cells. */

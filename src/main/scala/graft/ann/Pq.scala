@@ -107,26 +107,28 @@ object Pq {
     var model = Model(init, dim, m)
     for (_ <- 1 to iters) {
       // one corpus pass updates ALL subspaces: each row explodes to m
-      // (subspace, code, subvector) rows, means group on
-      // (subspace, code, pos)
+      // (subspace, code, subvector) rows; the per-position means are
+      // `sub` scalar avg aggregates in ONE codegen hash agg over
+      // m·k groups (r12 — the old per-element posexplode multiplied
+      // the aggregation input by dim and needed a collect_list
+      // reassembly pass; at corpus scale partial-agg rows per task
+      // drop from m·k·sub to m·k)
       val assigned = corpus.select(col("v") +:
         (0 until m).map(j => model.codeExpr(col("v"), j).as(s"c$j")): _*)
       val exploded = assigned.select(explode(array((0 until m).map { j =>
         struct(lit(j).as("j"), col(s"c$j").as("code"),
           slice(col("v"), j * sub + 1, sub).as("vj"))
       }: _*)).as("e"))
-        .select(col("e.j"), col("e.code"),
-          posexplode(col("e.vj")).as(Seq("pos", "x")))
-      val means = exploded.groupBy("j", "code", "pos")
-        .agg(avg("x").as("mu"))
-        .groupBy("j", "code")
-        .agg(map_from_arrays(collect_list(col("pos")),
-          collect_list(col("mu"))).as("byPos"))
+        .select(col("e.j"), col("e.code"), col("e.vj"))
+      val aggs = (0 until sub).map(i =>
+        avg(col("vj").getItem(i).cast("double")).as(s"m$i"))
+      val means = exploded.groupBy("j", "code")
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val byPos = r.getMap[Int, Double](2)
           (r.getInt(0), r.getInt(1),
-            (0 until sub).map(i => byPos.getOrElse(i, 0.0)))
+            (0 until sub).map { i =>
+              if (r.isNullAt(i + 2)) 0.0 else r.getDouble(i + 2) })
         }
       val bySub = means.groupBy(_._1)
       model = Model((0 until m).map { j =>
@@ -139,6 +141,32 @@ object Pq {
     }
     model
   }
+
+  /** [[train]] memoized per (corpus plan, geometry) — e_knn_pq and
+    * e_knn_ivfpq train the IDENTICAL deterministic codebooks on the
+    * same scan; see Ivf.trainCached for the keying rationale (plan
+    * semantic hash, not frame identity). Reset-protocol-visible via
+    * Memos like every derived artifact. */
+  def trainCached(corpus0: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int = 4, k: Int = 16, iters: Int = 2,
+      sampleFraction: Double = 1.0): Model =
+    cache.getOrElseUpdate(
+      (corpus0.queryExecution.analyzed.semanticHash(), idCol, vecCol,
+        dim, m, k, iters, sampleFraction),
+      train(corpus0, idCol, vecCol, dim, m, k, iters, sampleFraction))
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, String, Int, Int, Int, Int, Double), Model]()
+  private implicit final class MapOps(private val mp:
+      java.util.concurrent.ConcurrentHashMap[
+        (Int, String, String, Int, Int, Int, Int, Double), Model]) {
+    def getOrElseUpdate(k: (Int, String, String, Int, Int, Int, Int, Double),
+        v: => Model): Model = {
+      val hit = mp.get(k)
+      if (hit != null) hit else { val nv = v; mp.putIfAbsent(k, nv); nv }
+    }
+  }
+  graft.util.Memos.registerDerived(() => cache.clear())
 
   /** Approximate top-k by ADC over the coded corpus, then exact
     * cosine re-rank of the top `rerankK` candidates per query. */

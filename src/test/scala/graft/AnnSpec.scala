@@ -337,4 +337,32 @@ class AnnSpec extends AnyFunSuite with SparkFixture {
     val recall = (g5 & b5).size.toDouble / b5.size
     assert(recall >= 0.8, s"sq recall@5 = $recall")
   }
+
+  test("trainCached: one training per (plan, geometry), cleared by the " +
+      "derived-memo reset (r12 — ivf/pq/ivfpq shared the training)") {
+    graft.util.Memos.resetDerived()
+    // fresh frames over the same source — instance identity differs,
+    // the plan's semantic hash does not
+    val a = ann.Ivf.trainCached(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", dim, k = 8)
+    val b = ann.Ivf.trainCached(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", dim, k = 8)
+    assert(a eq b, "second call must be a memo hit")
+    val pa = ann.Pq.trainCached(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", dim, m = 4, k = 8)
+    val pb = ann.Pq.trainCached(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", dim, m = 4, k = 8)
+    assert(pa eq pb, "second call must be a memo hit")
+    // different geometry ⇒ different model
+    val c = ann.Ivf.trainCached(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", dim, k = 4)
+    assert(!(a eq c))
+    // the bench's between-pass reset re-trains (no cross-pass reuse)
+    graft.util.Memos.resetDerived()
+    val d = ann.Ivf.trainCached(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", dim, k = 8)
+    assert(!(a eq d), "reset must clear the model memo")
+    // and the deterministic retrain reproduces the same centroids
+    assert(a.centroids == d.centroids)
+  }
 }
