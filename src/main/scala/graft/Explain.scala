@@ -15,8 +15,13 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // show the whole operator tree: materialize() boundaries become
-    // pass-throughs for the audit (see Materialize "none")
-    spark.conf.set("graft.checkpoint.mode", "none")
+    // pass-throughs for the audit (see Materialize "none").
+    // SPARK_GRAFT_EXPLAIN_MODE=local keeps the boundaries instead —
+    // the right view for counting a round chain's EFFECTIVE
+    // exchanges, where inlining the shared checkpointed builds would
+    // multiply-count their exchanges.
+    spark.conf.set("graft.checkpoint.mode",
+      sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_MODE", "none"))
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q6_filter", "q3_topk", "q5_join5", "i_lookup_text", "s_search_or")
     names.foreach { n =>

@@ -1012,9 +1012,26 @@ object Algorithms {
     // ObjectHashAggregate gives up codegen that both of these hash
     // aggs keep. Revisit only where shuffle bytes, not agg CPU, are
     // the measured wall.
+    // Broadcast regime (r12, §2.4 remove-shuffles): the round body is
+    // BHJ-on-b → groupBy(a,label) → groupBy(a). The checkpointed
+    // adjacency scans as UnknownPartitioning, so BOTH aggs paid an
+    // exchange — 2 × steps exchanges of near-|E| rows per chain. One
+    // in-plan repartition(a) over the scan makes the BHJ output
+    // HashPartitioning(a), which satisfies the clustered distribution
+    // of groupBy(a,label) AND groupBy(a): every round's aggs fuse
+    // into the join's stage, and the Exchange(a) subtree is
+    // identical across rounds so ReuseExchange ships it once.
+    // Executed-plan pin: plans/r12/g_communities_{before,after}.txt —
+    // per-round shuffle exchanges 2 → 0; runtime (LpaAbProbe, hinted
+    // legs): stages 25 → 17, shuffle write 38.5 → 30.5 MB, best wall
+    // 4.48 → 3.71 s at sf0.1. The SMJ regime keeps
+    // the plain frame: its round join already reuses the b-exchange,
+    // and forcing a-partitioning there would re-exchange the big side
+    // per round for the join.
+    val roundEdges = if (bcast) edges.repartition(col("a")) else edges
     for (_ <- 1 to steps) {
       val st = if (bcast) broadcast(labels) else labels
-      labels = edges.join(st, edges("b") === st("node"))
+      labels = roundEdges.join(st, roundEdges("b") === st("node"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("a"))
         .agg(min_by(col("label"), struct((-col("c")).as("nc"),
