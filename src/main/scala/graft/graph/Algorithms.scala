@@ -602,9 +602,35 @@ object Algorithms {
     // plus one |V|-sized state broadcast. Shuffle path: partition by
     // the join key `b` so the state join never re-exchanges the big
     // side, and the groupBy(a) exchange moves partial-agged sketches.
+    //
+    // r12: the repartition must live IN-PLAN over the checkpoint,
+    // not inside it — under AQE a localCheckpoint's LogicalRDD
+    // reports UnknownPartitioning, so the old repartition-then-
+    // checkpoint shape made every round's groupBy(node) re-exchange
+    // |E| rows WITH their ~1.1 KB sketches (the r12 LPA finding,
+    // executed-plan-verified; here the payload is the sketch, so the
+    // removed exchanges are the round's dominant bytes). In-plan,
+    // the identical Exchange(a) subtrees dedupe via ReuseExchange in
+    // the broadcast regime's single-execution chain: measured
+    // (BallAbProbe, sf0.1) stages 18 → 11, shuffle write
+    // 46.3 → 8.1 MB, best wall 5.59 → 3.33 s. The shuffle regime's
+    // per-round executions (roundCkpt) cannot reuse across rounds —
+    // for them the in-plan exchange costs exactly what the
+    // EnsureRequirements one did before.
+    // numPartitions pinned (REPARTITION_BY_NUM): a bare
+    // repartition(col) is REPARTITION_BY_COL, which AQE coalesces by
+    // BYTES — the thin (a,b) exchange packs into 1-2 partitions and
+    // every fused round (join + the CPU-heavy sketch unions) then
+    // runs 1-2-wide. First measurement of this change had exactly
+    // that: legs 18-23 s vs 5.6 baseline with "AQEShuffleRead
+    // coalesced" over the reused exchange. The pin follows
+    // spark.sql.shuffle.partitions, the session's scale knob.
+    val nShuf = undirectedEdges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val edges = undirectedEdges
       .unionByName(nodes.select(col("a"), col("a").as("b")))
-      .repartition(if (bcast) col("a") else col("b")).materialize()
+      .materialize()
+      .repartition(nShuf, if (bcast) col("a") else col("b"))
     // sketch precision by graph size: lgk=10 (±3.3 %) while the
     // state still broadcasts; lgk=8 (±6.5 %) on the shuffle path —
     // HyperBall's own billion-node runs used 2^7-2^9 registers
