@@ -170,6 +170,14 @@ object Retrieval {
     * totals ride a single-row broadcast. */
   def trigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
       l3: Double = 0.6, l2: Double = 0.3, l1: Double = 0.1): DataFrame = {
+    // MEASURED NEGATIVE (r12, PerplexAbProbe ABBA): checkpointing
+    // this frame so uni/bi/tri tokenize once read 1.5× SLOWER than
+    // the lazy recompute at sf0.1 (best-of 3.49 vs 2.35 s) — the
+    // whitespace split is cheap and the token-array checkpoint is
+    // fat, the opposite trade of minhashNearDups' hashed frame
+    // (sort + per-token hash + md5, compact long-array payload),
+    // where the same one-pass change won ~2 s. Tokenization stays
+    // lazy here.
     val base = docs.select(col(idCol),
       TextAnalysis.wsTokens(col(textCol)).as("toks"))
     // streams: unigrams (all tokens), bigrams (adjacent pairs),
@@ -198,7 +206,9 @@ object Retrieval {
       .select(col("c2p").as("x2p"), col("c2ctx"))
     val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1"))
       .select(col("w").as("c1w"), col("c1"))
-    val n = uni.agg(count(lit(1)).as("n"))
+    // N = sum(c1) — derived from the unigram model instead of a
+    // second corpus-wide count scan (r12)
+    val n = c1.agg(sum(col("c1")).as("n"))
     val scored = tri
       .join(c3, Seq("w1", "w2", "w3"))
       .join(ctx3, col("w1") === col("x3a") && col("w2") === col("x3b"))
