@@ -302,7 +302,7 @@ object Algorithms {
     import spark.implicits._
     val bAdj = broadcastAdjacency(undirectedEdges)
     spark.sparkContext.parallelize(Seq(0), 1).flatMap { _ =>
-      val g = bAdj.value
+      val g = PackedAdjacency.decode(bAdj)
       val ids = g.keys.toArray.sorted
       val idx = ids.zipWithIndex.toMap
       val n = ids.length
@@ -768,9 +768,21 @@ object Algorithms {
     * receives |V| pre-built rows instead of 2|E| pairs to re-group)
     * and shipped once per frame instance: [[betweenness]] and
     * [[kCore]] probe the same map. Eviction drops the reference;
-    * the TorrentBroadcast is reclaimed by the ContextCleaner. */
+    * the TorrentBroadcast is reclaimed by the ContextCleaner.
+    *
+    * The broadcast payload is PACKED (r12): one -joined
+    * neighbor string + the neighbor count per node, decoded to the
+    * Map[String, Array[String]] once per JVM on first task access
+    * ([[PackedAdjacency.decode]]). Broadcasts go through Java
+    * serialization, which walks every object — the unpacked map's
+    * ~2|E| string objects cost 2.1-2.3 s to ship at sf0.1 (1.17 M
+    * edges) vs 0.06 s packed + a one-time 0.1 s decode (BetwProbe,
+    * r12); that build was ~60 % of g_betweenness's wall. The count
+    * rides along so decode can fail LOUDLY if an id ever contains
+    * the separator (split length mismatch) instead of silently
+    * corrupting neighbor sets. */
   private val adjBcastCache = new graft.util.LruCache[DataFrame,
-    org.apache.spark.broadcast.Broadcast[Map[String, Array[String]]]](8)
+    org.apache.spark.broadcast.Broadcast[Array[(String, String, Int)]]](8)
   graft.util.Memos.registerDerived(() => adjBcastCache.clear())
   // serialized build PER KEY (striped latch — one monitor here used
   // to serialize first builds of DIFFERENT graphs too): LruCache runs
@@ -793,11 +805,48 @@ object Algorithms {
         val adj = undirectedEdges
           .filter(col("a").isNotNull && col("b").isNotNull)
           .groupBy(col("a").cast("string").as("a"))
-          .agg(collect_list(col("b").cast("string")).as("bs"))
-          .as[(String, Array[String])].collect().toMap
+          .agg(concat_ws(PackedAdjacency.Sep.toString,
+              collect_list(col("b").cast("string"))).as("bs"),
+            count(col("b")).cast("int").as("n"))
+          .as[(String, String, Int)].collect()
         spark.sparkContext.broadcast(adj)
       }
     }
+
+  /** Executor-side decode of [[broadcastAdjacency]]'s packed payload,
+    * cached per JVM and broadcast id so the k seed tasks (and any
+    * same-graph consumer, e.g. kCore after betweenness) share ONE
+    * Map[String, Array[String]] materialization. Bounded LRU — an
+    * executor outliving many graphs must not pin every decoded map.
+    * Decode is loud on separator collisions: the packed neighbor
+    * count must match the split length. */
+  private[graph] object PackedAdjacency {
+    val Sep = ''
+    private val cache = new java.util.LinkedHashMap[
+        Long, Map[String, Array[String]]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, Map[String, Array[String]]]) =
+        size() > 4
+    }
+    def decode(b: org.apache.spark.broadcast.Broadcast[
+        Array[(String, String, Int)]]): Map[String, Array[String]] =
+      cache.synchronized {
+        val got = cache.get(b.id)
+        if (got != null) got
+        else {
+          val m = b.value.iterator.map { case (k, packed, n) =>
+            val bs =
+              if (n == 0) Array.empty[String] else packed.split(Sep)
+            require(bs.length == n, s"packed adjacency for '$k' " +
+              s"decoded ${bs.length} neighbors, expected $n — " +
+              "a node id contains the separator")
+            (k, bs)
+          }.toMap
+          cache.put(b.id, m)
+          m
+        }
+      }
+  }
 
   /** Broadcast regime: per-seed truncated Brandes (forward BFS with
     * σ path counts, backward dependency sweep) as ONE flatMap task
@@ -817,7 +866,7 @@ object Algorithms {
     spark.sparkContext
       .parallelize(seedKeys.toSeq, math.max(1, seedKeys.length))
       .flatMap { s =>
-        val g = bAdj.value
+        val g = PackedAdjacency.decode(bAdj)
         val depth = scala.collection.mutable.HashMap(s -> 0)
         val sigma = scala.collection.mutable.HashMap(s -> 1.0)
         val levels = scala.collection.mutable.ArrayBuffer(Array(s))
