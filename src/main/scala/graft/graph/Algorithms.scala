@@ -822,27 +822,38 @@ object Algorithms {
     * count must match the split length. */
   private[graph] object PackedAdjacency {
     val Sep = ''
+    // cache key: (appId, broadcast id) — broadcast ids restart from 0
+    // per SparkContext, so id alone could serve a STALE map to a JVM
+    // that recreated its session (r12 ADVICE); the app id makes the
+    // key context-unique
     private val cache = new java.util.LinkedHashMap[
-        Long, Map[String, Array[String]]](8, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, Map[String, Array[String]]]) =
+        (String, Long), Map[String, Array[String]]](8, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[
+          (String, Long), Map[String, Array[String]]]) =
         size() > 4
     }
     def decode(b: org.apache.spark.broadcast.Broadcast[
         Array[(String, String, Int)]]): Map[String, Array[String]] =
       cache.synchronized {
-        val got = cache.get(b.id)
+        val key = (org.apache.spark.SparkEnv.get.conf.getAppId, b.id)
+        val got = cache.get(key)
         if (got != null) got
         else {
           val m = b.value.iterator.map { case (k, packed, n) =>
-            val bs =
-              if (n == 0) Array.empty[String] else packed.split(Sep)
+            // split with limit -1 keeps trailing empty strings, so the
+            // count check catches BOTH corruption directions (r12
+            // ADVICE): an empty-string last neighbor no longer crashes
+            // a valid input, and an id ENDING in the separator can no
+            // longer pass the require with silently-wrong neighbors
+            val bs = if (n == 0) Array.empty[String]
+              else packed.split(
+                java.util.regex.Pattern.quote(Sep.toString), -1)
             require(bs.length == n, s"packed adjacency for '$k' " +
               s"decoded ${bs.length} neighbors, expected $n — " +
               "a node id contains the separator")
             (k, bs)
           }.toMap
-          cache.put(b.id, m)
+          cache.put(key, m)
           m
         }
       }
@@ -1103,7 +1114,17 @@ object Algorithms {
     // the plain frame: its round join already reuses the b-exchange,
     // and forcing a-partitioning there would re-exchange the big side
     // per round for the join.
-    val roundEdges = if (bcast) edges.repartition(col("a")) else edges
+    // numPartitions pinned (REPARTITION_BY_NUM), mirroring ballSizes:
+    // a bare repartition(col) is REPARTITION_BY_COL, which AQE
+    // coalesces by BYTES — the thin (a,b) exchange packs into 1-2
+    // partitions and every fused round (join + both aggs) runs that
+    // narrow (r12 verdict: the committed after-plan showed
+    // "AQEShuffleRead coalesced" over the reused round exchange).
+    // The pin follows spark.sql.shuffle.partitions, the scale knob.
+    val nShuf = spark.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    val roundEdges =
+      if (bcast) edges.repartition(nShuf, col("a")) else edges
     for (_ <- 1 to steps) {
       val st = if (bcast) broadcast(labels) else labels
       labels = roundEdges.join(st, roundEdges("b") === st("node"))
@@ -1179,6 +1200,10 @@ object Algorithms {
     * frame, so its join table is |V| rows, not |V|·length. */
   def deterministicWalks(undirectedEdges: DataFrame,
       length: Int): DataFrame = {
+    // the wide choice table needs ≥1 step column (choiceCols.head
+    // below); length<1 used to degrade in the explode form but now
+    // crashes obscurely — fail with the contract instead (r12 ADVICE)
+    require(length >= 1, s"walk length must be >= 1, got $length")
     val spark = undirectedEdges.sparkSession
     val choiceCols = (1 to length).map(t => min_by(col("b"),
       md5(concat_ws("|", col("a"), lit(t), col("b")))).as(s"n$t"))

@@ -198,8 +198,14 @@ object GraphBuilder {
     * scratch copy is never re-read after `body`; the blocks are
     * freed immediately instead of waiting out 16 LRU misses. */
   def withAKeyed[T](edges: DataFrame)(body: DataFrame => T): T =
-    if (isStable(edges)) body(aKeyed(edges))
-    else {
+    if (isStable(edges)) {
+      // scratch A/B flag (r13 probe): skip the memoized
+      // repartition+checkpoint and hand the stable frame straight to
+      // the operator
+      val raw = edges.sparkSession.conf.getOption("graft.akeyed.raw")
+        .exists(_.trim.equalsIgnoreCase("true"))
+      body(if (raw) edges else aKeyed(edges))
+    } else {
       val scratch = edges.repartition(col("a"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try body(scratch) finally scratch.unpersist(blocking = false)
