@@ -19,11 +19,16 @@ package graft
   *    reading pass 1's caches. Per-key value = min of the two passes;
   *    a burst must straddle BOTH visits of a key (minutes apart) to
   *    contaminate its number.
-  *  - NOISE SENTINEL: one fixed cheap key (q1_agg) is re-timed at
-  *    start / middle / end; the JSON records the three times and
-  *    their max/min spread. spread ≤ 2 ⇒ the window was clean;
-  *    bigger ⇒ the artifact self-flags (window_quality "noisy") and
-  *    per-key numbers should be read against bench_record.json.
+  *  - NOISE SENTINEL: one fixed cheap key (q1_agg) is re-timed
+  *    before and after every pass; the JSON records every sample and
+  *    the max/min spread. Each pass's bracketing pair grades THAT
+  *    pass's window; the artifact's grade is the cleanest bracket
+  *    (keys take the min across passes, so every key was visited at
+  *    least once inside that window).
+  *  - BOUNDED REPAIR (r12 verdict #2): if NO pass ran inside a clean
+  *    bracket (spread ≤ 1.2), up to SPARK_GRAFT_BENCH_RETRIES
+  *    (default 1) additional full reset passes run before emitting —
+  *    the quality instrument acts instead of just self-flagging.
   *  - REFERENCE COLUMN: the committed clean-window record
   *    (bench_record.json, maintained by hand at the best known
   *    clean run) rides along in bench_last.json per key, so a reader
@@ -76,12 +81,25 @@ object Bench {
     // Attribution overrides: where one query CONSUMES another's
     // memoized artifact, the producer must run first so the shared
     // build is billed to the operator named for it. Alphabetical
-    // order gets this right for free everywhere except the dedup
-    // family (d_dedup_clusters sorts before d_dedup_minhash but
-    // resolution consumes the pair build — r07 verdict item #2);
+    // order gets this right for free everywhere except:
+    //  - the dedup family (d_dedup_clusters sorts before
+    //    d_dedup_minhash but resolution consumes the pair build —
+    //    r07 verdict item #2), and d_decontaminate_fuzzy, which
+    //    consumes the hashed-token-set frame the minhash kernel
+    //    builds (r13);
+    //  - the knn family (r12 verdict #5): e_knn_ivfpq consumes BOTH
+    //    trainings (IVF from e_knn_ivf, codebooks from e_knn_pq);
+    //    alphabetically it sorts between them, so the PQ training
+    //    would be billed to the composite instead of its producer.
     // '~' sorts after every alphanumeric, placing the consumer
-    // immediately after its producer
-    val orderKey = Map("d_dedup_clusters" -> "d_dedup_minhash~1")
+    // immediately after its producer.
+    val orderKey = Map(
+      "d_dedup_clusters" -> "d_dedup_minhash~1",
+      "d_decontaminate_fuzzy" -> "d_dedup_minhash~2",
+      // the exact check consumes the train-gram bloom its namesake
+      // builds (probe-side pre-filter, r13) — producer first
+      "d_decontaminate" -> "d_decontaminate_bloom~1",
+      "e_knn_ivfpq" -> "e_knn_pq~1")
       .withDefault(identity[String])
     val plan = SparkEntry.queries.toSeq.sortBy(q => orderKey(q._1))
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -116,46 +134,75 @@ object Bench {
     }
 
     warm()
-    val s1 = sentinel()
-    val pass1 = runPass()
-    val s2 = sentinel()
+    var sentinels = Vector(sentinel())
+    var passes = Vector.empty[Seq[(String, Double)]]
+    def timedPass(): Unit = {
+      passes :+= runPass()
+      sentinels :+= sentinel()
+    }
+    timedPass()
     // pass 2 re-measures operators, not pass 1's memo hits
     graft.util.Memos.resetDerived()
     warm()
-    val pass2 = runPass()
-    val s3 = sentinel()
+    timedPass()
 
-    val p2 = pass2.toMap
-    // best-of-2 per key; -1 (failed) only if BOTH passes failed
-    val results: Seq[(String, Double)] = pass1.map { case (k, v1) =>
-      val v2 = p2.getOrElse(k, -1.0)
-      k -> ((v1 >= 0, v2 >= 0) match {
-        case (true, true) => math.min(v1, v2)
-        case (true, false) => v1
-        case (false, true) => v2
-        case _ => -1.0
-      })
+    // per-pass sentinel bracket: pass i ran between sentinels(i) and
+    // sentinels(i+1); its spread grades THAT pass's window. Keys take
+    // the min across passes, so the artifact is gradeable when the
+    // CLEANEST bracket is clean — every key was visited at least once
+    // inside it (r12 verdict #2: a noisy self-flag must trigger a
+    // bounded retry instead of grading the round).
+    def bracketSpread(i: Int): Double = {
+      val (a, b) = (sentinels(i), sentinels(i + 1))
+      if (a > 0 && b > 0) math.max(a, b) / math.min(a, b) else -1.0
+    }
+    def bestBracket: Double = {
+      val bs = passes.indices.map(bracketSpread).filter(_ > 0)
+      if (bs.nonEmpty) bs.min else -1.0
+    }
+    // bounded repair: while no pass ran in a clean bracket, run ONE
+    // more full reset pass (default 1 retry — each is ~a third of the
+    // base run; SPARK_GRAFT_BENCH_RETRIES=0 restores the r12 shape)
+    val maxRetries = sys.env.get("SPARK_GRAFT_BENCH_RETRIES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(1)
+    var repairs = 0
+    while (bestBracket > 1.2 && repairs < maxRetries) {
+      repairs += 1
+      graft.util.Memos.resetDerived()
+      warm()
+      timedPass()
+    }
+
+    // best-of-all-passes per key; -1 (failed) only if EVERY pass failed
+    val byKey = passes.flatten.groupBy(_._1)
+    val results: Seq[(String, Double)] = passes.head.map { case (k, _) =>
+      val ok = byKey(k).map(_._2).filter(_ >= 0)
+      k -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     // errors: drop keys that succeeded in at least one pass
     val okKeys = results.filter(_._2 >= 0).map(_._1).toSet
     okKeys.foreach(errors.remove)
 
-    val sruns = Seq(s1, s2, s3).filter(_ > 0)
+    val sruns = sentinels.filter(_ > 0)
+    // overall spread (max/min across every sentinel sample) kept for
+    // round-over-round comparability; the GRADE uses the cleanest
+    // per-pass bracket, because that is the window the per-key mins
+    // actually come from
     val spread = if (sruns.size >= 2) sruns.max / sruns.min else -1.0
     // tiered quality (r11 verdict #2): the old single ≤2.0 "clean"
     // certified windows that were uniformly ~1.35× loud. ≤1.2 ⇒ per-
     // key numbers are gradeable; ≤2.0 ⇒ only the total is; above ⇒
     // read everything against bench_record.json.
-    val quality = if (spread < 0) "unknown"
-      else if (spread <= 1.2) "clean"
-      else if (spread <= 2.0) "total_only" else "noisy"
-    // per-key volatility: pass1/pass2 disagreement > 1.5× means a
-    // burst hit one visit — that key's best-of-2 is still the better
+    val gradeSpread = bestBracket
+    val quality = if (gradeSpread < 0) "unknown"
+      else if (gradeSpread <= 1.2) "clean"
+      else if (gradeSpread <= 2.0) "total_only" else "noisy"
+    // per-key volatility: cross-pass disagreement > 1.5× means a
+    // burst hit one visit — that key's best-of-N is still the better
     // estimate but should not be graded as a regression/win alone
-    val volatile = pass1.flatMap { case (k, v1) =>
-      val v2 = p2.getOrElse(k, -1.0)
-      if (v1 > 0 && v2 > 0 && math.max(v1, v2) / math.min(v1, v2) > 1.5)
-        Some(k) else None
+    val volatile = passes.head.map(_._1).flatMap { k =>
+      val ok = byKey(k).map(_._2).filter(_ > 0)
+      if (ok.size >= 2 && ok.max / ok.min > 1.5) Some(k) else None
     }
     // /proc/loadavg at the window's end: co-tenant load is THE noise
     // source on this host, so the artifact carries the evidence
@@ -193,18 +240,20 @@ object Bench {
       .mkString("{", ",", "}")
 
     val total = results.map(_._2).filter(_ >= 0).sum
-    val p1total = pass1.map(_._2).filter(_ >= 0).sum
-    val p2total = pass2.map(_._2).filter(_ >= 0).sum
     val recKeys = results.collect {
       case (k, _) if record.contains(k) => k -> record(k) }
     val noise =
-      s"""{"sentinel":"$sentinelKey","runs":[${jnum(s1)},${jnum(s2)},${
-        jnum(s3)}],"spread":${jnum(spread)},"window_quality":"$quality","loadavg":${
+      s"""{"sentinel":"$sentinelKey","runs":[${sentinels.map(jnum).mkString(",")
+        }],"spread":${jnum(spread)},"grade_spread":${jnum(gradeSpread)
+        },"bracket_spreads":[${passes.indices.map(i => jnum(bracketSpread(i)))
+          .mkString(",")}],"repair_passes":$repairs,"window_quality":"$quality","loadavg":${
         jstr(loadavg)},"volatile_keys":[${volatile.map(jstr).mkString(",")}]}"""
+    val passTotals = passes.map(_.map(_._2).filter(_ >= 0).sum)
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","protocol":"best_of_2_reset","queries":${
-        jmap(results)},"pass1":${jmap(pass1)},"pass2":${jmap(pass2)},"pass1_total":${
-        jnum(p1total)},"pass2_total":${jnum(p2total)},"noise":$noise,"record":${
+        jmap(results)},"passes":[${passes.map(jmap).mkString(",")
+        }],"pass_totals":[${passTotals.map(jnum).mkString(",")
+        }],"noise":$noise,"record":${
         jmap(recKeys)},"errors":$es,"sf":"$sfDir"}"""
 
     // The driver captures only the LAST 2000 characters of stdout and
@@ -220,27 +269,41 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val entries = results.map { case (k, v) => k -> (s"\"" + k + "\":" + ms(v)) }
     val noiseShort =
-      s""""noise":{"spread":${ms(spread)},"window_quality":"$quality","volatile":${
+      s""""noise":{"spread":${ms(spread)},"grade_spread":${ms(gradeSpread)
+        },"repair_passes":$repairs,"window_quality":"$quality","volatile":${
         volatile.size},"loadavg":${jstr(loadavg)}},"""
     val fixedPre =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","protocol":"best_of_2_reset",$noiseShort"queries":{"""
     val esShort = if (es.length <= 200) es else "{}"
-    def fixedPost(omitted: Int) =
-      s"""},"errors":$esShort,"queries_omitted":$omitted,"sf":"$sfDir"}"""
+    // the line is budgeted (slowest keys only when it overflows) but
+    // must carry a COMPLETE signal (r12 verdict #2 — the churning
+    // visible set read as phantom dropped queries): the total key
+    // count, the seconds the omitted keys sum to, and the md5 of the
+    // full-map bench_last.json so a reader can verify the complete
+    // per-key artifact matches this line
+    val detailMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(fullLine.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fixedPost(omitted: Int, omittedSec: Double) =
+      s"""},"errors":$esShort,"queries_total":${results.size
+        },"queries_omitted":$omitted,"omitted_total_sec":${ms(omittedSec)
+        },"detail_md5":"$detailMd5","sf":"$sfDir"}"""
     val allLen = fixedPre.length + entries.map(_._2.length + 1).sum +
-      fixedPost(0).length
+      fixedPost(0, 0.0).length
     val kept: Seq[String] =
       if (allLen <= budget) entries.map(_._1)
       else {
         val bySlow = results.sortBy { case (_, v) => -v }.map(_._1)
         val lenOf = entries.toMap.transform((_, e) => e.length + 1)
-        var used = fixedPre.length + fixedPost(results.size).length
+        // conservative sizing: assume worst-case omitted_total_sec width
+        var used = fixedPre.length + fixedPost(results.size, 99999.999).length
         bySlow.takeWhile { k => used += lenOf(k); used <= budget }
       }
     val keptSet = kept.toSet
+    val omittedSec = results
+      .collect { case (k, v) if !keptSet(k) && v > 0 => v }.sum
     val line = fixedPre +
       entries.collect { case (k, e) if keptSet(k) => e }.mkString(",") +
-      fixedPost(results.size - keptSet.size)
+      fixedPost(results.size - keptSet.size, omittedSec)
     println(line)
     // Best-effort: a failed write (read-only checkout, other cwd) must
     // not turn already-printed valid timings into a nonzero sbt exit

@@ -29,10 +29,35 @@ object LlmQueries {
   private val pairsCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
   graft.util.Memos.registerDerived(() => pairsCache.clear())
+  // the corpus-wide hashed-token-set frame (tokenize + per-token
+  // xxhash64 + sort + 128-bit content key, checkpointed) — the
+  // dominant scan of BOTH the minhash pipeline and the fuzzy
+  // decontamination check; built once per (session, dir) like the
+  // pair frame (r12 verdict #4 / guide §1.2). Bench attribution: the
+  // minhash key runs first (orderKey) so the build bills to it.
+  private val hashedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+  graft.util.Memos.registerDerived(() => hashedCache.clear())
+  private def hashedSets(s: SparkSession, d: String): DataFrame =
+    hashedCache.getOrElseUpdate((s, d),
+      Dedup.hashedTokenSets(Tables.documents(s, d), "doc_id", "text"))
+  // the train-side 8-gram bloom (driver-held sketch): built once per
+  // (session, dir), consumed by d_decontaminate_bloom (its namesake,
+  // runs first via orderKey) and as the exact check's probe-side
+  // pre-filter (guide §3.2 — drops definitely-clean eval grams
+  // map-side before the gram exchange; the exact semi-join still
+  // verifies every survivor, so the result is unchanged)
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Option[Array[Byte]]]
+  graft.util.Memos.registerDerived(() => bloomCache.clear())
+  private def trainBloom(s: SparkSession, d: String): Option[Array[Byte]] =
+    bloomCache.getOrElseUpdate((s, d),
+      Dedup.trainGramBloom(Tables.documents(s, d), "doc_id", "text", n = 8))
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate((s, d),
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.8).materialize())
+        threshold = 0.8, prebuiltHashed = Some(hashedSets(s, d)))
+        .materialize())
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_dedup_exact" -> { (s, d) =>
@@ -226,7 +251,8 @@ object LlmQueries {
       // straddling the split boundary (permuted near-dups share no
       // 8-gram), which is exactly the leak the check must catch.
       Dedup.crossSplitContamination(Tables.documents(s, d),
-          "doc_id", "text", n = 8)
+          "doc_id", "text", n = 8,
+          preFilterBloom = trainBloom(s, d))
         .orderBy("doc_id")
     },
 
@@ -237,7 +263,8 @@ object LlmQueries {
       // Jaccard but no 8-gram). Rows-only: banding is hash-internal;
       // DedupSpec plants a reworded pair + an innocent doc.
       Dedup.crossSplitContaminationFuzzy(Tables.documents(s, d),
-          "doc_id", "text", threshold = 0.5)
+          "doc_id", "text", threshold = 0.5,
+          prebuiltHashed = Some(hashedSets(s, d)))
         .orderBy("doc_id")
     },
 
@@ -707,7 +734,8 @@ object LlmQueries {
       // rows-only (bloom hash internal): superset-of-exact pinned in
       // EventAnalyticsSpec, exact flags in d_decontaminate's oracle
       Dedup.crossSplitContaminationBloom(Tables.documents(s, d),
-          "doc_id", "text", n = 8)
+          "doc_id", "text", n = 8,
+          prebuiltBloom = Some(trainBloom(s, d)))
         .orderBy("doc_id")
     },
 
