@@ -1350,15 +1350,28 @@ object Algorithms {
     import org.apache.spark.sql.expressions.Window
     val deg = undirectedEdges.groupBy(col("a").as("w"))
       .agg(count(lit(1)).as("d"))
+    // seedN is bounded by |seeds|·maxdeg — broadcast it explicitly:
+    // the planner estimates it from the full adjacency checkpoint
+    // (an isin filter barely moves the estimate), so the wedge join
+    // was exchanging + sorting the FULL edge list by w to meet a
+    // ~hundred-row side (r13, guide §3.1)
     val seedN = undirectedEdges.filter(col("a").isin(seeds: _*))
       .select(col("a"), col("b").as("w"))
-    val wedges = seedN.join(undirectedEdges.select(col("a").as("w"),
+    val wedges = broadcast(seedN)
+      .join(undirectedEdges.select(col("a").as("w"),
         col("b").as("cand")), "w")
       .filter(col("cand") =!= col("a"))
+    // the adjacency side of the anti join is pre-filtered to the
+    // seeds: every scored row has a ∈ seeds by construction, so only
+    // seed-incident edges can match — the filtered side is bounded by
+    // |seeds|·maxdeg (the same envelope as seedN) and broadcasts,
+    // where the unfiltered form exchanged + sorted the FULL edge list
+    // to anti-join a seeds-only candidate set (r13, guide §3.1)
     val scored = wedges.join(deg, "w")
       .groupBy(col("a"), col("cand").as("b"))
       .agg(sum(lit(1.0) / log(col("d"))).as("score"))
-      .join(undirectedEdges, Seq("a", "b"), "left_anti")
+      .join(broadcast(undirectedEdges.filter(col("a").isin(seeds: _*))),
+        Seq("a", "b"), "left_anti")
     // rank on the ROUNDED score: the raw double sum differs across
     // engines in the last ulp, and a tie at the cut line must break
     // on `b` identically everywhere
