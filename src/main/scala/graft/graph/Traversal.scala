@@ -32,17 +32,30 @@ object Traversal {
     var visited = seeds.toDF("node").withColumn("depth", lit(0)).materialize()
     var frontier = visited.select("node")
     var frontierSize = seeds.size.toLong
+    var visitedSize = frontierSize
     var depth = 0
     while (depth < maxDepth && frontierSize > 0) {
       depth += 1
       val f = if (frontierSize <= broadcastLimit) broadcast(frontier) else frontier
+      // broadcast the visited side of the anti join while it is
+      // small: a localCheckpoint frame carries no stats, so the
+      // planner's default estimate forced a full sort-merge anti
+      // (exchange+sort of BOTH sides) at every level (r13, §3.1);
+      // the cumulative row count is tracked, so the gate is exact
+      val vj = if (visitedSize <= broadcastLimit) broadcast(visited)
+        else visited
       val next = edges.join(f, edges("a") === f("node"))
         .select(col("b").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(vj, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth))
         .materialize()
       frontierSize = next.count()
-      visited = visited.unionByName(next).materialize()
+      visitedSize += frontierSize
+      // lazy union of the per-level checkpoints — the old
+      // `.materialize()` here RE-COPIED every visited row once per
+      // level (O(V·depth) checkpoint writes total); the union of
+      // ≤maxDepth checkpoint scans is already flat and cheap
+      visited = visited.unionByName(next)
       frontier = next.select("node")
     }
     visited
@@ -71,22 +84,30 @@ object Traversal {
     var found = false
     var depth = 0
     var frontierSize = 1L
+    var visitedSize = 1L
     while (!found && depth < maxDepth && frontierSize > 0) {
       depth += 1
       val f = if (frontierSize <= broadcastLimit) broadcast(frontier) else frontier
+      // broadcast-anti while visited is small (tracked exactly) —
+      // same stats-blind SMJ-anti fix as bfsLevels (r13, §3.1)
+      val vj = if (visitedSize <= broadcastLimit) broadcast(visited)
+        else visited
       val parents = edges.join(f, edges("a") === col("node"))
         .groupBy(col("b").as("child")).agg(min(col("a")).as("parent"))
-        .join(visited, col("child") === col("node"), "left_anti")
+        .join(vj, col("child") === col("node"), "left_anti")
         .materialize()
       levels += parents
+      // lazy projections over the level checkpoint: re-materializing
+      // them copied every frontier/visited row a second (and third)
+      // time per level
       visited = visited.unionByName(parents.select(col("child").as("node")))
-        .materialize()
-      frontier = parents.select(col("child").as("node")).materialize()
+      frontier = parents.select(col("child").as("node"))
       // one scan of the checkpointed level yields both loop signals
       val agg = parents.agg(count(lit(1)),
         count(when(col("child") === destination, 1))).head()
       frontierSize = agg.getLong(0)
       found = agg.getLong(1) > 0
+      visitedSize += frontierSize
     }
     if (!found)
       spark.emptyDataFrame.selectExpr("0 as step", "'' as node").limit(0)
